@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** §2.1 scans / sources / sinks (SURVEY.md:145-156).
+  * Hive origin: Parquet/CSV/JSON/ORC SerDes + partitioned tables +
+  * bucketed tables. Spark: DataSource V1/V2 readers with column
+  * pruning + predicate pushdown that reach the parquet row-group
+  * level (asserted in ScanSpec via explain()).
+  *
+  * Scale notes: pushdown keys use Tables.raw (uncached) so the
+  * physical plan shows PushedFilters/ReadSchema — at 100 TB these
+  * two properties (prune + push) are the difference between reading
+  * terabytes and reading gigabytes.
+  */
+object Scans {
+
+  private def ioDir(key: String): String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_io/$key"
+    new java.io.File(d).mkdirs(); d
+  }
+
+  /** Columns that survive csv/json text roundtrips losslessly. */
+  private def ordersRoundtripSrc(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec(col("o_totalprice")).as("o_price"),
+        col("o_orderdate").cast(DateType).as("o_date"))
+
+  private val ordersRoundtripOracle =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(o_totalprice AS DECIMAL(18,2)) AS o_price,
+      |  CAST(o_orderdate AS DATE) AS o_date
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, Q.QueryFn] = Map(
+    "scan_parquet" -> ((s, d) =>
+      Tables.raw(s, d, "lineitem")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "scan_projection_pushdown" -> ((s, d) =>
+      Tables.raw(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_quantity"))),
+
+    "scan_filter_pushdown" -> ((s, d) =>
+      Tables.raw(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("2000-06-01"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "scan_partitioned" -> { (s, d) =>
+      val out = ioDir("scan_partitioned")
+      Tables.t(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_year") === 1997)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_year").cast(IntegerType))
+        .orderBy(col("o_orderkey"))
+    },
+
+    "scan_csv" -> { (s, d) =>
+      val out = ioDir("scan_csv")
+      val src = ordersRoundtripSrc(s, d)
+      src.write.mode(SaveMode.Overwrite).option("header", "true").csv(out)
+      s.read.schema(src.schema).option("header", "true").csv(out)
+        .orderBy(col("o_orderkey"))
+    },
+
+    "scan_json_file" -> { (s, d) =>
+      val out = ioDir("scan_json_file")
+      val src = ordersRoundtripSrc(s, d)
+      src.write.mode(SaveMode.Overwrite).json(out)
+      s.read.schema(src.schema).json(out).orderBy(col("o_orderkey"))
+    },
+
+    "scan_orc" -> { (s, d) =>
+      val out = ioDir("scan_orc")
+      val src = ordersRoundtripSrc(s, d)
+      src.write.mode(SaveMode.Overwrite).orc(out)
+      s.read.schema(src.schema).orc(out).orderBy(col("o_orderkey"))
+    },
+
+    "sink_parquet" -> { (s, d) =>
+      val out = ioDir("sink_parquet")
+      Tables.t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(dec18(sum(dec(col("o_totalprice")))).as("total"),
+          count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      s.read.parquet(out).orderBy(col("o_orderstatus"))
+    },
+
+    "sink_bucketed" -> { (s, d) =>
+      s.sql("DROP TABLE IF EXISTS graft_bucketed")
+      Tables.t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"), dec(col("l_extendedprice")).as("l_price"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_bucketed")
+      s.table("graft_bucketed").orderBy(col("l_orderkey"), col("l_linenumber"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scan_projection_pushdown" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",
+    "scan_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-06-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_partitioned" ->
+      """SELECT o_orderkey, o_custkey, CAST(year(o_orderdate) AS INTEGER) AS o_year
+        |FROM orders WHERE year(o_orderdate) = 1997 ORDER BY o_orderkey""".stripMargin,
+    "scan_csv" -> ordersRoundtripOracle,
+    "scan_json_file" -> ordersRoundtripOracle,
+    "scan_orc" -> ordersRoundtripOracle,
+    "sink_parquet" ->
+      """SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "sink_bucketed" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS l_price
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}
