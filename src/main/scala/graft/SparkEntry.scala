@@ -13,12 +13,33 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Aggregates.aggGroupby(spark, "/root/testdata/sf0.001")
 
+  /** Each module contributes (queries, oracle) maps; a silent key
+    * collision would shadow an operator, so concatenation asserts
+    * uniqueness (the round-2 registration gap must never recur). */
+  private def combine[A](parts: Seq[Map[String, A]], what: String): Map[String, A] = {
+    val total = parts.map(_.size).sum
+    val merged = parts.reduce(_ ++ _)
+    require(merged.size == total,
+      s"duplicate $what keys: ${parts.flatMap(_.keys).groupBy(identity).collect { case (k, v) if v.size > 1 => k }.mkString(",")}")
+    merged
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Aggregates.queries
+    combine(Seq(
+      Probes.queries,
+      Scans.queries,
+      Relational.queries,
+      Aggregates.queries,
+    ), "query")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Aggregates.oracle
+    combine(Seq(
+      Probes.oracle,
+      Scans.oracle,
+      Relational.oracle,
+      Aggregates.oracle,
+    ), "oracle")
 }

@@ -18,11 +18,11 @@ object Relational {
     "project_expr" -> ((s, d) =>
       Tables.t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast(DecimalType(18, 4)).as("revenue"),
+          money(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("revenue"),
           (col("l_quantity") + lit(10)).as("qty_plus"),
           (dec(col("l_extendedprice")) / lit(2)).cast(DoubleType).as("half_price"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"),
+          col("qty_plus"), col("half_price"))),
 
     "project_case_when" -> ((s, d) =>
       Tables.t(s, d, "orders")
@@ -41,9 +41,11 @@ object Relational {
       Tables.t(s, d, "orders")
         .select(col("o_orderkey"),
           col("o_orderkey").cast(StringType).as("key_str"),
-          col("o_totalprice").cast(DecimalType(18, 2)).as("price_dec"),
+          // decimal + date casts exercised, rendered via hash-safe types
+          // (string / naive timestamp) per the Q.scala contract
+          col("o_totalprice").cast(DecimalType(18, 2)).cast(StringType).as("price_dec_str"),
           col("o_totalprice").cast(LongType).as("price_long"),
-          col("o_orderdate").cast(DateType).as("date_only"),
+          dateOut(col("o_orderdate").cast(DateType)).as("date_only"),
           col("o_orderstatus").cast(StringType).as("status_str"),
           lit("42").cast(IntegerType).as("str_int"),
           col("o_custkey").cast(DoubleType).as("cust_dbl"))
@@ -56,7 +58,9 @@ object Relational {
           && !(col("l_discount") > 0.08))
           || col("l_extendedprice") > 90000)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // data — order by every output column so ties are identical
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
 
     "filter_like" -> ((s, d) =>
       Tables.t(s, d, "customer")
@@ -78,8 +82,10 @@ object Relational {
           col("flag_n").isNull.as("is_null"),
           col("flag_n").isNotNull.as("is_not_null"),
           col("flag_n") <=> lit("A") as "null_safe_eq_a",
-          (col("flag_n") === "A").as("three_valued_eq"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+          // nullable BOOLEAN is not hash-safe (pyarrow None vs DuckDB
+          // nan) — render 3-valued results as strings (Q.scala)
+          (col("flag_n") === "A").cast(StringType).as("three_valued_eq"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("flag_n"))),
 
     "dedup_exact" -> ((s, d) =>
       Tables.t(s, d, "orders")
@@ -109,12 +115,12 @@ object Relational {
       Tables.t(s, d, "orders")
         .select(col("o_orderkey"),
           nullif(col("o_orderstatus"), lit("O")).as("st"),
-          dec(col("o_totalprice")).as("price"))
+          money(dec(col("o_totalprice"))).as("price"))
         .orderBy(col("st").desc_nulls_last, col("price").asc_nulls_first, col("o_orderkey"))),
 
     "sort_limit" -> ((s, d) =>
       Tables.t(s, d, "orders")
-        .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"))
+        .select(col("o_orderkey"), money(dec(col("o_totalprice"))).as("price"))
         .orderBy(col("price").desc, col("o_orderkey"))
         .limit(20)),
 
@@ -136,9 +142,9 @@ object Relational {
     // ---- §2.7 set operations ----
     "set_union_all" -> { (s, d) =>
       val c = Tables.t(s, d, "customer")
-        .select(col("c_nationkey").as("nkey"), dec(col("c_acctbal")).as("bal"), lit("c").as("src"))
+        .select(col("c_nationkey").as("nkey"), money(dec(col("c_acctbal"))).as("bal"), lit("c").as("src"))
       val sup = Tables.t(s, d, "supplier")
-        .select(col("s_nationkey").as("nkey"), dec(col("s_acctbal")).as("bal"), lit("s").as("src"))
+        .select(col("s_nationkey").as("nkey"), money(dec(col("s_acctbal"))).as("bal"), lit("s").as("src"))
       c.unionAll(sup).orderBy(col("src"), col("nkey"), col("bal"))
     },
 
@@ -176,10 +182,11 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "project_expr" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  l_quantity + 10 AS qty_plus,
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) / 2 AS half_price
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, revenue, qty_plus, half_price""".stripMargin,
     "project_case_when" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice > 200000 THEN 'big'
@@ -191,9 +198,9 @@ object Relational {
     "project_cast" ->
       """SELECT o_orderkey,
         |  CAST(o_orderkey AS VARCHAR) AS key_str,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
-        |  CAST(o_totalprice AS BIGINT) AS price_long,
-        |  CAST(o_orderdate AS DATE) AS date_only,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec_str,
+        |  CAST(trunc(o_totalprice) AS BIGINT) AS price_long,
+        |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS date_only,
         |  CAST(o_orderstatus AS VARCHAR) AS status_str,
         |  CAST('42' AS INTEGER) AS str_int,
         |  CAST(o_custkey AS DOUBLE) AS cust_dbl
@@ -204,7 +211,7 @@ object Relational {
         |       AND l_returnflag IN ('A','R')
         |       AND NOT (l_discount > 0.08))
         |   OR l_extendedprice > 90000
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "filter_like" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_name LIKE 'Customer#%1%' AND c_mktsegment LIKE 'B_ILDING'
@@ -219,8 +226,9 @@ object Relational {
         |  nullif(l_returnflag, 'N') IS NULL AS is_null,
         |  nullif(l_returnflag, 'N') IS NOT NULL AS is_not_null,
         |  nullif(l_returnflag, 'N') IS NOT DISTINCT FROM 'A' AS null_safe_eq_a,
-        |  nullif(l_returnflag, 'N') = 'A' AS three_valued_eq
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |  CAST(nullif(l_returnflag, 'N') = 'A' AS VARCHAR) AS three_valued_eq
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, flag_n NULLS FIRST""".stripMargin,
     "dedup_exact" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
@@ -231,20 +239,20 @@ object Relational {
         |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "sort_multi_nulls" ->
       """SELECT o_orderkey, nullif(o_orderstatus,'O') AS st,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM orders
         |ORDER BY st DESC NULLS LAST, price ASC NULLS FIRST, o_orderkey""".stripMargin,
     "sort_limit" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM orders ORDER BY price DESC, o_orderkey LIMIT 20""".stripMargin,
     "limit_offset" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |ORDER BY o_orderkey LIMIT 15 OFFSET 10""".stripMargin,
     "set_union_all" ->
       """SELECT * FROM (
-        |  SELECT c_nationkey AS nkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal, 'c' AS src FROM customer
+        |  SELECT c_nationkey AS nkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal, 'c' AS src FROM customer
         |  UNION ALL
-        |  SELECT s_nationkey AS nkey, CAST(s_acctbal AS DECIMAL(18,2)) AS bal, 's' AS src FROM supplier)
+        |  SELECT s_nationkey AS nkey, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal, 's' AS src FROM supplier)
         |ORDER BY src, nkey, bal""".stripMargin,
     "set_union_distinct" ->
       """SELECT c_nationkey AS nkey FROM customer

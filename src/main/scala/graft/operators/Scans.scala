@@ -24,34 +24,51 @@ object Scans {
     new java.io.File(d).mkdirs(); d
   }
 
-  /** Columns that survive csv/json text roundtrips losslessly. */
+  /** Columns that survive csv/json text roundtrips losslessly.
+    * Decimal + date are exercised through the roundtrip; the output
+    * boundary re-casts them to hash-safe types (Q.scala contract). */
   private def ordersRoundtripSrc(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"),
         dec(col("o_totalprice")).as("o_price"),
         col("o_orderdate").cast(DateType).as("o_date"))
 
+  private def rtOut(df: DataFrame): DataFrame =
+    df.select(col("o_orderkey"), col("o_orderstatus"),
+      money(col("o_price")).as("o_price"),
+      dateOut(col("o_date")).as("o_date"))
+      .orderBy(col("o_orderkey"))
+
   private val ordersRoundtripOracle =
     """SELECT o_orderkey, o_orderstatus,
-      |  CAST(o_totalprice AS DECIMAL(18,2)) AS o_price,
-      |  CAST(o_orderdate AS DATE) AS o_date
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_price,
+      |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS o_date
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   val queries: Map[String, Q.QueryFn] = Map(
+    // Count-preserving narrow projection (SURVEY.md:149): the contract
+    // needs a full scan, not a full-width total re-sort of the fact
+    // table — at 100 TB sorting+rewriting all 11 columns is a
+    // different (and wrong) plan, so project narrow THEN order.
     "scan_parquet" -> ((s, d) =>
       Tables.raw(s, d, "lineitem")
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        // non-unique (orderkey,linenumber) in the synthetic data —
+        // order by every output column so ties are identical rows
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))),
 
     "scan_projection_pushdown" -> ((s, d) =>
       Tables.raw(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_quantity"))),
+        .orderBy(col("l_orderkey"), col("l_quantity"))),  // all output cols
 
     "scan_filter_pushdown" -> ((s, d) =>
       Tables.raw(s, d, "lineitem")
         .filter(col("l_shipdate") >= lit("2000-06-01"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))),
 
     "scan_partitioned" -> { (s, d) =>
       val out = ioDir("scan_partitioned")
@@ -68,22 +85,21 @@ object Scans {
       val out = ioDir("scan_csv")
       val src = ordersRoundtripSrc(s, d)
       src.write.mode(SaveMode.Overwrite).option("header", "true").csv(out)
-      s.read.schema(src.schema).option("header", "true").csv(out)
-        .orderBy(col("o_orderkey"))
+      rtOut(s.read.schema(src.schema).option("header", "true").csv(out))
     },
 
     "scan_json_file" -> { (s, d) =>
       val out = ioDir("scan_json_file")
       val src = ordersRoundtripSrc(s, d)
       src.write.mode(SaveMode.Overwrite).json(out)
-      s.read.schema(src.schema).json(out).orderBy(col("o_orderkey"))
+      rtOut(s.read.schema(src.schema).json(out))
     },
 
     "scan_orc" -> { (s, d) =>
       val out = ioDir("scan_orc")
       val src = ordersRoundtripSrc(s, d)
       src.write.mode(SaveMode.Overwrite).orc(out)
-      s.read.schema(src.schema).orc(out).orderBy(col("o_orderkey"))
+      rtOut(s.read.schema(src.schema).orc(out))
     },
 
     "sink_parquet" -> { (s, d) =>
@@ -93,30 +109,40 @@ object Scans {
         .agg(dec18(sum(dec(col("o_totalprice")))).as("total"),
           count(lit(1)).as("n"))
         .write.mode(SaveMode.Overwrite).parquet(out)
-      s.read.parquet(out).orderBy(col("o_orderstatus"))
+      s.read.parquet(out)
+        .select(col("o_orderstatus"), money(col("total")).as("total"), col("n"))
+        .orderBy(col("o_orderstatus"))
     },
 
     "sink_bucketed" -> { (s, d) =>
       s.sql("DROP TABLE IF EXISTS graft_bucketed")
+      // a fresh session's in-memory catalog forgets the table but its
+      // warehouse dir survives — clear it or saveAsTable refuses
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/graft_bucketed"))
       Tables.t(s, d, "lineitem")
         .filter(col("l_orderkey") < 1000)
         .select(col("l_orderkey"), col("l_linenumber"), dec(col("l_extendedprice")).as("l_price"))
         .write.mode(SaveMode.Overwrite)
         .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable("graft_bucketed")
-      s.table("graft_bucketed").orderBy(col("l_orderkey"), col("l_linenumber"))
+      s.table("graft_bucketed")
+        .select(col("l_orderkey"), col("l_linenumber"), money(col("l_price")).as("l_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_price"))
     }
   )
 
   val oracle: Map[String, String] = Map(
     "scan_parquet" ->
-      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
     "scan_projection_pushdown" ->
       "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",
     "scan_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '2000-06-01 00:00:00'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin,
     "scan_partitioned" ->
       """SELECT o_orderkey, o_custkey, CAST(year(o_orderdate) AS INTEGER) AS o_year
         |FROM orders WHERE year(o_orderdate) = 1997 ORDER BY o_orderkey""".stripMargin,
@@ -124,12 +150,12 @@ object Scans {
     "scan_json_file" -> ordersRoundtripOracle,
     "scan_orc" -> ordersRoundtripOracle,
     "sink_parquet" ->
-      """SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+      """SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "sink_bucketed" ->
-      """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS l_price
+      """SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS l_price
         |FROM lineitem WHERE l_orderkey < 1000
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, l_price""".stripMargin
   )
 }

@@ -32,6 +32,30 @@ def norm(v):
         return v.replace(tzinfo=None)
     return v
 
+def drv_repr_mismatch(files, con, sql):
+    """Emulate the driver's hash: our parquet via pyarrow->pandas
+    (native types: Decimal objects, datetime.date, tz-aware ts, numpy
+    arrays), the oracle via DuckDB's pandas path, then compare str()
+    of every value with columns sorted by name. Returns a description
+    of the first mismatching cell, or None. This is what caught the
+    round-2 DECIMAL('x.00') vs float 'x.0' failure."""
+    import pyarrow.parquet as pq
+    import pandas as pd
+    mine = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                     ignore_index=True)
+    theirs = con.execute(sql).df()
+    mine = mine[sorted(mine.columns)]
+    theirs = theirs[sorted(theirs.columns)]
+    if list(mine.columns) != list(theirs.columns) or len(mine) != len(theirs):
+        return "shape/columns differ"
+    for c in mine.columns:
+        a = [str(v) for v in mine[c].tolist()]
+        b = [str(v) for v in theirs[c].tolist()]
+        if a != b:
+            i = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
+            return f"col {c} row {i}: mine={a[i]!r} oracle={b[i]!r}"
+    return None
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -74,6 +98,13 @@ def main():
             for ci, (a, b) in enumerate(zip(mv, ov)):
                 if a != b:
                     print(f"   col {sorted(mcols)[ci]}: mine={a!r} oracle={b!r}")
+            n_fail += 1; fails.append(name); continue
+        try:
+            rep = drv_repr_mismatch(files, con, sql)
+        except Exception as e:
+            rep = f"repr-check error: {str(e).splitlines()[0]}"
+        if rep:
+            print(f"FAIL {name}: values equal but driver-repr differs: {rep}")
             n_fail += 1; fails.append(name); continue
         n_pass += 1
         print(f"ok   {name} ({len(mrows)} rows)")
