@@ -31,6 +31,7 @@ object SparkEntry {
       Scans.queries,
       Relational.queries,
       Aggregates.queries,
+      Joins.queries,
     ), "query")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       Scans.oracle,
       Relational.oracle,
       Aggregates.oracle,
+      Joins.oracle,
     ), "oracle")
 }

@@ -1,0 +1,284 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** §2.3 joins (SURVEY.md:174-187).
+  * Hive origin: ql.exec.JoinOperator / MapJoinOperator (MAPJOIN hint,
+  * hive.auto.convert.join) / LEFT SEMI JOIN / CalcitePlanner anti-join
+  * and subquery decorrelation. Spark-first: declarative `.join` +
+  * `broadcast()` hints; Catalyst's JoinSelection + AQE pick
+  * broadcast-hash vs sort-merge from actual sizes; subqueries go
+  * through spark.sql and RewritePredicateSubquery → semi/anti joins.
+  *
+  * 100 TB notes: dimension sides (region/nation/part/supplier/
+  * customer-slices) are broadcast; the fact side never shuffles twice
+  * for the same key chain; the as-of join is banded (1-day window
+  * prefilter) so the per-key cross product is bounded instead of
+  * quadratic in events-per-user.
+  */
+object Joins {
+
+  private def rev(c1: String, c2: String) =
+    dec(col(c1)) * (lit(1) - dec(col(c2)))
+
+  val queries: Map[String, Q.QueryFn] = Map(
+    // shuffle equi-join: fact ⋈ fact-sized orders — sort-merge/shuffle-hash
+    "join_inner" -> ((s, d) =>
+      Tables.t(s, d, "orders").join(Tables.t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"), "inner")
+        .select(col("o_orderkey"), col("l_linenumber"), col("o_orderstatus"),
+          money(rev("l_extendedprice", "l_discount")).as("revenue"))
+        .orderBy(col("o_orderkey"), col("l_linenumber"), col("o_orderstatus"),
+          col("revenue"))),
+
+    // map-side join: part is a dimension → broadcast (plan asserted in JoinSpec)
+    "join_broadcast" -> ((s, d) =>
+      Tables.t(s, d, "lineitem").join(broadcast(Tables.t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"),
+          money(dec(col("l_extendedprice"))).as("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_brand"),
+          col("price"))),
+
+    // null-extending joins: filtered orders so unmatched customers exist
+    "join_left_outer" -> { (s, d) =>
+      val big = Tables.t(s, d, "orders").filter(col("o_totalprice") > 250000)
+        .select(col("o_custkey"), col("o_orderkey"),
+          money(dec(col("o_totalprice"))).as("big_price"))
+      Tables.t(s, d, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_orderkey"), col("big_price"))
+        .orderBy(col("c_custkey"), col("o_orderkey"), col("big_price"))
+    },
+
+    "join_right_outer" -> { (s, d) =>
+      val urgent = Tables.t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
+        .select(col("o_custkey"), col("o_orderkey"),
+          money(dec(col("o_totalprice"))).as("urgent_price"))
+      urgent.join(Tables.t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"), "right")
+        .select(col("c_custkey"), col("o_orderkey"), col("urgent_price"))
+        .orderBy(col("c_custkey"), col("o_orderkey"), col("urgent_price"))
+    },
+
+    // disjoint key-filters guarantee null-extension on BOTH sides at any sf
+    "join_full_outer" -> { (s, d) =>
+      val cn = Tables.t(s, d, "customer").filter(col("c_nationkey") < 15)
+        .groupBy(col("c_nationkey").as("nkey_c")).agg(count(lit(1)).as("c_cnt"))
+      val sn = Tables.t(s, d, "supplier").filter(col("s_nationkey") >= 10)
+        .groupBy(col("s_nationkey").as("nkey_s")).agg(count(lit(1)).as("s_cnt"))
+      cn.join(sn, col("nkey_c") === col("nkey_s"), "full")
+        .select(col("nkey_c"), col("nkey_s"), col("c_cnt"), col("s_cnt"))
+        .orderBy(col("nkey_c"), col("nkey_s"))
+    },
+
+    "join_left_semi" -> { (s, d) =>
+      val urgent = Tables.t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      Tables.t(s, d, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "join_left_anti" -> { (s, d) =>
+      val urgent = Tables.t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      Tables.t(s, d, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "join_cross" -> ((s, d) =>
+      Tables.t(s, d, "nation").crossJoin(Tables.t(s, d, "region"))
+        .select(col("n_nationkey"), col("n_name"), col("r_regionkey"), col("r_name"))
+        .orderBy(col("n_nationkey"), col("r_regionkey"))),
+
+    // pure non-equi predicate → BroadcastNestedLoopJoin (small × small)
+    "join_theta" -> ((s, d) =>
+      Tables.t(s, d, "supplier").join(Tables.t(s, d, "customer"),
+          col("s_acctbal") > col("c_acctbal") && col("s_nationkey") =!= col("c_nationkey"))
+        .select(col("s_suppkey"), col("c_custkey"),
+          money(dec(col("s_acctbal"))).as("s_bal"),
+          money(dec(col("c_acctbal"))).as("c_bal"))
+        .orderBy(col("s_suppkey"), col("c_custkey"))),
+
+    // equi prefix + interval containment residual: ships within 7 days of order
+    "join_range" -> ((s, d) =>
+      Tables.t(s, d, "orders").join(Tables.t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey")
+            && col("l_shipdate") >= col("o_orderdate")
+            && col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 7 DAYS"))
+        .select(col("o_orderkey"), col("l_linenumber"), col("o_orderdate"), col("l_shipdate"))
+        .orderBy(col("o_orderkey"), col("l_linenumber"), col("o_orderdate"), col("l_shipdate"))),
+
+    // as-of: latest click at-or-before each purchase (same user), banded to
+    // 1 day so the per-user cross product stays linear-ish at scale
+    "join_asof" -> { (s, d) =>
+      val ev = Tables.t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(col("c_ts").desc, col("c_id").desc)
+      p.join(c, col("user_id") === col("c_user")
+            && col("c_ts") <= col("p_ts")
+            && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 DAY"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"), col("c_ts"))
+        .orderBy(col("p_id"))
+    },
+
+    // TPC-H-Q5-shaped 6-table star: dims broadcast, one agg at the top
+    "join_multiway_star" -> { (s, d) =>
+      Tables.t(s, d, "region").filter(col("r_name") === "ASIA")
+        .join(Tables.t(s, d, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.t(s, d, "customer"), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.t(s, d, "orders"), col("o_custkey") === col("c_custkey"))
+        .join(Tables.t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(money(sum(rev("l_extendedprice", "l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"))
+    },
+
+    // subqueries through the SQL frontend (RewritePredicateSubquery)
+    "sub_in" -> { (s, d) =>
+      Tables.views(s, d)
+      s.sql("""SELECT c_custkey, c_name FROM customer
+              |WHERE c_custkey IN (SELECT o_custkey FROM orders
+              |                    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000)
+              |ORDER BY c_custkey""".stripMargin)
+    },
+
+    "sub_exists" -> { (s, d) =>
+      Tables.views(s, d)
+      s.sql("""SELECT s_suppkey, s_name FROM supplier s
+              |WHERE EXISTS (SELECT 1 FROM lineitem l
+              |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+              |ORDER BY s_suppkey""".stripMargin)
+    },
+
+    // scalar subqueries kept exact: max (order-independent) in SELECT,
+    // sum×count decimal inequality instead of a lossy avg in WHERE
+    "sub_scalar" -> { (s, d) =>
+      Tables.views(s, d)
+      s.sql("""SELECT c_custkey,
+              |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
+              |  CAST((SELECT max(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer) AS DOUBLE) AS max_bal
+              |FROM customer
+              |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT count(*) FROM customer)
+              |      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer)
+              |ORDER BY c_custkey""".stripMargin)
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_inner" ->
+      """SELECT o_orderkey, l_linenumber, o_orderstatus,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey, l_linenumber, o_orderstatus, revenue""".stripMargin,
+    "join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, p_brand,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber, p_brand, price""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS big_price
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 250000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST, big_price NULLS FIRST""".stripMargin,
+    "join_right_outer" ->
+      """SELECT c_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS urgent_price
+        |FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000) o
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST, urgent_price NULLS FIRST""".stripMargin,
+    "join_full_outer" ->
+      """SELECT nkey_c, nkey_s, c_cnt, s_cnt FROM
+        |  (SELECT c_nationkey AS nkey_c, count(*) AS c_cnt FROM customer
+        |   WHERE c_nationkey < 15 GROUP BY c_nationkey) cn
+        |FULL OUTER JOIN
+        |  (SELECT s_nationkey AS nkey_s, count(*) AS s_cnt FROM supplier
+        |   WHERE s_nationkey >= 10 GROUP BY s_nationkey) sn
+        |ON nkey_c = nkey_s
+        |ORDER BY nkey_c NULLS FIRST, nkey_s NULLS FIRST""".stripMargin,
+    "join_left_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |SEMI JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |ANTI JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "join_cross" ->
+      """SELECT n_nationkey, n_name, r_regionkey, r_name
+        |FROM nation CROSS JOIN region
+        |ORDER BY n_nationkey, r_regionkey""".stripMargin,
+    "join_theta" ->
+      """SELECT s_suppkey, c_custkey,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_bal,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_bal
+        |FROM supplier JOIN customer
+        |  ON s_acctbal > c_acctbal AND s_nationkey <> c_nationkey
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+    "join_range" ->
+      """SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate
+        |FROM orders JOIN lineitem
+        |  ON o_orderkey = l_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
+        |ORDER BY o_orderkey, l_linenumber, o_orderdate, l_shipdate""".stripMargin,
+    "join_asof" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p_id, user_id, p_ts, c_id, c_ts,
+        |        row_number() OVER (PARTITION BY p_id ORDER BY c_ts DESC, c_id DESC) AS rn
+        |      FROM p JOIN c ON user_id = c_user
+        |        AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 DAY)
+        |SELECT p_id, user_id, p_ts, c_id, c_ts FROM j WHERE rn = 1
+        |ORDER BY p_id""".stripMargin,
+    "join_multiway_star" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "sub_in" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+    "sub_exists" ->
+      """SELECT s_suppkey, s_name FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+        |ORDER BY s_suppkey""".stripMargin,
+    "sub_scalar" ->
+      """SELECT c_custkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
+        |  CAST((SELECT max(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer) AS DOUBLE) AS max_bal
+        |FROM customer
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT count(*) FROM customer)
+        |      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer)
+        |ORDER BY c_custkey""".stripMargin
+  )
+}
