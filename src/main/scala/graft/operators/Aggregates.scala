@@ -32,11 +32,273 @@ object Aggregates {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Exact-input statistics (SURVEY.md:200 agg_stats): moment sums are
+    * computed in DECIMAL (exact, partition-order independent — the
+    * same property that makes them partial-aggregable at 100 TB),
+    * cast to DOUBLE, then pushed through IDENTICAL double formulas on
+    * both engines, so the floats agree bit-for-bit. The built-in
+    * stddev/corr/covar functions are cross-checked against these in
+    * AggregateSpec (they use order-dependent running-moment updates,
+    * which can never hash-match across engines).
+    */
+  private def statsExact(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val l = Tables.t(s, d, "lineitem")
+    val q = dec(col("l_quantity")); val p = dec(col("l_extendedprice"))
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).cast(DoubleType).as("sq"), sum(p).cast(DoubleType).as("sp"),
+        sum(q * q).cast(DoubleType).as("sqq"), sum(p * p).cast(DoubleType).as("spp"),
+        sum(q * p).cast(DoubleType).as("sqp"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sq") / col("n")).as("mean_qty"),
+        (col("sp") / col("n")).as("mean_price"),
+        ((col("n") * col("sqq") - col("sq") * col("sq")) / (col("n") * (col("n") - lit(1)))).as("var_samp_qty"),
+        // spp exceeds 2^53: DuckDB's int128→double decimal cast
+        // double-rounds where Spark's BigDecimal path rounds once, so
+        // spp-derived floats differ in the last ulp — render as FLOAT
+        // (f32), where the ulp noise is far below representable precision
+        sqrt((col("n") * col("spp") - col("sp") * col("sp")) / (col("n") * (col("n") - lit(1))))
+          .cast(FloatType).as("stddev_samp_price"),
+        ((col("n") * col("spp") - col("sp") * col("sp")) / (col("n") * col("n")))
+          .cast(FloatType).as("var_pop_price"),
+        ((col("n") * col("sqp") - col("sq") * col("sp")) / (col("n") * col("n"))).as("covar_pop"),
+        ((col("n") * col("sqp") - col("sq") * col("sp")) /
+          (sqrt(col("n") * col("sqq") - col("sq") * col("sq")) *
+            sqrt(col("n") * col("spp") - col("sp") * col("sp"))))
+          .cast(FloatType).as("corr_qp"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q.QueryFn] = Map(
-    "agg_groupby" -> ((s, d) => aggGroupby(s, d))
+    "agg_groupby" -> ((s, d) => aggGroupby(s, d)),
+
+    "agg_global" -> ((s, d) =>
+      Tables.t(s, d, "lineitem").agg(
+        count(lit(1)).as("n"),
+        money(sum(dec(col("l_extendedprice")))).as("sum_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        avgExact(sum(dec(col("l_quantity"))), count(lit(1))).as("avg_qty"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))),
+
+    "agg_count_distinct" -> ((s, d) =>
+      Tables.t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    "agg_multi_distinct" -> ((s, d) =>
+      Tables.t(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          money(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy(col("l_linestatus"))),
+
+    "agg_having" -> ((s, d) =>
+      Tables.t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          money(sum(dec(col("o_totalprice")))).as("total"))
+        .filter(col("n_orders") >= 13)
+        .orderBy(col("o_custkey"))),
+
+    "agg_rollup" -> ((s, d) =>
+      Tables.t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          money(sum(dec(col("l_quantity")))).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("sum_qty"), col("n"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
+
+    "agg_cube" -> ((s, d) =>
+      Tables.t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          money(sum(dec(col("l_extendedprice")))).as("sum_price"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("sum_price"), col("n"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
+
+    "agg_grouping_sets" -> { (s, d) =>
+      Tables.views(s, d)
+      s.sql("""SELECT l_returnflag, l_linestatus, grouping_id() AS gid,
+              |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              |  count(*) AS n
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+              |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+    },
+
+    "agg_collect" -> ((s, d) =>
+      Tables.t(s, d, "orders").filter(col("o_custkey") < 10)
+        .groupBy(col("o_custkey"))
+        .agg(
+          expr("array_join(transform(sort_array(collect_list(o_orderkey)), x -> cast(x as string)), ',')").as("keys_csv"),
+          expr("array_join(sort_array(collect_set(o_orderstatus)), ',')").as("statuses_csv"))
+        .orderBy(col("o_custkey"))),
+
+    "agg_stats" -> ((s, d) => statsExact(s, d)),
+
+    "agg_percentile" -> ((s, d) =>
+      Tables.t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.25)").as("q1"),
+          expr("percentile(l_quantity, 0.5)").as("median"),
+          expr("percentile(l_quantity, 0.75)").as("q3"))
+        .orderBy(col("l_returnflag"))),
+
+    // approx ops: engine-specific sketches — declared rows-only (no
+    // oracle); error bounds vs exact asserted in AggregateSpec
+    "agg_approx_percentile" -> ((s, d) =>
+      Tables.t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"))
+        .orderBy(col("l_returnflag"))),
+
+    "agg_approx_distinct" -> ((s, d) =>
+      Tables.t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_nd"))
+        .orderBy(col("l_returnflag"))),
+
+    "agg_minmax_by" -> ((s, d) =>
+      Tables.t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
+          money(max(dec(col("o_totalprice")))).as("best_price"))
+        .orderBy(col("o_custkey"))),
+
+    "agg_bool" -> ((s, d) =>
+      Tables.t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("bool_and(l_quantity < 50)").as("all_small"),
+          expr("bool_or(l_discount > 0.09)").as("any_deep_discount"),
+          expr("bool_and(l_extendedprice > 0)").as("all_positive"))
+        .orderBy(col("l_returnflag"))),
+
+    "agg_pivot" -> ((s, d) =>
+      Tables.t(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy(col("user_id"))),
+
+    "agg_unpivot" -> { (s, d) =>
+      val wide = Tables.t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(money(sum(dec(col("l_quantity")))).as("qty"),
+          money(sum(dec(col("l_extendedprice")))).as("price"))
+      wide.unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price")), "metric", "val")
+        .orderBy(col("l_returnflag"), col("metric"))
+    }
   )
 
+  /** Shared decimal-cast shorthands for oracle SQL. */
+  private val Q2 = "CAST(l_quantity AS DECIMAL(18,2))"
+  private val P2 = "CAST(l_extendedprice AS DECIMAL(18,2))"
+
   val oracle: Map[String, String] = Map(
+    "agg_global" ->
+      s"""SELECT count(*) AS n,
+         |  CAST(sum($P2) AS DOUBLE) AS sum_price,
+         |  min(l_extendedprice) AS min_price,
+         |  max(l_extendedprice) AS max_price,
+         |  CAST(sum($Q2) AS DOUBLE) / count(*) AS avg_qty,
+         |  min(l_shipdate) AS first_ship,
+         |  max(l_shipdate) AS last_ship
+         |FROM lineitem""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_multi_distinct" ->
+      s"""SELECT l_linestatus, count(DISTINCT l_partkey) AS nd_part,
+         |  count(DISTINCT l_suppkey) AS nd_supp,
+         |  CAST(sum($Q2) AS DOUBLE) AS sum_qty
+         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "agg_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 13
+        |ORDER BY o_custkey""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag, l_linestatus) AS gid,
+         |  CAST(sum($Q2) AS DOUBLE) AS sum_qty, count(*) AS n
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag, l_linestatus) AS gid,
+         |  CAST(sum($P2) AS DOUBLE) AS sum_price, count(*) AS n
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag, l_linestatus) AS gid,
+         |  CAST(sum($Q2) AS DOUBLE) AS sum_qty, count(*) AS n
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_collect" ->
+      """SELECT o_custkey,
+        |  array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS keys_csv,
+        |  array_to_string(list(DISTINCT o_orderstatus ORDER BY o_orderstatus), ',') AS statuses_csv
+        |FROM orders WHERE o_custkey < 10
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "agg_stats" ->
+      s"""WITH m AS (SELECT l_returnflag, count(*) AS n,
+         |  CAST(sum($Q2) AS DOUBLE) AS sq,
+         |  CAST(sum($P2) AS DOUBLE) AS sp,
+         |  CAST(sum($Q2 * $Q2) AS DOUBLE) AS sqq,
+         |  CAST(sum($P2 * $P2) AS DOUBLE) AS spp,
+         |  CAST(sum($Q2 * $P2) AS DOUBLE) AS sqp
+         |FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  sq / n AS mean_qty,
+         |  sp / n AS mean_price,
+         |  (n * sqq - sq * sq) / (n * (n - 1)) AS var_samp_qty,
+         |  CAST(sqrt((n * spp - sp * sp) / (n * (n - 1))) AS REAL) AS stddev_samp_price,
+         |  CAST((n * spp - sp * sp) / (n * n) AS REAL) AS var_pop_price,
+         |  (n * sqp - sq * sp) / (n * n) AS covar_pop,
+         |  CAST((n * sqp - sq * sp) / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)) AS REAL) AS corr_qp
+         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q1,
+        |  quantile_cont(l_quantity, 0.5) AS median,
+        |  quantile_cont(l_quantity, 0.75) AS q3
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_minmax_by" ->
+      """SELECT o_custkey,
+        |  arg_max(o_orderkey, o_totalprice) AS best_order,
+        |  arg_min(o_orderkey, o_totalprice) AS worst_order,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS best_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "agg_bool" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity < 50) AS all_small,
+        |  bool_or(l_discount > 0.09) AS any_deep_discount,
+        |  bool_and(l_extendedprice > 0) AS all_positive
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_unpivot" ->
+      s"""WITH w AS (SELECT l_returnflag,
+         |  CAST(sum($Q2) AS DOUBLE) AS qty,
+         |  CAST(sum($P2) AS DOUBLE) AS price
+         |FROM lineitem GROUP BY l_returnflag)
+         |SELECT * FROM (UNPIVOT w ON qty, price INTO NAME metric VALUE val)
+         |ORDER BY l_returnflag, metric""".stripMargin,
     "agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
