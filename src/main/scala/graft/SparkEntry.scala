@@ -32,6 +32,7 @@ object SparkEntry {
       Relational.queries,
       Aggregates.queries,
       Joins.queries,
+      Windows.queries,
     ), "query")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +44,6 @@ object SparkEntry {
       Relational.oracle,
       Aggregates.oracle,
       Joins.oracle,
+      Windows.oracle,
     ), "oracle")
 }
