@@ -33,6 +33,8 @@ object SparkEntry {
       Aggregates.queries,
       Joins.queries,
       Windows.queries,
+      Functions.queries,
+      Generators.queries,
     ), "query")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,5 +47,7 @@ object SparkEntry {
       Aggregates.oracle,
       Joins.oracle,
       Windows.oracle,
+      Functions.oracle,
+      Generators.oracle,
     ), "oracle")
 }
