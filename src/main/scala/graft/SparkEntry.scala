@@ -35,6 +35,7 @@ object SparkEntry {
       Windows.queries,
       Functions.queries,
       Generators.queries,
+      Extensibility.queries,
     ), "query")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +50,6 @@ object SparkEntry {
       Windows.oracle,
       Functions.oracle,
       Generators.oracle,
+      Extensibility.oracle,
     ), "oracle")
 }

@@ -1,0 +1,58 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** §2.11 `udaf_aggregator` (SURVEY.md:307): typed Aggregator with the
+  * Hive GenericUDAFEvaluator lifecycle (update≈iterate, merge≈merge,
+  * finish≈terminate). Exact weighted mean: both operands are scaled
+  * to integer cents so the buffer is two longs — associative,
+  * overflow-safe at the test scales, partition-order independent.
+  */
+object WeightedMean extends Aggregator[(Double, Double), (Long, Long), Double] {
+  override def zero: (Long, Long) = (0L, 0L)
+  override def reduce(b: (Long, Long), in: (Double, Double)): (Long, Long) = {
+    val w = math.round(in._1 * 100); val x = math.round(in._2 * 100)
+    (b._1 + w * x, b._2 + w)
+  }
+  override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+    (a._1 + b._1, a._2 + b._2)
+  override def finish(b: (Long, Long)): Double =
+    if (b._2 == 0) 0.0 else b._1.toDouble / b._2.toDouble / 100.0
+  override def bufferEncoder: Encoder[(Long, Long)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+/** Session-level registration of the custom Catalyst functions — the
+  * engine's analogue of Hive's `CREATE TEMPORARY FUNCTION` +
+  * FunctionRegistry. Everything is resolved by the normal analyzer
+  * afterwards, so the functions work from SQL text and expr() alike.
+  */
+object Graft {
+  private val registered = ConcurrentHashMap.newKeySet[Int]()
+
+  def registerAll(spark: SparkSession): Unit =
+    if (registered.add(System.identityHashCode(spark))) try {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("token_jaccard",
+        exprs => TokenJaccard(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("ngrams",
+        exprs => NGrams(exprs(0),
+          exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction("topk_keys",
+        exprs => TopKKeys(exprs(0), exprs(1),
+          exprs(2).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+      spark.udf.register("wmean",
+        udaf(WeightedMean, Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)))
+      spark.udf.register("tier", (bal: Double) =>
+        if (bal > 7500) "platinum" else if (bal > 2500) "gold"
+        else if (bal >= 0) "standard" else "delinquent")
+    } catch { case e: Throwable =>
+      registered.remove(System.identityHashCode(spark)); throw e
+    }
+}
