@@ -36,6 +36,8 @@ object SparkEntry {
       Functions.queries,
       Generators.queries,
       Extensibility.queries,
+      LlmText.queries,
+      LlmVector.queries,
     ), "query")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,5 +53,7 @@ object SparkEntry {
       Functions.oracle,
       Generators.oracle,
       Extensibility.oracle,
+      LlmText.oracle,
+      LlmVector.oracle,
     ), "oracle")
 }

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q._
+import graft.functions.Graft
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.12 LLM-data-pipeline text operators (SURVEY.md:315-319):
+  * clean/tokenize, TF-IDF, n-grams, exact dedup, MinHash-LSH near-dup.
+  *
+  * 100 TB design (SURVEY.md:326-333): every op is a linear pipeline of
+  * explode → partial-aggregable groupBys — no O(n²) state. The
+  * MinHash-LSH near-dup generates candidates through a band-key
+  * equi-JOIN (shuffle on band keys, linear-ish in corpus size) and
+  * only the candidates get the exact Jaccard; the brute-force
+  * all-pairs form exists solely as the DuckDB oracle at test scale.
+  * LSH parameters (32 hashes, 8 bands × 4 rows): at τ=0.95 the
+  * per-pair miss probability is (1-0.95⁴)^8 ≈ 1.4e-6 — and on the
+  * fixed 500-doc corpus it is verified exhaustively against brute
+  * force, so the declared query is exactly oracle-equal.
+  */
+object LlmText {
+
+  private val NumHashes = 32
+  private val Bands = 8
+  private val RowsPerBand = NumHashes / Bands
+
+  private val StopWords = Seq("the", "a", "of", "and", "to")
+
+  val queries: Map[String, Q.QueryFn] = Map(
+    "llm_text_clean_tokenize" -> { (s, d) =>
+      val norm = lower(regexp_replace(col("text"), "[^a-z0-9 ]", " "))
+      val toks = filter(split(norm, " +"), x => length(x) > 0)
+      val stop = array(StopWords.map(lit): _*)
+      val clean = filter(toks, x => !array_contains(stop, x))
+      val perDoc = Tables.t(s, d, "documents")
+        .select(col("lang"), toks.as("toks"), clean.as("clean"))
+      val byLang = perDoc.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).as("tot_toks"),
+        sum(size(col("clean"))).as("tot_clean"))
+      val nd = perDoc.select(col("lang"), explode(col("clean")).as("tok"))
+        .groupBy(col("lang")).agg(countDistinct(col("tok")).as("nd_toks"))
+      byLang.join(nd, "lang").orderBy(col("lang"))
+    },
+
+    "llm_wordcount_tfidf" -> { (s, d) =>
+      Tables.views(s, d)
+      s.sql("""WITH tok AS (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents),
+              |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+              |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+              |n AS (SELECT count(*) AS n FROM documents),
+              |sc AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+              |         tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) AS score
+              |       FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+              |rk AS (SELECT doc_id, tok, tf, df, score,
+              |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
+              |       FROM sc)
+              |SELECT doc_id, rk, tok, tf, df, CAST(score AS FLOAT) AS score
+              |FROM rk WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin)
+    },
+
+    "llm_ngrams" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      def grams(n: Int) = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+      ).otherwise(array().cast(ArrayType(StringType)))
+      val base = Tables.t(s, d, "documents")
+      val bi = base.select(lit(2).as("n"), explode(grams(2)).as("gram"))
+      val tri = base.select(lit(3).as("n"), explode(grams(3)).as("gram"))
+      bi.unionAll(tri).groupBy(col("n"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("n"), col("gram"))
+    },
+
+    "llm_dedup_exact_text" -> ((s, d) =>
+      Tables.t(s, d, "documents")
+        .groupBy(sha2(lower(trim(col("text"))).cast(BinaryType), 256).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy(col("h"))),
+
+    "llm_dedup_minhash" -> { (s, d) =>
+      Graft.registerAll(s)
+      val docs = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+      // 32 fixed-seed minhash signatures via murmur3 of seed-prefixed tokens
+      val exploded = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+      val sigs = exploded.groupBy(col("doc_id")).agg(
+        min(hash(concat(lit("0:"), col("tok")))).as("h0"),
+        (1 until NumHashes).map(i =>
+          min(hash(concat(lit(s"$i:"), col("tok")))).as(s"h$i")): _*)
+      // LSH banding: band key = the concatenated 4-row signature slice
+      val bands = sigs.select(col("doc_id"), explode(array(
+        (0 until Bands).map(b => struct(lit(b).as("band_id"),
+          concat_ws(",", (0 until RowsPerBand).map(r => col(s"h${RowsPerBand * b + r}")): _*).as("bkey"))): _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band_id").as("band_id"), col("bs.bkey").as("bkey"))
+      val cands = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val ta = docs.select(col("doc_id").as("a"), col("text").as("ta"))
+      val tb = docs.select(col("doc_id").as("b"), col("text").as("tb"))
+      cands.join(ta, "a").join(tb, "b")
+        .withColumn("j", expr("token_jaccard(ta, tb)"))
+        .filter(col("j") >= 0.95)
+        .select(col("a"), col("b"), col("j"))
+        .orderBy(col("a"), col("b"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_text_clean_tokenize" ->
+      """WITH t AS (SELECT lang,
+        |    list_filter(string_split_regex(lower(regexp_replace(text, '[^a-z0-9 ]', ' ', 'g')), ' +'),
+        |      x -> length(x) > 0) AS toks FROM documents),
+        |c AS (SELECT lang, toks,
+        |    list_filter(toks, x -> NOT list_contains(['the','a','of','and','to'], x)) AS clean FROM t),
+        |agg AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(toks)) AS BIGINT) AS tot_toks,
+        |    CAST(sum(len(clean)) AS BIGINT) AS tot_clean
+        |  FROM c GROUP BY lang),
+        |nd AS (SELECT lang, count(DISTINCT tok) AS nd_toks
+        |  FROM (SELECT lang, unnest(clean) AS tok FROM c) GROUP BY lang)
+        |SELECT agg.lang, n_docs, tot_toks, tot_clean, nd_toks
+        |FROM agg JOIN nd ON agg.lang = nd.lang ORDER BY agg.lang""".stripMargin,
+    "llm_wordcount_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |         tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) AS score
+        |       FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+        |rk AS (SELECT doc_id, tok, tf, df, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
+        |       FROM sc)
+        |SELECT doc_id, rk, tok, tf, df, CAST(score AS REAL) AS score
+        |FROM rk WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+    "llm_ngrams" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |bi AS (SELECT 2 AS n, unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+        |         i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM t),
+        |tri AS (SELECT 3 AS n, unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+        |         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram FROM t)
+        |SELECT CAST(n AS INTEGER) AS n, gram, count(*) AS cnt
+        |FROM (SELECT * FROM bi UNION ALL SELECT * FROM tri)
+        |GROUP BY n, gram ORDER BY n, gram""".stripMargin,
+    "llm_dedup_exact_text" ->
+      """SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY sha256(lower(trim(text))) ORDER BY h""".stripMargin,
+    // brute-force all-pairs form — the oracle for the LSH pipeline
+    "llm_dedup_minhash" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+        |        CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(x.toks, y.toks))) AS j
+        |      FROM t x JOIN t y ON x.doc_id < y.doc_id)
+        |SELECT a, b, j FROM p WHERE j >= 0.95 ORDER BY a, b""".stripMargin
+  )
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.12 LLM-data-pipeline vector operators (SURVEY.md:320-324):
+  * cosine top-k search, threshold pairs, per-label centroids +
+  * distance, multimodal assembly, and the lang/source quality report.
+  *
+  * Kernel: cosine over float[64] embeddings, promoted to double, dot
+  * product via zip_with + a sequential aggregate fold (deterministic
+  * element order). Scores render as FLOAT: both engines fold the same
+  * doubles but their list-sum implementations may differ in the last
+  * ulp, which f32 absorbs.
+  *
+  * 100 TB design (SURVEY.md:326-333): the brute-force crossJoin here
+  * is the oracle-able baseline on the fixed 500-vector corpus; the
+  * scale path is bucket-first — partition vectors by a coarse LSH/IVF
+  * bucket key, local top-k per bucket, then a global
+  * TakeOrdered-style merge (same shape as llm_dedup_minhash's
+  * band-join). Centroids are plain partial-aggregable sums per
+  * (label, dim) — linear, no collect.
+  */
+object LlmVector {
+
+  /** dot(a, b) with a sequential left fold — deterministic order. */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+  private def norm(a: String): String =
+    s"sqrt(${dot(a, a)})"
+  private def cosineSql(a: String, b: String): String =
+    s"${dot(a, b)} / (${norm(a)} * ${norm(b)})"
+
+  val queries: Map[String, Q.QueryFn] = Map(
+    "llm_sim_search_topk" -> { (s, d) =>
+      Tables.views(s, d)
+      s.sql(s"""WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+               |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 10),
+               |scored AS (SELECT p.pid, e.vec_id AS cid,
+               |    ${cosineSql("p.pv", "e.v")} AS score
+               |  FROM p CROSS JOIN e WHERE e.vec_id <> p.pid),
+               |rk AS (SELECT pid, cid, score,
+               |    row_number() OVER (PARTITION BY pid ORDER BY score DESC, cid) AS rk
+               |  FROM scored)
+               |SELECT pid, rk, cid, CAST(score AS FLOAT) AS score
+               |FROM rk WHERE rk <= 5 ORDER BY pid, rk""".stripMargin)
+    },
+
+    "llm_sim_threshold_pairs" -> { (s, d) =>
+      Tables.views(s, d)
+      s.sql(s"""WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+               |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+               |    ${cosineSql("a.v", "b.v")} AS score
+               |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+               |SELECT ida, idb, CAST(score AS FLOAT) AS score
+               |FROM p WHERE score >= 0.4 ORDER BY ida, idb""".stripMargin)
+    },
+
+    "llm_embed_centroids" -> { (s, d) =>
+      val ex = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(transform(col("embedding"), x => x.cast(DoubleType))))
+        .toDF("vec_id", "label", "pos", "v")
+      val cent = ex.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
+        .agg((sum(col("v")) / count(lit(1))).as("cd"))
+      ex.join(cent, col("label") === col("c_label") && col("pos") === col("c_pos"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sqrt(sum((col("v") - col("cd")) * (col("v") - col("cd"))))
+          .cast(FloatType).as("dist"))
+        .orderBy(col("vec_id"))
+    },
+
+    "llm_multimodal_assemble" -> { (s, d) =>
+      Tables.views(s, d)
+      s.sql(s"""WITH j AS (
+               |  SELECT doc_id, lang, text,
+               |    to_json(named_struct('doc_id', doc_id, 'lang', lang)) AS meta_json,
+               |    ${norm("transform(embedding, x -> CAST(x AS DOUBLE))")} AS vnorm
+               |  FROM documents JOIN embeddings ON doc_id = vec_id)
+               |SELECT doc_id, lang, meta_json, left(text, 30) AS head,
+               |  CAST(vnorm AS FLOAT) AS vnorm
+               |FROM j
+               |WHERE lang IN ('en', 'fr') AND vnorm > 4.0
+               |ORDER BY doc_id""".stripMargin)
+    },
+
+    "llm_lang_quality_report" -> { (s, d) =>
+      val base = Tables.t(s, d, "documents")
+      val agg = base.groupBy(col("lang"), col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+        countDistinct(col("text")).as("nd_text"))
+        .withColumn("dup_rate",
+          (col("n_docs") - col("nd_text")).cast(DoubleType) / col("n_docs"))
+      val nd = base
+        .select(col("lang"), col("source"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .groupBy(col("lang"), col("source")).agg(countDistinct(col("tok")).as("nd_toks"))
+      agg.join(nd, Seq("lang", "source"))
+        .select(col("lang"), col("source"), col("n_docs"), col("avg_chars"),
+          col("nd_text"), col("dup_rate"), col("nd_toks"))
+        .orderBy(col("lang"), col("source"))
+    }
+  )
+
+  private val DotD =
+    "list_sum(list_transform(list_zip(%A%, %B%), pr -> pr[1] * pr[2]))"
+  private def dDot(a: String, b: String) = DotD.replace("%A%", a).replace("%B%", b)
+  private def dNorm(a: String) = s"sqrt(${dDot(a, a)})"
+  private def dCos(a: String, b: String) = s"${dDot(a, b)} / (${dNorm(a)} * ${dNorm(b)})"
+
+  val oracle: Map[String, String] = Map(
+    "llm_sim_search_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 10),
+         |scored AS (SELECT p.pid, e.vec_id AS cid,
+         |    ${dCos("p.pv", "e.v")} AS score
+         |  FROM p CROSS JOIN e WHERE e.vec_id <> p.pid),
+         |rk AS (SELECT pid, cid, score,
+         |    row_number() OVER (PARTITION BY pid ORDER BY score DESC, cid) AS rk
+         |  FROM scored)
+         |SELECT pid, rk, cid, CAST(score AS REAL) AS score
+         |FROM rk WHERE rk <= 5 ORDER BY pid, rk""".stripMargin,
+    "llm_sim_threshold_pairs" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |    ${dCos("a.v", "b.v")} AS score
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT ida, idb, CAST(score AS REAL) AS score
+         |FROM p WHERE score >= 0.4 ORDER BY ida, idb""".stripMargin,
+    "llm_embed_centroids" ->
+      """WITH x AS (SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |c AS (SELECT label, pos, sum(v) / count(*) AS cd FROM x GROUP BY label, pos)
+        |SELECT vec_id, x.label,
+        |  CAST(sqrt(sum((v - cd) * (v - cd))) AS REAL) AS dist
+        |FROM x JOIN c ON x.label = c.label AND x.pos = c.pos
+        |GROUP BY vec_id, x.label ORDER BY vec_id""".stripMargin,
+    "llm_multimodal_assemble" ->
+      s"""WITH j AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(to_json(struct_pack(doc_id := doc_id, lang := lang)) AS VARCHAR) AS meta_json,
+         |    ${dNorm("list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS vnorm
+         |  FROM documents JOIN embeddings ON doc_id = vec_id)
+         |SELECT doc_id, lang, meta_json, left(text, 30) AS head,
+         |  CAST(vnorm AS REAL) AS vnorm
+         |FROM j
+         |WHERE lang IN ('en', 'fr') AND vnorm > 4.0
+         |ORDER BY doc_id""".stripMargin,
+    "llm_lang_quality_report" ->
+      """WITH agg AS (SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |    count(DISTINCT text) AS nd_text
+        |  FROM documents GROUP BY lang, source),
+        |nd AS (SELECT lang, source, count(DISTINCT tok) AS nd_toks
+        |  FROM (SELECT lang, source, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |        FROM documents) GROUP BY lang, source)
+        |SELECT agg.lang, agg.source, n_docs, avg_chars, nd_text,
+        |  CAST(n_docs - nd_text AS DOUBLE) / n_docs AS dup_rate, nd_toks
+        |FROM agg JOIN nd ON agg.lang = nd.lang AND agg.source = nd.source
+        |ORDER BY agg.lang, agg.source""".stripMargin
+  )
+}
