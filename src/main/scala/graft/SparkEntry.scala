@@ -38,6 +38,7 @@ object SparkEntry {
       Extensibility.queries,
       LlmText.queries,
       LlmVector.queries,
+      graft.streaming.Streams.queries,
     ), "query")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -55,5 +56,6 @@ object SparkEntry {
       Extensibility.oracle,
       LlmText.oracle,
       LlmVector.oracle,
+      graft.streaming.Streams.oracle,
     ), "oracle")
 }

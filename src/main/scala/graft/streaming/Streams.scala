@@ -1,0 +1,248 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import graft.Q._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** §2.10 Structured Streaming (SURVEY.md:289-299), driven by the
+  * testbed's `events` table as a file-source stream.
+  *
+  * Determinism: a file source drained with Trigger.AvailableNow over
+  * ONE input file is a single micro-batch, so append/update/complete
+  * results equal their batch counterparts — each key's oracle is the
+  * equivalent batch SQL. Late-data semantics (inherently multi-batch)
+  * are driven by a scripted MemoryStream with processAllAvailable
+  * between batches, which is just as deterministic, so even that key
+  * carries an exact VALUES oracle.
+  *
+  * At scale the same topologies run unbounded: state (windows,
+  * dedup keys, join buffers) is keyed by shuffle partition in the
+  * StateStore and bounded by the watermarks declared here — none of
+  * these queries accumulates unbounded state.
+  */
+object Streams {
+
+  /** events.parquet carries TIMESTAMP(NANOS) — illegal for Spark's
+    * reader. Stream it with an explicit nanos-as-long schema and
+    * truncate to µs naive timestamps (same convention as Tables). */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file source wants a directory: stage the single events file
+    // into a tmp dir keyed by sf (testdata itself is read-only)
+    val dir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_stream/${math.abs(d.hashCode)}")
+    val staged = new java.io.File(dir, "events.parquet")
+    if (!staged.exists()) {
+      dir.mkdirs()
+      org.apache.commons.io.FileUtils.copyFile(
+        new java.io.File(s"$d/events.parquet"), staged)
+    }
+    // watermarks require instant TimestampType; under the pinned UTC
+    // session it carries the same wall clock as the NTZ convention —
+    // output boundaries cast back to NTZ (dateOut)
+    s.readStream.schema(schema).parquet(dir.getAbsolutePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run to completion on the memory sink, return the sink table. */
+  private def drain(df: DataFrame, mode: String, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Exact cents: round half-away on positive doubles agrees across
+    * engines; decimal casts of arbitrary-precision doubles do not. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast(LongType)
+
+  val queries: Map[String, Q.QueryFn] = Map(
+    "stream_tumbling" -> { (s, d) =>
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+      drain(agg, "complete", "g_tumbling")
+        .select(dateOut(col("window.start")).as("wstart"), dateOut(col("window.end")).as("wend"),
+          col("event_type"), col("n"),
+          (col("sum_cents").cast(DoubleType) / 100).as("sum_value"))
+        .orderBy(col("wstart"), col("event_type"))
+    },
+
+    "stream_sliding" -> { (s, d) =>
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      drain(agg, "complete", "g_sliding")
+        .select(dateOut(col("window.start")).as("wstart"), col("event_type"), col("n"))
+        .orderBy(col("wstart"), col("event_type"))
+    },
+
+    "stream_session" -> { (s, d) =>
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      drain(agg, "complete", "g_session")
+        .select(col("user_id"), dateOut(col("session_window.start")).as("sstart"),
+          dateOut(col("session_window.end")).as("send"), col("n"))
+        .orderBy(col("user_id"), col("sstart"))
+    },
+
+    "stream_dedup_watermark" -> { (s, d) =>
+      // duplicate injection: the same file read as two source streams
+      val doubled = eventsStream(s, d).union(eventsStream(s, d))
+      val dedup = doubled
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+        .select(col("event_id"), dateOut(col("ts")).as("ts"), col("user_id"), col("event_type"))
+      drain(dedup, "append", "g_dedup").orderBy(col("event_id"))
+    },
+
+    "stream_stateful_count" -> { (s, d) =>
+      import s.implicits._
+      val ds = eventsStream(s, d)
+        .select(col("user_id"), cents(col("value")).as("cents"))
+        .as[(Long, Long)]
+      val updated = ds.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+            val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+            var n = n0; var c = c0
+            rows.foreach { r => n += 1; c += r._2 }
+            state.update((n, c))
+            Iterator((user, n, c))
+        }
+      drain(updated.toDF("user_id", "n_events", "sum_cents"), "update", "g_stateful")
+        .select(col("user_id"), col("n_events"),
+          (col("sum_cents").cast(DoubleType) / 100).as("sum_value"))
+        .orderBy(col("user_id"))
+    },
+
+    "stream_static_join" -> { (s, d) =>
+      val stat = Tables.t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val joined = eventsStream(s, d)
+        .join(stat, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("c_name"), col("c_mktsegment"), col("event_type"))
+      drain(joined, "append", "g_static_join").orderBy(col("event_id"))
+    },
+
+    // multi-batch watermark semantics, scripted deterministically:
+    // batch1 advances the watermark past the first window; batch2's
+    // late arrival (10:02) must be DROPPED; batch3 flushes the rest
+    "stream_late_data" -> { (s, d) =>
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val base = 1704103200L // 2024-01-01 10:00:00 UTC
+      val mem = MemoryStream[Long]
+      val windowed = mem.toDF()
+        .select(timestamp_seconds(col("value") + base).as("ts"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(dateOut(col("window.start")).as("wstart"), col("n"))
+      val q = windowed.writeStream.format("memory").queryName("g_late")
+        .outputMode("append").start()
+      def feed(secs: Long*): Unit = { mem.addData(secs); q.processAllAvailable() }
+      feed(0, 300, 1260)   // 10:00, 10:05, 10:21 -> watermark 10:11
+      feed(120, 2100)      // 10:02 LATE (dropped), 10:35 -> watermark 10:25
+      feed(3000)           // 10:50 -> watermark 10:40, flushes 10:20/10:30
+      q.stop()
+      s.table("g_late").orderBy(col("wstart"))
+    },
+
+    "stream_stream_join" -> { (s, d) =>
+      val p = eventsStream(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val c = eventsStream(s, d).filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = p.join(c,
+        col("p_user") === col("c_user")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES")
+          && col("c_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"))
+      drain(joined.select(col("p_id"), col("c_id"), col("p_user")), "append", "g_ss_join")
+        .orderBy(col("p_id"), col("c_id"))
+    },
+
+    "stream_foreachbatch_sink" -> { (s, d) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_io/stream_fb"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val agg = eventsStream(s, d)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("event_type"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS wstart,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY wstart, event_type""".stripMargin,
+    "stream_sliding" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) - k * (INTERVAL '15 minutes') AS wstart,
+        |  event_type, count(*) AS n
+        |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+        |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "stream_session" ->
+      """WITH o AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |f AS (SELECT user_id, ts,
+        |    sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts) AS sstart, max(ts) + INTERVAL '30 minutes' AS send, count(*) AS n
+        |FROM f GROUP BY user_id, sid ORDER BY user_id, sstart""".stripMargin,
+    "stream_dedup_watermark" ->
+      """SELECT event_id, ts, user_id, event_type FROM events ORDER BY event_id""".stripMargin,
+    "stream_stateful_count" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_static_join" ->
+      """SELECT event_id, c_name, c_mktsegment, event_type
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
+    "stream_late_data" ->
+      """SELECT * FROM (VALUES
+        |  (TIMESTAMP '2024-01-01 10:00:00', CAST(2 AS BIGINT)),
+        |  (TIMESTAMP '2024-01-01 10:20:00', CAST(1 AS BIGINT)),
+        |  (TIMESTAMP '2024-01-01 10:30:00', CAST(1 AS BIGINT))) v(wstart, n)
+        |ORDER BY wstart""".stripMargin,
+    "stream_stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS p_user
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL '10 minutes'
+        | AND c.ts <= p.ts + INTERVAL '10 minutes'
+        |ORDER BY p_id, c_id""".stripMargin,
+    "stream_foreachbatch_sink" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
