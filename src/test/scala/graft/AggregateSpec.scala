@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** §2.4 approx-sketch bounds and builtin-vs-exact cross-checks that
+  * can never be oracle-compared (SURVEY.md:200-203).
+  */
+class AggregateSpec extends SparkSpec {
+
+  test("approx_count_distinct within 5% of exact") {
+    val l = Tables.t(spark, sf, "lineitem")
+    val exact = l.select(countDistinct(col("l_partkey"))).head.getLong(0)
+    val approx = l.select(approx_count_distinct(col("l_partkey"))).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+  }
+
+  test("percentile_approx within rank tolerance of exact percentile") {
+    val l = Tables.t(spark, sf, "lineitem")
+    val exact = l.select(expr("percentile(l_extendedprice, 0.5)")).head.getDouble(0)
+    val approx = l.select(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)))
+      .head.getDouble(0)
+    // rank-tolerance: the approx median must sit within the 45th-55th pct band
+    val lo = l.select(expr("percentile(l_extendedprice, 0.45)")).head.getDouble(0)
+    val hi = l.select(expr("percentile(l_extendedprice, 0.55)")).head.getDouble(0)
+    assert(approx >= lo && approx <= hi, s"approx $approx outside [$lo, $hi] (exact $exact)")
+  }
+
+  test("builtin stddev/var/corr agree with the exact-moment formulation") {
+    val l = Tables.t(spark, sf, "lineitem")
+    val builtin = l.agg(
+      stddev_samp(col("l_extendedprice")), var_samp(col("l_quantity")),
+      corr(col("l_quantity"), col("l_extendedprice"))).head
+    val exact = graft.operators.Aggregates.queries("agg_stats")(spark, sf)
+      .agg(sum(col("n"))).head // force evaluation of the exact pipeline
+    val moments = Tables.t(spark, sf, "lineitem").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("l_extendedprice")).as("sp"),
+      sum(col("l_extendedprice") * col("l_extendedprice")).as("spp"),
+      sum(col("l_quantity")).as("sq"),
+      sum(col("l_quantity") * col("l_quantity")).as("sqq"),
+      sum(col("l_quantity") * col("l_extendedprice")).as("sqp")).head
+    val (n, sp, spp, sq, sqq, sqp) =
+      (moments.getDouble(0), moments.getDouble(1), moments.getDouble(2),
+        moments.getDouble(3), moments.getDouble(4), moments.getDouble(5))
+    val stddevExact = math.sqrt((n * spp - sp * sp) / (n * (n - 1)))
+    val varExact = (n * sqq - sq * sq) / (n * (n - 1))
+    val corrExact = (n * sqp - sq * sp) /
+      (math.sqrt(n * sqq - sq * sq) * math.sqrt(n * spp - sp * sp))
+    assert(math.abs(builtin.getDouble(0) / stddevExact - 1) < 1e-9)
+    assert(math.abs(builtin.getDouble(1) / varExact - 1) < 1e-9)
+    assert(math.abs(builtin.getDouble(2) - corrExact) < 1e-9)
+  }
+
+  test("bround is HALF_EVEN where round is HALF_UP") {
+    val r = spark.sql("SELECT round(2.5), bround(2.5), round(3.5), bround(3.5)").head
+    assert(r.getDecimal(0).intValue === 3)
+    assert(r.getDecimal(1).intValue === 2)
+    assert(r.getDecimal(2).intValue === 4)
+    assert(r.getDecimal(3).intValue === 4)
+  }
+
+  test("months_between fractional semantics") {
+    val r = spark.sql(
+      "SELECT months_between('1997-02-28 10:30:00', '1996-10-30'), months_between('1997-03-31', '1997-02-28')").head
+    assert(math.abs(r.getDouble(0) - 3.94959677) < 1e-6)
+    assert(r.getDouble(1) === 1.0) // both are month-ends
+  }
+}

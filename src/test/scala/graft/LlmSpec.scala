@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.TokenJaccardUtil
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** §2.12 correctness properties: MinHash-LSH must find exactly the
+  * brute-force near-dup pairs on the fixed corpus (no false
+  * negatives), and the cosine kernel obeys its algebraic laws
+  * (SURVEY.md:319-321, §5.3 property strategy).
+  */
+class LlmSpec extends SparkSpec {
+
+  test("minhash-LSH pair set equals brute-force Jaccard pairs (tau=0.95)") {
+    val lsh = graft.operators.LlmText.queries("llm_dedup_minhash")(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (ida, ta) <- docs; (idb, tb) <- docs if ida < idb
+      j = TokenJaccardUtil.compute(UTF8String.fromString(ta), UTF8String.fromString(tb))
+      if j >= 0.95
+    } yield (ida, idb)).toSet
+    assert(lsh === brute,
+      s"LSH missed ${(brute -- lsh).size}, extra ${(lsh -- brute).size}")
+    assert(brute.nonEmpty, "corpus should contain near-dups for this test to bite")
+  }
+
+  test("cosine is symmetric, bounded, and 1 on self") {
+    Tables.views(spark, sf)
+    val rows = spark.sql(
+      """WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings
+        |           WHERE vec_id < 30)
+        |SELECT a.vec_id, b.vec_id,
+        |  aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+        |   / (sqrt(aggregate(zip_with(a.v, a.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))
+        |    * sqrt(aggregate(zip_with(b.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))) AS c
+        |FROM e a CROSS JOIN e b""".stripMargin).collect()
+    val m = rows.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    m.foreach { case ((i, j), c) =>
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
+      assert(math.abs(c - m((j, i))) < 1e-12, s"asymmetric at ($i,$j)")
+      if (i == j) assert(math.abs(c - 1.0) < 1e-12)
+    }
+  }
+
+  test("tfidf top-5 rows are exactly 5 per doc with distinct terms") {
+    val df = graft.operators.LlmText.queries("llm_wordcount_tfidf")(spark, sf)
+    val byDoc = df.groupBy("doc_id").agg(count(lit(1)).as("n"),
+      countDistinct(col("tok")).as("nd"))
+    assert(byDoc.filter(col("n") =!= 5 || col("nd") =!= 5).count() === 0)
+  }
+
+  test("exact text dedup: group sizes sum to corpus size") {
+    val df = graft.operators.LlmText.queries("llm_dedup_exact_text")(spark, sf)
+    val total = df.agg(sum("n_copies")).head.getLong(0)
+    assert(total === Tables.t(spark, sf, "documents").count())
+  }
+}
