@@ -47,6 +47,10 @@ object Graft {
       reg.createOrReplaceTempFunction("topk_keys",
         exprs => TopKKeys(exprs(0), exprs(1),
           exprs(2).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction("vec_dot",
+        exprs => VecDot(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("sorted_jaccard",
+        exprs => SortedJaccard(exprs(0), exprs(1)), "built-in")
       spark.udf.register("wmean",
         udaf(WeightedMean, Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)))
       spark.udf.register("tier", (bal: Double) =>

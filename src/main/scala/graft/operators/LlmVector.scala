@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.Q._
+import graft.functions.Graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -25,37 +26,37 @@ import org.apache.spark.sql.types._
   */
 object LlmVector {
 
-  /** dot(a, b) with a sequential left fold — deterministic order. */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-  private def norm(a: String): String =
-    s"sqrt(${dot(a, a)})"
-  private def cosineSql(a: String, b: String): String =
-    s"${dot(a, b)} / (${norm(a)} * ${norm(b)})"
-
+  /** The cosine kernel is the native codegen'd `vec_dot` expression
+    * (graft.functions.VecDot) — identical left-to-right fold order as
+    * the HOF formulation, ~20× faster. Norms are computed once per
+    * vector, not once per pair. */
   val queries: Map[String, Q.QueryFn] = Map(
     "llm_sim_search_topk" -> { (s, d) =>
+      Graft.registerAll(s)
       Tables.views(s, d)
-      s.sql(s"""WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-               |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 10),
-               |scored AS (SELECT p.pid, e.vec_id AS cid,
-               |    ${cosineSql("p.pv", "e.v")} AS score
-               |  FROM p CROSS JOIN e WHERE e.vec_id <> p.pid),
-               |rk AS (SELECT pid, cid, score,
-               |    row_number() OVER (PARTITION BY pid ORDER BY score DESC, cid) AS rk
-               |  FROM scored)
-               |SELECT pid, rk, cid, CAST(score AS FLOAT) AS score
-               |FROM rk WHERE rk <= 5 ORDER BY pid, rk""".stripMargin)
+      s.sql("""WITH e AS (SELECT vec_id, v, sqrt(vec_dot(v, v)) AS nrm FROM (
+              |    SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)),
+              |p AS (SELECT vec_id AS pid, v AS pv, nrm AS pnrm FROM e WHERE vec_id < 10),
+              |scored AS (SELECT p.pid, e.vec_id AS cid,
+              |    vec_dot(p.pv, e.v) / (p.pnrm * e.nrm) AS score
+              |  FROM p CROSS JOIN e WHERE e.vec_id <> p.pid),
+              |rk AS (SELECT pid, cid, score,
+              |    row_number() OVER (PARTITION BY pid ORDER BY score DESC, cid) AS rk
+              |  FROM scored)
+              |SELECT pid, rk, cid, CAST(score AS FLOAT) AS score
+              |FROM rk WHERE rk <= 5 ORDER BY pid, rk""".stripMargin)
     },
 
     "llm_sim_threshold_pairs" -> { (s, d) =>
+      Graft.registerAll(s)
       Tables.views(s, d)
-      s.sql(s"""WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-               |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
-               |    ${cosineSql("a.v", "b.v")} AS score
-               |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-               |SELECT ida, idb, CAST(score AS FLOAT) AS score
-               |FROM p WHERE score >= 0.4 ORDER BY ida, idb""".stripMargin)
+      s.sql("""WITH e AS (SELECT vec_id, v, sqrt(vec_dot(v, v)) AS nrm FROM (
+              |    SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)),
+              |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+              |    vec_dot(a.v, b.v) / (a.nrm * b.nrm) AS score
+              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+              |SELECT ida, idb, CAST(score AS FLOAT) AS score
+              |FROM p WHERE score >= 0.4 ORDER BY ida, idb""".stripMargin)
     },
 
     "llm_embed_centroids" -> { (s, d) =>
@@ -73,11 +74,13 @@ object LlmVector {
     },
 
     "llm_multimodal_assemble" -> { (s, d) =>
+      Graft.registerAll(s)
       Tables.views(s, d)
       s.sql(s"""WITH j AS (
                |  SELECT doc_id, lang, text,
                |    to_json(named_struct('doc_id', doc_id, 'lang', lang)) AS meta_json,
-               |    ${norm("transform(embedding, x -> CAST(x AS DOUBLE))")} AS vnorm
+               |    sqrt(vec_dot(transform(embedding, x -> CAST(x AS DOUBLE)),
+               |                 transform(embedding, x -> CAST(x AS DOUBLE)))) AS vnorm
                |  FROM documents JOIN embeddings ON doc_id = vec_id)
                |SELECT doc_id, lang, meta_json, left(text, 30) AS head,
                |  CAST(vnorm AS FLOAT) AS vnorm
@@ -112,10 +115,11 @@ object LlmVector {
 
   val oracle: Map[String, String] = Map(
     "llm_sim_search_topk" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 10),
+      s"""WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |e AS (SELECT vec_id, v, ${dNorm("v")} AS nrm FROM e0),
+         |p AS (SELECT vec_id AS pid, v AS pv, nrm AS pnrm FROM e WHERE vec_id < 10),
          |scored AS (SELECT p.pid, e.vec_id AS cid,
-         |    ${dCos("p.pv", "e.v")} AS score
+         |    ${dDot("p.pv", "e.v")} / (p.pnrm * e.nrm) AS score
          |  FROM p CROSS JOIN e WHERE e.vec_id <> p.pid),
          |rk AS (SELECT pid, cid, score,
          |    row_number() OVER (PARTITION BY pid ORDER BY score DESC, cid) AS rk
@@ -123,9 +127,10 @@ object LlmVector {
          |SELECT pid, rk, cid, CAST(score AS REAL) AS score
          |FROM rk WHERE rk <= 5 ORDER BY pid, rk""".stripMargin,
     "llm_sim_threshold_pairs" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s"""WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |e AS (SELECT vec_id, v, ${dNorm("v")} AS nrm FROM e0),
          |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
-         |    ${dCos("a.v", "b.v")} AS score
+         |    ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) AS score
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT ida, idb, CAST(score AS REAL) AS score
          |FROM p WHERE score >= 0.4 ORDER BY ida, idb""".stripMargin,
