@@ -112,7 +112,7 @@ object LlmText {
         .distinct()
       val ta = docs.select(col("doc_id").as("a"), col("toks").as("ta"))
       val tb = docs.select(col("doc_id").as("b"), col("toks").as("tb"))
-      cands.join(ta, "a").join(tb, "b")
+      cands.join(broadcast(ta), "a").join(broadcast(tb), "b")
         .withColumn("j", expr("sorted_jaccard(ta, tb)"))
         .filter(col("j") >= 0.95)
         .select(col("a"), col("b"), col("j"))
