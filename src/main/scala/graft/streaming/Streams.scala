@@ -52,13 +52,23 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Run to completion on the memory sink, return the sink table. */
+  /** Run to completion on the memory sink, return the sink table.
+    * Stateful operators instantiate one StateStore per shuffle
+    * partition per micro-batch; with the tiny events volume the
+    * per-partition fixed cost dominates, so the stream runs with 8
+    * state partitions (a local-mode sizing — on a cluster this knob
+    * is sized to executor count × state volume, exactly as
+    * spark.sql.shuffle.partitions itself is). */
   private def drain(df: DataFrame, mode: String, name: String): DataFrame = {
     val spark = df.sparkSession
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Exact cents: round half-away on positive doubles agrees across
@@ -153,13 +163,17 @@ object Streams {
         .groupBy(window(col("ts"), "10 minutes"))
         .agg(count(lit(1)).as("n"))
         .select(dateOut(col("window.start")).as("wstart"), col("n"))
-      val q = windowed.writeStream.format("memory").queryName("g_late")
-        .outputMode("append").start()
-      def feed(secs: Long*): Unit = { mem.addData(secs); q.processAllAvailable() }
-      feed(0, 300, 1260)   // 10:00, 10:05, 10:21 -> watermark 10:11
-      feed(120, 2100)      // 10:02 LATE (dropped), 10:35 -> watermark 10:25
-      feed(3000)           // 10:50 -> watermark 10:40, flushes 10:20/10:30
-      q.stop()
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = windowed.writeStream.format("memory").queryName("g_late")
+          .outputMode("append").start()
+        def feed(secs: Long*): Unit = { mem.addData(secs); q.processAllAvailable() }
+        feed(0, 300, 1260)   // 10:00, 10:05, 10:21 -> watermark 10:11
+        feed(120, 2100)      // 10:02 LATE (dropped), 10:35 -> watermark 10:25
+        feed(3000)           // 10:50 -> watermark 10:40, flushes 10:20/10:30
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table("g_late").orderBy(col("wstart"))
     },
 
