@@ -30,12 +30,15 @@ object LlmText {
 
   val queries: Map[String, Q.QueryFn] = Map(
     "llm_text_clean_tokenize" -> { (s, d) =>
-      val norm = lower(regexp_replace(col("text"), "[^a-z0-9 ]", " "))
-      val toks = filter(split(norm, " +"), x => length(x) > 0)
       val stop = array(StopWords.map(lit): _*)
-      val clean = filter(toks, x => !array_contains(stop, x))
+      // normalize+tokenize ONCE into a column; the stopword filter
+      // then reads the bound array instead of re-running the regex
       val perDoc = Tables.t(s, d, "documents")
-        .select(col("lang"), toks.as("toks"), clean.as("clean"))
+        .select(col("lang"),
+          filter(split(lower(regexp_replace(col("text"), "[^a-z0-9 ]", " ")), " +"),
+            x => length(x) > 0).as("toks"))
+        .select(col("lang"), col("toks"),
+          filter(col("toks"), x => !array_contains(stop, x)).as("clean"))
       val byLang = perDoc.groupBy(col("lang")).agg(
         count(lit(1)).as("n_docs"),
         sum(size(col("toks"))).as("tot_toks"),
