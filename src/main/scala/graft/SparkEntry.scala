@@ -38,6 +38,7 @@ object SparkEntry {
       Extensibility.queries,
       LlmText.queries,
       LlmVector.queries,
+      Multimodal.queries,
       graft.streaming.Streams.queries,
     ), "query")
 
@@ -56,6 +57,7 @@ object SparkEntry {
       Extensibility.oracle,
       LlmText.oracle,
       LlmVector.oracle,
+      Multimodal.oracle,
       graft.streaming.Streams.oracle,
     ), "oracle")
 }

@@ -59,6 +59,37 @@ object LlmVector {
               |FROM p WHERE score >= 0.4 ORDER BY ida, idb""".stripMargin)
     },
 
+    // THE SCALE PATH for similarity search (SURVEY.md:326-333): a
+    // coarse LSH/IVF bucketing (sign bits of the first 4 dims -> 16
+    // buckets, multi-probed with all hamming-1 neighbors) partitions
+    // the corpus BEFORE any pairwise work, so each probe scans ~5/16
+    // of the vectors instead of all of them; local top-k per bucket
+    // merges through the final window. Approximate by construction ->
+    // rows-only key; recall vs the brute-force baseline is asserted
+    // in LlmSpec.
+    "llm_sim_search_ivf" -> { (s, d) =>
+      Graft.registerAll(s)
+      Tables.views(s, d)
+      s.sql("""WITH e AS (SELECT vec_id, v, sqrt(vec_dot(v, v)) AS nrm,
+              |    CAST(CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
+              |       + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+              |       + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
+              |       + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END AS INT) AS bucket
+              |  FROM (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)),
+              |probes AS (SELECT vec_id AS pid, v AS pv, nrm AS pnrm,
+              |    explode(array(bucket, bucket ^ 1, bucket ^ 2, bucket ^ 4, bucket ^ 8)) AS pb
+              |  FROM e WHERE vec_id < 10),
+              |scored AS (SELECT p.pid, e.vec_id AS cid,
+              |    vec_dot(p.pv, e.v) / (p.pnrm * e.nrm) AS score
+              |  FROM probes p JOIN e ON e.bucket = p.pb
+              |  WHERE e.vec_id <> p.pid),
+              |rk AS (SELECT pid, cid, score,
+              |    row_number() OVER (PARTITION BY pid ORDER BY score DESC, cid) AS rk
+              |  FROM scored)
+              |SELECT pid, rk, cid, CAST(score AS FLOAT) AS score
+              |FROM rk WHERE rk <= 5 ORDER BY pid, rk""".stripMargin)
+    },
+
     "llm_embed_centroids" -> { (s, d) =>
       val ex = Tables.t(s, d, "embeddings")
         .select(col("vec_id"), col("label"),

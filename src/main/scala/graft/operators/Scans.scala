@@ -19,8 +19,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Scans {
 
-  private def ioDir(key: String): String = {
-    val d = s"${sys.props("java.io.tmpdir")}/graft_io/$key"
+  /** Roundtrip scratch dir, keyed by (key, input dir) so a Verify run
+    * at one scale factor can never race or clobber a Bench run at
+    * another (VERDICT r2 note). */
+  private def ioDir(key: String, inputDir: String): String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_io/${math.abs(inputDir.hashCode)}/$key"
     new java.io.File(d).mkdirs(); d
   }
 
@@ -71,7 +74,7 @@ object Scans {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))),
 
     "scan_partitioned" -> { (s, d) =>
-      val out = ioDir("scan_partitioned")
+      val out = ioDir("scan_partitioned", d)
       Tables.t(s, d, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(out)
@@ -82,28 +85,28 @@ object Scans {
     },
 
     "scan_csv" -> { (s, d) =>
-      val out = ioDir("scan_csv")
+      val out = ioDir("scan_csv", d)
       val src = ordersRoundtripSrc(s, d)
       src.write.mode(SaveMode.Overwrite).option("header", "true").csv(out)
       rtOut(s.read.schema(src.schema).option("header", "true").csv(out))
     },
 
     "scan_json_file" -> { (s, d) =>
-      val out = ioDir("scan_json_file")
+      val out = ioDir("scan_json_file", d)
       val src = ordersRoundtripSrc(s, d)
       src.write.mode(SaveMode.Overwrite).json(out)
       rtOut(s.read.schema(src.schema).json(out))
     },
 
     "scan_orc" -> { (s, d) =>
-      val out = ioDir("scan_orc")
+      val out = ioDir("scan_orc", d)
       val src = ordersRoundtripSrc(s, d)
       src.write.mode(SaveMode.Overwrite).orc(out)
       rtOut(s.read.schema(src.schema).orc(out))
     },
 
     "sink_parquet" -> { (s, d) =>
-      val out = ioDir("sink_parquet")
+      val out = ioDir("sink_parquet", d)
       Tables.t(s, d, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(dec18(sum(dec(col("o_totalprice")))).as("total"),

@@ -45,6 +45,19 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("IVF-bucketed ANN: valid shape and meaningful recall vs brute force") {
+    val brute = graft.operators.LlmVector.queries("llm_sim_search_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = graft.operators.LlmVector.queries("llm_sim_search_ivf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(ivf.nonEmpty)
+    // multi-probe over 5 of 16 buckets scans ~31% of the corpus; the
+    // sign-bit quantizer correlates with cosine, so recall must beat
+    // the random-scan floor by a wide margin
+    assert(recall >= 0.4, s"IVF recall $recall below floor")
+  }
+
   test("tfidf top-5 rows are exactly 5 per doc with distinct terms") {
     val df = graft.operators.LlmText.queries("llm_wordcount_tfidf")(spark, sf)
     val byDoc = df.groupBy("doc_id").agg(count(lit(1)).as("n"),
