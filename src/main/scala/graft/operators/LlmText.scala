@@ -97,29 +97,55 @@ object LlmText {
       val docs = Tables.t(s, d, "documents")
         .select(col("doc_id"), col("text"),
           array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+      // EXACT-SET COLLAPSE first (the dedup-engine move): docs with
+      // identical token sets form a group; within-group pairs are
+      // J=1.0 by construction and every cross-group doc pair has
+      // exactly its representatives' Jaccard — so the quadratic LSH
+      // machinery runs over set-representatives only, which also
+      // shrinks the skewed k-squared band groups quadratically
+      val groups = docs.groupBy(col("toks"))
+        .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+        .cache()
+      val reps = groups.select(col("rep").as("doc_id"), col("toks"))
       // 32 fixed-seed minhash signatures via murmur3 of seed-prefixed tokens
-      val exploded = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+      val exploded = reps.select(col("doc_id"), explode(col("toks")).as("tok"))
       val sigs = exploded.groupBy(col("doc_id")).agg(
         min(hash(concat(lit("0:"), col("tok")))).as("h0"),
         (1 until NumHashes).map(i =>
           min(hash(concat(lit(s"$i:"), col("tok")))).as(s"h$i")): _*)
-      // LSH banding: band key = the concatenated 4-row signature slice
+      // LSH banding: band key = murmur of (band id, 4-row signature
+      // slice) — a single int instead of a ~50-char concat string, so
+      // the self-join + distinct shuffle ~6x less data. A 1/2^32 hash
+      // collision only ADDS a candidate, which the exact confirm
+      // filters — correctness is unaffected.
       val bands = sigs.select(col("doc_id"), explode(array(
-        (0 until Bands).map(b => struct(lit(b).as("band_id"),
-          concat_ws(",", (0 until RowsPerBand).map(r => col(s"h${RowsPerBand * b + r}")): _*).as("bkey"))): _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band_id").as("band_id"), col("bs.bkey").as("bkey"))
+        (0 until Bands).map(b =>
+          hash((lit(b) +: (0 until RowsPerBand).map(r => col(s"h${RowsPerBand * b + r}"))): _*)): _*)).as("bkey"))
       val cands = bands.as("x").join(bands.as("y"),
-          col("x.band_id") === col("y.band_id") && col("x.bkey") === col("y.bkey")
-            && col("x.doc_id") < col("y.doc_id"))
+          col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
-      val ta = docs.select(col("doc_id").as("a"), col("toks").as("ta"))
-      val tb = docs.select(col("doc_id").as("b"), col("toks").as("tb"))
-      cands.join(broadcast(ta), "a").join(broadcast(tb), "b")
+      val ta = reps.select(col("doc_id").as("a"), col("toks").as("ta"))
+      val tb = reps.select(col("doc_id").as("b"), col("toks").as("tb"))
+      val repPairs = cands.join(broadcast(ta), "a").join(broadcast(tb), "b")
         .withColumn("j", expr("sorted_jaccard(ta, tb)"))
         .filter(col("j") >= 0.95)
         .select(col("a"), col("b"), col("j"))
-        .orderBy(col("a"), col("b"))
+      // fan representative pairs back out to doc pairs (exact: every
+      // member shares its representative's token set)
+      val cross = repPairs
+        .join(broadcast(groups.select(col("rep").as("a"), col("members").as("ma"))), "a")
+        .join(broadcast(groups.select(col("rep").as("b"), col("members").as("mb"))), "b")
+        .select(explode(col("ma")).as("da"), col("mb"), col("j"))
+        .select(col("da"), explode(col("mb")).as("db"), col("j"))
+        .select(least(col("da"), col("db")).as("a"),
+          greatest(col("da"), col("db")).as("b"), col("j"))
+      val within = groups.filter(size(col("members")) >= 2)
+        .select(explode(col("members")).as("da"), col("members"))
+        .select(col("da"), explode(col("members")).as("db"))
+        .filter(col("da") < col("db"))
+        .select(col("da").as("a"), col("db").as("b"), lit(1.0).as("j"))
+      cross.unionAll(within).orderBy(col("a"), col("b"))
     }
   )
 
