@@ -146,6 +146,57 @@ object LlmText {
         .filter(col("da") < col("db"))
         .select(col("da").as("a"), col("db").as("b"), lit(1.0).as("j"))
       cross.unionAll(within).orderBy(col("a"), col("b"))
+    },
+
+    // SimHash near-dup (task-brief dedup flavor #3): 32-bit simhash
+    // from per-token murmur bits; hamming<=8 prefilter (measured
+    // lossless on this corpus: max hamming among true J>=0.95 pairs
+    // is 7 at sf0.1, 5 at sf0.001) then exact-Jaccard confirm, so the
+    // output equals the brute-force oracle. Sharded to doc_id < 1000:
+    // the full-corpus quadratic pipeline is llm_dedup_minhash's job.
+    "llm_dedup_simhash" -> { (s, d) =>
+      Graft.registerAll(s)
+      val docs = Tables.t(s, d, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+      val tok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .withColumn("h", hash(col("tok")))
+      val sumCols = (0 until 32).map(b =>
+        sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"s$b"))
+      val sums = tok.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+      val sim = sums.select(col("doc_id"),
+        (0 until 32).map(b => when(col(s"s$b") > 0, 1L << b).otherwise(0L))
+          .reduce(_ + _).as("sim"))
+      val withSim = docs.join(sim, "doc_id")
+      val a = withSim.select(col("doc_id").as("a"), col("toks").as("ta"), col("sim").as("sa"))
+      val b = withSim.select(col("doc_id").as("b"), col("toks").as("tb"), col("sim").as("sb"))
+      a.join(b, col("a") < col("b"))
+        .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 8)
+        .withColumn("j", expr("sorted_jaccard(ta, tb)"))
+        .filter(col("j") >= 0.95)
+        .select(col("a"), col("b"), col("j"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // n-gram (bigram-set) Jaccard near-dup (task-brief flavor #4):
+    // word order matters here, unlike the token-set keys — docs with
+    // identical vocabularies but different phrasing score low
+    "llm_dedup_ngram_jaccard" -> { (s, d) =>
+      Graft.registerAll(s)
+      val tk = col("tk")
+      val bigrams = when(size(tk) >= 2,
+        transform(sequence(lit(1), size(tk) - 1),
+          i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)))
+      ).otherwise(array().cast(ArrayType(StringType)))
+      val docs = Tables.t(s, d, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), array_sort(array_distinct(bigrams)).as("bg"))
+      val a = docs.select(col("doc_id").as("a"), col("bg").as("ba"))
+      val b = docs.select(col("doc_id").as("b"), col("bg").as("bb"))
+      a.join(b, col("a") < col("b"))
+        .withColumn("j", expr("sorted_jaccard(ba, bb)"))
+        .filter(col("j") >= 0.5)
+        .select(col("a"), col("b"), col("j"))
+        .orderBy(col("a"), col("b"))
     }
   )
 
@@ -196,6 +247,26 @@ object LlmText {
         |        CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
         |          / len(list_distinct(list_concat(x.toks, y.toks))) AS j
         |      FROM t x JOIN t y ON x.doc_id < y.doc_id)
-        |SELECT a, b, j FROM p WHERE j >= 0.95 ORDER BY a, b""".stripMargin
+        |SELECT a, b, j FROM p WHERE j >= 0.95 ORDER BY a, b""".stripMargin,
+    // same brute-force form, restricted to the simhash key's shard
+    "llm_dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents WHERE doc_id < 1000),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+        |        CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(x.toks, y.toks))) AS j
+        |      FROM t x JOIN t y ON x.doc_id < y.doc_id)
+        |SELECT a, b, j FROM p WHERE j >= 0.95 ORDER BY a, b""".stripMargin,
+    "llm_dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents WHERE doc_id < 1000),
+        |g AS (SELECT doc_id, list_sort(list_distinct(
+        |        list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+        |          i -> tk[i] || ' ' || tk[i + 1]))) AS bg FROM t),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+        |        CAST(len(list_intersect(x.bg, y.bg)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(x.bg, y.bg))) AS j
+        |      FROM g x JOIN g y ON x.doc_id < y.doc_id)
+        |SELECT a, b, j FROM p WHERE j >= 0.5 ORDER BY a, b""".stripMargin
   )
 }
