@@ -42,8 +42,16 @@ object Streams {
     val staged = new java.io.File(dir, "events.parquet")
     if (!staged.exists()) {
       dir.mkdirs()
+      // copy to a temp name + atomic rename so a crashed partial copy
+      // can never be mistaken for the staged input by a later run
+      val tmp = java.io.File.createTempFile("events", ".tmp", dir)
       org.apache.commons.io.FileUtils.copyFile(
-        new java.io.File(s"$d/events.parquet"), staged)
+        new java.io.File(s"$d/events.parquet"), tmp)
+      try java.nio.file.Files.move(tmp.toPath, staged.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        tmp.delete() // a concurrent run staged it first — theirs wins
+      }
     }
     // watermarks require instant TimestampType; under the pinned UTC
     // session it carries the same wall clock as the NTZ convention —
