@@ -49,7 +49,11 @@ object Functions {
         regexp_replace(col("c_name"), lit("Customer"), lit("Cust")).as("repl"),
         expr("left(c_name, 4)").as("l4"),
         expr("right(c_name, 4)").as("r4"),
-        format_string("%s|%d", col("c_mktsegment"), col("c_custkey")).as("fmt"))
+        format_string("%s|%d", col("c_mktsegment"), col("c_custkey")).as("fmt"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev"),
+        ascii(col("c_name")).as("asc"),
+        expr("chr(65 + c_custkey % 26)").as("chr_"),
+        expr("split_part(c_name, '#', 2)").as("sp2"))
         .orderBy(col("c_custkey"))),
 
     "fn_string_regex" -> ((s, d) =>
@@ -261,7 +265,11 @@ object Functions {
         |  replace(c_name, 'Customer', 'Cust') AS repl,
         |  left(c_name, 4) AS l4,
         |  right(c_name, 4) AS r4,
-        |  printf('%s|%d', c_mktsegment, c_custkey) AS fmt
+        |  printf('%s|%d', c_mktsegment, c_custkey) AS fmt,
+        |  CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS lev,
+        |  CAST(ord(c_name) AS INTEGER) AS asc,
+        |  chr(CAST(65 + c_custkey % 26 AS INTEGER)) AS chr_,
+        |  split_part(c_name, '#', 2) AS sp2
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "fn_string_regex" ->
       """SELECT c_custkey,

@@ -42,6 +42,16 @@ class ScanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("partition pruning reaches the file index (PartitionFilters)") {
+    import graft.operators.Scans
+    Scans.queries("scan_partitioned")(spark, sf).count() // writes the partitioned copy
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_io/${math.abs(sf.hashCode)}/scan_partitioned"
+    val df = spark.read.parquet(dir).filter(col("o_year") === 1997)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*o_year[^\\]]*\\].*"), plan)
+  }
+
   test("csv/json/orc roundtrips preserve row counts and values") {
     import graft.operators.Scans
     val base = Tables.t(spark, sf, "orders").count()
