@@ -38,6 +38,7 @@ object SparkEntry {
       Extensibility.queries,
       LlmText.queries,
       LlmVector.queries,
+      LlmAnalysis.queries,
       Multimodal.queries,
       graft.streaming.Streams.queries,
     ), "query")
@@ -57,6 +58,7 @@ object SparkEntry {
       Extensibility.oracle,
       LlmText.oracle,
       LlmVector.oracle,
+      LlmAnalysis.oracle,
       Multimodal.oracle,
       graft.streaming.Streams.oracle,
     ), "oracle")

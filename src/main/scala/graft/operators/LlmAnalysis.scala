@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Task-brief text-analysis operators beyond SURVEY §2.12's original
+  * ten: language-ID (marker heuristic), per-doc quality scoring, and
+  * rolling-hash document fingerprinting. All deterministic and
+  * SQL-oracle-checked; all linear explode/agg pipelines (no global
+  * state) per the 100 TB design note.
+  *
+  * Note on the corpus: the synthetic languages share one vocabulary,
+  * so the lang-ID heuristic cannot actually separate them — the
+  * operator's mechanics (marker scoring, argmax with deterministic
+  * tie-break, confusion-matrix output) are what is exercised and
+  * verified.
+  */
+object LlmAnalysis {
+
+  /** Fixed marker vocabulary per language (first listed wins ties). */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("batch", "merge", "group"),
+    "en" -> Seq("spark", "join", "the"),
+    "es" -> Seq("table", "row", "order"),
+    "fr" -> Seq("query", "filter", "sort"),
+    "zh" -> Seq("hash", "scan", "stream"))
+
+  val queries: Map[String, Q.QueryFn] = Map(
+    "llm_lang_id" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      val scored = Tables.t(s, d, "documents").select(
+        (col("lang") +: Markers.map { case (l, ms) =>
+          size(filter(toks, t => ms.map(m => t === m).reduce(_ || _))).as(s"s_$l")
+        }): _*)
+      // argmax with ties resolved by Markers order: the SAME CASE
+      // chain text runs through both engines (see predSql)
+      scored.withColumn("predicted", expr(predSql))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    },
+
+    "llm_quality_score" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+      Tables.t(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(toks).as("n_toks"),
+        (size(filter(toks, t => array_contains(stop, t))).cast("double")
+          / size(toks)).as("stop_ratio"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+          .cast("double") / length(col("text"))).as("punct_ratio"),
+        ((length(col("text")) - (size(toks) - 1)).cast("double") / size(toks)).as("mean_tok_len"))
+        .withColumn("quality",
+          when(col("stop_ratio") < 0.05 && col("mean_tok_len") >= 4.5, "high")
+            .when(col("stop_ratio") < 0.15, "medium")
+            .otherwise("low"))
+        .orderBy(col("doc_id"))
+    },
+
+    // winnowing-lite: positional rolling hash over 4-token windows,
+    // fingerprint = min window hash; docs sharing a fingerprint are
+    // near-dup candidates at scale (groupable, no pairwise work)
+    "llm_fingerprint" -> { (s, d) =>
+      val tk = col("tk")
+      def tokhash(c: org.apache.spark.sql.Column) =
+        length(c) * 961 + ascii(substring(c, 1, 1)) * 31 + ascii(substring(c, -1, 1))
+      val windowHashes = transform(sequence(lit(1), size(tk) - 3),
+        i => (0 until 4).map(k => tokhash(element_at(tk, i + k)) * (k + 1))
+          .reduce(_ + _))
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(tk) >= 4)
+        .select(col("doc_id"), array_min(windowHashes).as("fp"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  private val markerSql = Markers.map { case (l, ms) =>
+    val set = ms.map(m => s"'$m'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), t -> list_contains([$set], t))) AS s_$l"
+  }.mkString(",\n        |    ")
+
+  private val langs = Markers.map(_._1)
+
+  /** First-listed-max CASE chain, evaluated identically by Spark and
+    * DuckDB: branch i fires when s_i >= every other score, and CASE's
+    * sequential evaluation makes the earliest such lang win ties. */
+  private val predSql = {
+    val cases = langs.dropRight(1).map { l =>
+      val cond = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE '${langs.last}' END"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "llm_lang_id" ->
+      s"""WITH sc AS (SELECT lang,
+         |    $markerSql
+         |  FROM documents)
+         |SELECT lang, $predSql AS predicted, count(*) AS n
+         |FROM sc GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    "llm_quality_score" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars_m,
+        |  CAST(len(toks) AS INTEGER) AS n_toks,
+        |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE)
+        |    / len(toks) AS stop_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_tok_len,
+        |  CASE WHEN CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) / len(toks) < 0.05
+        |        AND CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) >= 4.5 THEN 'high'
+        |       WHEN CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) / len(toks) < 0.15 THEN 'medium'
+        |       ELSE 'low' END AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "llm_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |f AS (SELECT doc_id,
+        |    list_aggregate(list_transform(generate_series(1, len(tk) - 3), i ->
+        |      (length(tk[i]) * 961 + ord(left(tk[i], 1)) * 31 + ord(right(tk[i], 1))) * 1
+        |    + (length(tk[i+1]) * 961 + ord(left(tk[i+1], 1)) * 31 + ord(right(tk[i+1], 1))) * 2
+        |    + (length(tk[i+2]) * 961 + ord(left(tk[i+2], 1)) * 31 + ord(right(tk[i+2], 1))) * 3
+        |    + (length(tk[i+3]) * 961 + ord(left(tk[i+3], 1)) * 31 + ord(right(tk[i+3], 1))) * 4),
+        |    'min') AS fp
+        |  FROM t WHERE len(tk) >= 4)
+        |SELECT doc_id, CAST(fp AS INTEGER) AS fp FROM f ORDER BY doc_id""".stripMargin
+  )
+}
