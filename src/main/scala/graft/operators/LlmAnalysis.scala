@@ -62,19 +62,9 @@ object LlmAnalysis {
     // winnowing-lite: positional rolling hash over 4-token windows,
     // fingerprint = min window hash; docs sharing a fingerprint are
     // near-dup candidates at scale (groupable, no pairwise work)
-    "llm_fingerprint" -> { (s, d) =>
-      val tk = col("tk")
-      def tokhash(c: org.apache.spark.sql.Column) =
-        length(c) * 961 + ascii(substring(c, 1, 1)) * 31 + ascii(substring(c, -1, 1))
-      val windowHashes = transform(sequence(lit(1), size(tk) - 3),
-        i => (0 until 4).map(k => tokhash(element_at(tk, i + k)) * (k + 1))
-          .reduce(_ + _))
-      Tables.t(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .filter(size(tk) >= 4)
-        .select(col("doc_id"), array_min(windowHashes).as("fp"))
-        .orderBy(col("doc_id"))
-    }
+    "llm_fingerprint" -> ((s, d) =>
+      graft.api.TextOps.fingerprint(Tables.t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")))
   )
 
   private val markerSql = Markers.map { case (l, ms) =>

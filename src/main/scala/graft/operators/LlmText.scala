@@ -22,10 +22,6 @@ import org.apache.spark.sql.types._
   */
 object LlmText {
 
-  private val NumHashes = 32
-  private val Bands = 8
-  private val RowsPerBand = NumHashes / Bands
-
   private val StopWords = Seq("the", "a", "of", "and", "to")
 
   val queries: Map[String, Q.QueryFn] = Map(
@@ -82,122 +78,37 @@ object LlmText {
     },
 
     "llm_dedup_exact_text" -> ((s, d) =>
-      Tables.t(s, d, "documents")
-        .groupBy(sha2(lower(trim(col("text"))).cast(BinaryType), 256).as("h"))
-        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      graft.api.TextOps.exactDedupGroups(
+        Tables.t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("h"))),
 
-    "llm_dedup_minhash" -> { (s, d) =>
-      Graft.registerAll(s)
-      // sorted distinct token arrays: tokenization happens ONCE per
-      // doc; the confirm stage runs the codegen'd sorted_jaccard merge
-      // kernel per candidate (the 5000-doc, 31-word bench corpus is so
-      // dense that ~60% of all pairs become candidates — the confirm
-      // kernel, not the LSH, is the bench-dominant cost)
-      val docs = Tables.t(s, d, "documents")
-        .select(col("doc_id"), col("text"),
-          array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-      // EXACT-SET COLLAPSE first (the dedup-engine move): docs with
-      // identical token sets form a group; within-group pairs are
-      // J=1.0 by construction and every cross-group doc pair has
-      // exactly its representatives' Jaccard — so the quadratic LSH
-      // machinery runs over set-representatives only, which also
-      // shrinks the skewed k-squared band groups quadratically
-      val groups = docs.groupBy(col("toks"))
-        .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-        .cache()
-      val reps = groups.select(col("rep").as("doc_id"), col("toks"))
-      // 32 fixed-seed minhash signatures via murmur3 of seed-prefixed tokens
-      val exploded = reps.select(col("doc_id"), explode(col("toks")).as("tok"))
-      val sigs = exploded.groupBy(col("doc_id")).agg(
-        min(hash(concat(lit("0:"), col("tok")))).as("h0"),
-        (1 until NumHashes).map(i =>
-          min(hash(concat(lit(s"$i:"), col("tok")))).as(s"h$i")): _*)
-      // LSH banding: band key = murmur of (band id, 4-row signature
-      // slice) — a single int instead of a ~50-char concat string, so
-      // the self-join + distinct shuffle ~6x less data. A 1/2^32 hash
-      // collision only ADDS a candidate, which the exact confirm
-      // filters — correctness is unaffected.
-      val bands = sigs.select(col("doc_id"), explode(array(
-        (0 until Bands).map(b =>
-          hash((lit(b) +: (0 until RowsPerBand).map(r => col(s"h${RowsPerBand * b + r}"))): _*)): _*)).as("bkey"))
-      val cands = bands.as("x").join(bands.as("y"),
-          col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      val ta = reps.select(col("doc_id").as("a"), col("toks").as("ta"))
-      val tb = reps.select(col("doc_id").as("b"), col("toks").as("tb"))
-      val repPairs = cands.join(broadcast(ta), "a").join(broadcast(tb), "b")
-        .withColumn("j", expr("sorted_jaccard(ta, tb)"))
-        .filter(col("j") >= 0.95)
-        .select(col("a"), col("b"), col("j"))
-      // fan representative pairs back out to doc pairs (exact: every
-      // member shares its representative's token set)
-      val cross = repPairs
-        .join(broadcast(groups.select(col("rep").as("a"), col("members").as("ma"))), "a")
-        .join(broadcast(groups.select(col("rep").as("b"), col("members").as("mb"))), "b")
-        .select(explode(col("ma")).as("da"), col("mb"), col("j"))
-        .select(col("da"), explode(col("mb")).as("db"), col("j"))
-        .select(least(col("da"), col("db")).as("a"),
-          greatest(col("da"), col("db")).as("b"), col("j"))
-      val within = groups.filter(size(col("members")) >= 2)
-        .select(explode(col("members")).as("da"), col("members"))
-        .select(col("da"), explode(col("members")).as("db"))
-        .filter(col("da") < col("db"))
-        .select(col("da").as("a"), col("db").as("b"), lit(1.0).as("j"))
-      cross.unionAll(within).orderBy(col("a"), col("b"))
-    },
+    // MinHash-LSH near-dup over the full corpus: exact-set collapse →
+    // fixed-seed signatures → int band keys → band-join candidates →
+    // codegen'd exact confirm → member fan-out. Implementation lives
+    // in the public API (graft.api.TextOps.minhashNearDupPairs);
+    // pair-for-pair equal to the brute-force oracle at every SF.
+    "llm_dedup_minhash" -> ((s, d) =>
+      graft.api.TextOps.minhashNearDupPairs(
+        Tables.t(s, d, "documents"), "doc_id", "text", tau = 0.95)
+        .orderBy(col("a"), col("b"))),
 
-    // SimHash near-dup (task-brief dedup flavor #3): 32-bit simhash
-    // from per-token murmur bits; hamming<=8 prefilter (measured
-    // lossless on this corpus: max hamming among true J>=0.95 pairs
-    // is 7 at sf0.1, 5 at sf0.001) then exact-Jaccard confirm, so the
-    // output equals the brute-force oracle. Sharded to doc_id < 1000:
-    // the full-corpus quadratic pipeline is llm_dedup_minhash's job.
-    "llm_dedup_simhash" -> { (s, d) =>
-      Graft.registerAll(s)
-      val docs = Tables.t(s, d, "documents").filter(col("doc_id") < 1000)
-        .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-      val tok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
-        .withColumn("h", hash(col("tok")))
-      val sumCols = (0 until 32).map(b =>
-        sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"s$b"))
-      val sums = tok.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
-      val sim = sums.select(col("doc_id"),
-        (0 until 32).map(b => when(col(s"s$b") > 0, 1L << b).otherwise(0L))
-          .reduce(_ + _).as("sim"))
-      val withSim = docs.join(sim, "doc_id")
-      val a = withSim.select(col("doc_id").as("a"), col("toks").as("ta"), col("sim").as("sa"))
-      val b = withSim.select(col("doc_id").as("b"), col("toks").as("tb"), col("sim").as("sb"))
-      a.join(b, col("a") < col("b"))
-        .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 8)
-        .withColumn("j", expr("sorted_jaccard(ta, tb)"))
-        .filter(col("j") >= 0.95)
-        .select(col("a"), col("b"), col("j"))
-        .orderBy(col("a"), col("b"))
-    },
+    // SimHash flavor: hamming<=8 prefilter measured lossless on this
+    // corpus (max true-pair hamming: 7 at sf0.1, 5 at sf0.001), then
+    // exact confirm. Sharded to doc_id < 1000 — the full-corpus
+    // quadratic pipeline is llm_dedup_minhash's job.
+    "llm_dedup_simhash" -> ((s, d) =>
+      graft.api.TextOps.simhashNearDupPairs(
+        Tables.t(s, d, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", tau = 0.95, maxHamming = 8)
+        .orderBy(col("a"), col("b"))),
 
-    // n-gram (bigram-set) Jaccard near-dup (task-brief flavor #4):
-    // word order matters here, unlike the token-set keys — docs with
-    // identical vocabularies but different phrasing score low
-    "llm_dedup_ngram_jaccard" -> { (s, d) =>
-      Graft.registerAll(s)
-      val tk = col("tk")
-      val bigrams = when(size(tk) >= 2,
-        transform(sequence(lit(1), size(tk) - 1),
-          i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)))
-      ).otherwise(array().cast(ArrayType(StringType)))
-      val docs = Tables.t(s, d, "documents").filter(col("doc_id") < 1000)
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), array_sort(array_distinct(bigrams)).as("bg"))
-      val a = docs.select(col("doc_id").as("a"), col("bg").as("ba"))
-      val b = docs.select(col("doc_id").as("b"), col("bg").as("bb"))
-      a.join(b, col("a") < col("b"))
-        .withColumn("j", expr("sorted_jaccard(ba, bb)"))
-        .filter(col("j") >= 0.5)
-        .select(col("a"), col("b"), col("j"))
-        .orderBy(col("a"), col("b"))
-    }
+    // n-gram (bigram-set) Jaccard flavor: order-sensitive, unlike the
+    // token-set keys — same vocabulary, different phrasing scores low
+    "llm_dedup_ngram_jaccard" -> ((s, d) =>
+      graft.api.TextOps.ngramJaccardPairs(
+        Tables.t(s, d, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", n = 2, tau = 0.5)
+        .orderBy(col("a"), col("b")))
   )
 
   val oracle: Map[String, String] = Map(

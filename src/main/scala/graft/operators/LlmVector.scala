@@ -29,80 +29,44 @@ object LlmVector {
   /** The cosine kernel is the native codegen'd `vec_dot` expression
     * (graft.functions.VecDot) — identical left-to-right fold order as
     * the HOF formulation, ~20× faster. Norms are computed once per
-    * vector, not once per pair. */
+    * vector. Implementations live in the public API
+    * (graft.api.VectorOps); these keys instantiate them over the
+    * `embeddings` table, rendering scores as FLOAT at the boundary. */
   val queries: Map[String, Q.QueryFn] = Map(
     "llm_sim_search_topk" -> { (s, d) =>
-      Graft.registerAll(s)
-      Tables.views(s, d)
-      s.sql("""WITH e AS (SELECT vec_id, v, sqrt(vec_dot(v, v)) AS nrm FROM (
-              |    SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)),
-              |p AS (SELECT vec_id AS pid, v AS pv, nrm AS pnrm FROM e WHERE vec_id < 10),
-              |scored AS (SELECT p.pid, e.vec_id AS cid,
-              |    vec_dot(p.pv, e.v) / (p.pnrm * e.nrm) AS score
-              |  FROM p CROSS JOIN e WHERE e.vec_id <> p.pid),
-              |rk AS (SELECT pid, cid, score,
-              |    row_number() OVER (PARTITION BY pid ORDER BY score DESC, cid) AS rk
-              |  FROM scored)
-              |SELECT pid, rk, cid, CAST(score AS FLOAT) AS score
-              |FROM rk WHERE rk <= 5 ORDER BY pid, rk""".stripMargin)
+      val emb = Tables.t(s, d, "embeddings")
+      graft.api.VectorOps.cosineTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("pid"), col("rk"), col("cid"), col("score").cast(FloatType).as("score"))
+        .orderBy(col("pid"), col("rk"))
     },
 
-    "llm_sim_threshold_pairs" -> { (s, d) =>
-      Graft.registerAll(s)
-      Tables.views(s, d)
-      s.sql("""WITH e AS (SELECT vec_id, v, sqrt(vec_dot(v, v)) AS nrm FROM (
-              |    SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)),
-              |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
-              |    vec_dot(a.v, b.v) / (a.nrm * b.nrm) AS score
-              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-              |SELECT ida, idb, CAST(score AS FLOAT) AS score
-              |FROM p WHERE score >= 0.4 ORDER BY ida, idb""".stripMargin)
-    },
+    "llm_sim_threshold_pairs" -> ((s, d) =>
+      graft.api.VectorOps.cosineThresholdPairs(
+        Tables.t(s, d, "embeddings"), "vec_id", "embedding", tau = 0.4)
+        .select(col("ida"), col("idb"), col("score").cast(FloatType).as("score"))
+        .orderBy(col("ida"), col("idb"))),
 
     // THE SCALE PATH for similarity search (SURVEY.md:326-333): a
     // coarse LSH/IVF bucketing (sign bits of the first 4 dims -> 16
     // buckets, multi-probed with all hamming-1 neighbors) partitions
     // the corpus BEFORE any pairwise work, so each probe scans ~5/16
-    // of the vectors instead of all of them; local top-k per bucket
-    // merges through the final window. Approximate by construction ->
-    // rows-only key; recall vs the brute-force baseline is asserted
-    // in LlmSpec.
+    // of the vectors instead of all of them. Approximate by
+    // construction -> rows-only key; recall vs the brute-force
+    // baseline is asserted in LlmSpec.
     "llm_sim_search_ivf" -> { (s, d) =>
-      Graft.registerAll(s)
-      Tables.views(s, d)
-      s.sql("""WITH e AS (SELECT vec_id, v, sqrt(vec_dot(v, v)) AS nrm,
-              |    CAST(CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
-              |       + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
-              |       + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
-              |       + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END AS INT) AS bucket
-              |  FROM (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)),
-              |probes AS (SELECT vec_id AS pid, v AS pv, nrm AS pnrm,
-              |    explode(array(bucket, bucket ^ 1, bucket ^ 2, bucket ^ 4, bucket ^ 8)) AS pb
-              |  FROM e WHERE vec_id < 10),
-              |scored AS (SELECT p.pid, e.vec_id AS cid,
-              |    vec_dot(p.pv, e.v) / (p.pnrm * e.nrm) AS score
-              |  FROM probes p JOIN e ON e.bucket = p.pb
-              |  WHERE e.vec_id <> p.pid),
-              |rk AS (SELECT pid, cid, score,
-              |    row_number() OVER (PARTITION BY pid ORDER BY score DESC, cid) AS rk
-              |  FROM scored)
-              |SELECT pid, rk, cid, CAST(score AS FLOAT) AS score
-              |FROM rk WHERE rk <= 5 ORDER BY pid, rk""".stripMargin)
+      val emb = Tables.t(s, d, "embeddings")
+      graft.api.VectorOps.ivfTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, bits = 4)
+        .select(col("pid"), col("rk"), col("cid"), col("score").cast(FloatType).as("score"))
+        .orderBy(col("pid"), col("rk"))
     },
 
-    "llm_embed_centroids" -> { (s, d) =>
-      val ex = Tables.t(s, d, "embeddings")
-        .select(col("vec_id"), col("label"),
-          posexplode(transform(col("embedding"), x => x.cast(DoubleType))))
-        .toDF("vec_id", "label", "pos", "v")
-      val cent = ex.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
-        .agg((sum(col("v")) / count(lit(1))).as("cd"))
-      ex.join(cent, col("label") === col("c_label") && col("pos") === col("c_pos"))
-        .groupBy(col("vec_id"), col("label"))
-        .agg(sqrt(sum((col("v") - col("cd")) * (col("v") - col("cd"))))
-          .cast(FloatType).as("dist"))
-        .orderBy(col("vec_id"))
-    },
+    "llm_embed_centroids" -> ((s, d) =>
+      graft.api.VectorOps.centroidDistances(
+        Tables.t(s, d, "embeddings"), "vec_id", "embedding", "label")
+        .select(col("vec_id"), col("label"), col("dist").cast(FloatType).as("dist"))
+        .orderBy(col("vec_id"))),
 
     "llm_multimodal_assemble" -> { (s, d) =>
       Graft.registerAll(s)
