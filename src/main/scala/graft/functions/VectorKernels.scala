@@ -44,8 +44,10 @@ object VectorKernelUtil {
 /** `vec_dot(array<double>, array<double>) -> double` */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == ArrayType(DoubleType) && right.dataType == ArrayType(DoubleType))
-      TypeCheckResult.TypeCheckSuccess
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true // element nullability irrelevant
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"vec_dot requires (array<double>, array<double>), got (${left.dataType}, ${right.dataType})")
   override def dataType: DataType = DoubleType

@@ -51,7 +51,10 @@ object LlmAnalysis {
           / size(toks)).as("stop_ratio"),
         ((length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
           .cast("double") / length(col("text"))).as("punct_ratio"),
-        ((length(col("text")) - (size(toks) - 1)).cast("double") / size(toks)).as("mean_tok_len"))
+        ((length(col("text")) - (size(toks) - 1)).cast("double") / size(toks)).as("mean_tok_len"),
+        // BPE-ish subword count: greedy <=4-char chunks — the cheap
+        // deterministic stand-in for a real tokenizer's token count
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]{1,4}"), lit(0))).as("bpe_tokens"))
         .withColumn("quality",
           when(col("stop_ratio") < 0.05 && col("mean_tok_len") >= 4.5, "high")
             .when(col("stop_ratio") < 0.15, "medium")
@@ -102,6 +105,7 @@ object LlmAnalysis {
         |  CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
         |    / length(text) AS punct_ratio,
         |  CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_tok_len,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS INTEGER) AS bpe_tokens,
         |  CASE WHEN CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) / len(toks) < 0.05
         |        AND CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) >= 4.5 THEN 'high'
         |       WHEN CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) / len(toks) < 0.15 THEN 'medium'

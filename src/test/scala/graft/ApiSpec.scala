@@ -1,0 +1,74 @@
+package graft
+
+import graft.api.{TextOps, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** The graft.api surface must work on ARBITRARY DataFrames with
+  * caller-named columns — not just the test tables. These suites
+  * drive it with hand-built frames.
+  */
+class ApiSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "alpha beta gamma delta"),      // exact dup of 10
+      (12L, "alpha beta gamma epsilon"),    // near dup (J=0.6)
+      (13L, "zeta eta theta iota kappa"),   // unrelated
+      (14L, "beta alpha delta gamma")       // same SET as 10, new order
+    ).toDF("my_id", "my_text")
+  }
+
+  test("exactDedupGroups on caller-named columns") {
+    val g = TextOps.exactDedupGroups(docs, "my_id", "my_text")
+    assert(g.count() === 4) // 10 and 11 collapse
+    assert(g.agg(sum("n_copies")).head.getLong(0) === 5)
+  }
+
+  test("minhashNearDupPairs finds set-equal and exact-dup docs") {
+    val pairs = TextOps.minhashNearDupPairs(docs, "my_id", "my_text", tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 10, 11, 14 share one token set -> all three pairs
+    assert(pairs === Set((10L, 11L), (10L, 14L), (11L, 14L)))
+  }
+
+  test("ngramJaccardPairs is order-sensitive where minhash is not") {
+    val pairs = TextOps.ngramJaccardPairs(docs, "my_id", "my_text", n = 2, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 14 has the same token SET as 10/11 but different bigrams
+    assert(pairs === Set((10L, 11L)))
+  }
+
+  test("simhashNearDupPairs with a generous hamming bound matches minhash") {
+    val pairs = TextOps.simhashNearDupPairs(docs, "my_id", "my_text",
+      tau = 0.95, maxHamming = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 11L), (10L, 14L), (11L, 14L)))
+  }
+
+  test("cosine ops on a caller-shaped vector frame") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vid", "emb")
+    val topk = VectorOps.cosineTopK(vecs, vecs.filter(col("vid") === 1), "vid", "emb", k = 1)
+      .collect()
+    assert(topk.length === 1)
+    assert(topk.head.getLong(2) === 2L) // nearest neighbour of 1 is 2
+    val pairs = VectorOps.cosineThresholdPairs(vecs, "vid", "emb", tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("fingerprint: identical docs share fingerprints; reordered docs differ") {
+    val fps = TextOps.fingerprint(docs, "my_id", "my_text")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fps(10L) === fps(11L))
+    assert(fps.contains(13L))
+  }
+}
