@@ -51,4 +51,13 @@ object Q {
 
   /** Output-boundary cast for DATE-typed results (naive midnight). */
   def dateOut(c: Column): Column = c.cast(TimestampNTZType)
+
+  /** Collision-free scratch-dir key for an input path: hashCode-keyed
+    * dirs can collide across scale factors (and abs(MinValue) is
+    * negative), silently serving one SF's staged data to another —
+    * sha-256 cannot (ADVICE r4). */
+  def pathKey(path: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(path.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  }
 }

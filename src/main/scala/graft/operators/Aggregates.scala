@@ -25,7 +25,12 @@ object Aggregates {
         money(sum(dec(col("l_quantity")))).as("sum_qty"),
         money(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
         money(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("sum_disc_price"),
-        money(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) * (lit(1) + dec(col("l_tax"))))).as("sum_charge"),
+        // scale-6 decimal sum: per-group unscaled totals approach 2^53
+        // at sf0.1, where DuckDB's int128→double cast double-rounds
+        // while Spark's BigDecimal path rounds once — render as FLOAT
+        // (f32 absorbs the last-ulp drift), per the >2^53 rule
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) * (lit(1) + dec(col("l_tax"))))
+          .cast(FloatType).as("sum_charge"),
         avgExact(sum(dec(col("l_quantity"))), count(lit(1))).as("avg_qty"),
         avgExact(sum(dec(col("l_extendedprice"))), count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -166,11 +171,14 @@ object Aggregates {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_nd"))
         .orderBy(col("l_returnflag"))),
 
+    // max_by/min_by keyed by (price, orderkey) struct: equal prices
+    // tie-break on the orderkey itself, so the ordering is total and
+    // both engines must pick the same row (ADVICE r4)
     "agg_minmax_by" -> ((s, d) =>
       Tables.t(s, d, "orders")
         .groupBy(col("o_custkey"))
-        .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
-          min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
+        .agg(max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("best_order"),
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("worst_order"),
           money(max(dec(col("o_totalprice")))).as("best_price"))
         .orderBy(col("o_custkey"))),
 
@@ -272,10 +280,12 @@ object Aggregates {
         |  quantile_cont(l_quantity, 0.5) AS median,
         |  quantile_cont(l_quantity, 0.75) AS q3
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // DuckDB's arg_max has no composite-key overload — struct max +
+    // field extract expresses the same (price, orderkey) total order
     "agg_minmax_by" ->
       """SELECT o_custkey,
-        |  arg_max(o_orderkey, o_totalprice) AS best_order,
-        |  arg_min(o_orderkey, o_totalprice) AS worst_order,
+        |  max(struct_pack(p := o_totalprice, k := o_orderkey)).k AS best_order,
+        |  min(struct_pack(p := o_totalprice, k := o_orderkey)).k AS worst_order,
         |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS best_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "agg_bool" ->
@@ -304,7 +314,7 @@ object Aggregates {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS REAL) AS sum_charge,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
         |  count(*) AS count_order

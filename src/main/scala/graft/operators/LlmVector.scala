@@ -68,6 +68,11 @@ object LlmVector {
         .select(col("vec_id"), col("label"), col("dist").cast(FloatType).as("dist"))
         .orderBy(col("vec_id"))),
 
+    // norm gate at 0.5: the testbed embeddings are unit-normalized
+    // (vnorm ≡ 1.0 at every SF), so a 4.0 threshold selected nothing —
+    // a vacuous green (VERDICT r4). 0.5 keeps the computed-column
+    // filter in the plan, sits far from any data point (no float-
+    // boundary risk), and yields 275-1123 rows across SFs.
     "llm_multimodal_assemble" -> { (s, d) =>
       Graft.registerAll(s)
       Tables.views(s, d)
@@ -80,7 +85,7 @@ object LlmVector {
                |SELECT doc_id, lang, meta_json, left(text, 30) AS head,
                |  CAST(vnorm AS FLOAT) AS vnorm
                |FROM j
-               |WHERE lang IN ('en', 'fr') AND vnorm > 4.0
+               |WHERE lang IN ('en', 'fr') AND vnorm > 0.5
                |ORDER BY doc_id""".stripMargin)
     },
 
@@ -148,7 +153,7 @@ object LlmVector {
          |SELECT doc_id, lang, meta_json, left(text, 30) AS head,
          |  CAST(vnorm AS REAL) AS vnorm
          |FROM j
-         |WHERE lang IN ('en', 'fr') AND vnorm > 4.0
+         |WHERE lang IN ('en', 'fr') AND vnorm > 0.5
          |ORDER BY doc_id""".stripMargin,
     "llm_lang_quality_report" ->
       """WITH agg AS (SELECT lang, source, count(*) AS n_docs,

@@ -23,7 +23,7 @@ object Scans {
     * at one scale factor can never race or clobber a Bench run at
     * another (VERDICT r2 note). */
   private def ioDir(key: String, inputDir: String): String = {
-    val d = s"${sys.props("java.io.tmpdir")}/graft_io/${math.abs(inputDir.hashCode)}/$key"
+    val d = s"${sys.props("java.io.tmpdir")}/graft_io/${Q.pathKey(inputDir)}/$key"
     new java.io.File(d).mkdirs(); d
   }
 

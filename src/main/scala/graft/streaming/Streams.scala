@@ -38,7 +38,7 @@ object Streams {
     // the file source wants a directory: stage the single events file
     // into a tmp dir keyed by sf (testdata itself is read-only)
     val dir = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_stream/${math.abs(d.hashCode)}")
+      s"${sys.props("java.io.tmpdir")}/graft_stream/${Q.pathKey(d)}")
     val staged = new java.io.File(dir, "events.parquet")
     if (!staged.exists()) {
       dir.mkdirs()
@@ -63,14 +63,14 @@ object Streams {
   /** Run to completion on the memory sink, return the sink table.
     * Stateful operators instantiate one StateStore per shuffle
     * partition per micro-batch; with the tiny events volume the
-    * per-partition fixed cost dominates, so the stream runs with 8
+    * per-partition fixed cost dominates, so the stream runs with 4
     * state partitions (a local-mode sizing — on a cluster this knob
     * is sized to executor count × state volume, exactly as
     * spark.sql.shuffle.partitions itself is). */
   private def drain(df: DataFrame, mode: String, name: String): DataFrame = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
@@ -172,7 +172,7 @@ object Streams {
         .agg(count(lit(1)).as("n"))
         .select(dateOut(col("window.start")).as("wstart"), col("n"))
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = windowed.writeStream.format("memory").queryName("g_late")
           .outputMode("append").start()
@@ -201,7 +201,9 @@ object Streams {
     },
 
     "stream_foreachbatch_sink" -> { (s, d) =>
-      val out = s"${sys.props("java.io.tmpdir")}/graft_io/stream_fb"
+      // keyed by the input dir like Scans.ioDir — concurrent runs at
+      // different SFs must never clobber each other's sink (ADVICE r4)
+      val out = s"${sys.props("java.io.tmpdir")}/graft_io/${Q.pathKey(d)}/stream_fb"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
       val agg = eventsStream(s, d)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
@@ -234,7 +236,7 @@ object Streams {
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
         |  FROM events),
         |f AS (SELECT user_id, ts,
-        |    sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes' THEN 1 ELSE 0 END)
+        |    sum(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes' THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY ts) AS sid
         |  FROM o)
         |SELECT user_id, min(ts) AS sstart, max(ts) + INTERVAL '30 minutes' AS send, count(*) AS n
