@@ -25,12 +25,16 @@ object Aggregates {
         money(sum(dec(col("l_quantity")))).as("sum_qty"),
         money(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
         money(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("sum_disc_price"),
-        // scale-6 decimal sum: per-group unscaled totals approach 2^53
-        // at sf0.1, where DuckDB's int128→double cast double-rounds
-        // while Spark's BigDecimal path rounds once — render as FLOAT
-        // (f32 absorbs the last-ulp drift), per the >2^53 rule
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) * (lit(1) + dec(col("l_tax"))))
-          .cast(FloatType).as("sum_charge"),
+        // Exact scale-6 decimal sum → DOUBLE, like every money column.
+        // Empirically green at the sf0.01 gate (r4): per-group unscaled
+        // sums stay ~15× under 2^53 there, so both engines round the
+        // same exact decimal once. The r5 FLOAT render regressed (the
+        // engines' decimal→f32 paths disagree), and rounding per-row to
+        // DECIMAL(18,2) first can't work either: DuckDB's decimal
+        // down-cast is NOT half-up (1.005→1.00, measured) and sf0.01
+        // has 148 exact .xx5 ties — per the dialect doc's
+        // "never down-cast decimal scale" rule.
+        money(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) * (lit(1) + dec(col("l_tax"))))).as("sum_charge"),
         avgExact(sum(dec(col("l_quantity"))), count(lit(1))).as("avg_qty"),
         avgExact(sum(dec(col("l_extendedprice"))), count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -314,7 +318,7 @@ object Aggregates {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS REAL) AS sum_charge,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
         |  count(*) AS count_order
