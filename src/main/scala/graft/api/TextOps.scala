@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
   * All operators are linear explode/agg/band-join pipelines (no
   * O(n²) global state) and deterministic: fixed hash seeds, exact
   * confirm stages, documented tie-breaks.
+  *
+  * Candidate generation is always a banded-MinHash equi-JOIN: the
+  * exact-set collapse bounds per-key work, band keys shuffle like any
+  * groupBy key, and no stage materializes a corpus-sized relation on
+  * the driver (no explicit broadcast hints — AQE may still broadcast
+  * genuinely small sides at test scale, which is fine). SimHash
+  * hamming-pigeonhole banding (split the bits into maxHamming+1
+  * segments, equi-join on exact segment match) is the textbook
+  * alternative but was MEASURED anti-productive on this testbed's
+  * 31-word vocabulary: segment values collide so heavily that
+  * candidate pair-slots reach 148% (9 segs @ sf0.1) to 678% (17 segs
+  * @ sf0.01) of the all-pairs count, and 64-bit simhash hamming
+  * between true J≥0.95 pairs reaches 11 — so the banded-MinHash
+  * generator (which prunes to <1% here) backs every dedup flavor.
   */
 object TextOps {
 
@@ -18,53 +32,69 @@ object TextOps {
   def tokenSet(textCol: Column): Column =
     array_sort(array_distinct(split(textCol, " ")))
 
+  /** Word n-gram array (order-sensitive shingles). */
+  def wordNgrams(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*))
+    ).otherwise(array().cast("array<string>"))
+
+  /** Distinct sorted n-gram shingle set of a text column. */
+  def ngramSet(textCol: Column, n: Int): Column =
+    array_sort(array_distinct(wordNgrams(split(textCol, " "), n)))
+
   /** Exact text dedup groups: sha256 of the normalized text, the
     * minimum id as group keeper, and the copy count. */
   def exactDedupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(sha2(lower(trim(col(textCol))).cast("binary"), 256).as("h"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** MinHash-LSH near-duplicate pairs with exact-Jaccard confirm.
-    *
-    * Pipeline: exact-set collapse → fixed-seed murmur minhash
-    * signatures → banded candidate generation (band keys are single
-    * murmur ints; hash collisions only ADD candidates, which the
-    * exact confirm filters) → codegen'd sorted-merge Jaccard ≥ tau →
-    * fan-out back to member ids. Output: (a, b, j) with a < b.
-    */
-  def minhashNearDupPairs(
-      df: DataFrame, idCol: String, textCol: String, tau: Double,
-      numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val spark = df.sparkSession
-    Graft.registerAll(spark)
+  /** Identical-set collapse: one representative (min id) per distinct
+    * element set, with the member list for later fan-out. Exact dups
+    * never reach the pairwise stages — per-set work is bounded.
+    * Empty sets are dropped: J(∅,∅) is 0/0, undefined, and the
+    * brute-force formulation never emits such pairs either. */
+  private def collapse(df: DataFrame, idCol: String, setCol: Column): DataFrame =
+    df.select(col(idCol).as("doc_id"), setCol.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .groupBy(col("toks"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+
+  /** Banded-MinHash candidate rep pairs over `groups` (from
+    * [[collapse]]): fixed-seed murmur minhash signatures → int band
+    * keys → band equi-join with the LENGTH filter folded into the
+    * join condition (J ≥ τ ⟹ τ·|A| ≤ |B| ≤ |A|/τ — a theorem, so
+    * dropping those pairs is lossless at any τ; on this testbed it
+    * cuts candidates ~3×, BEFORE the distinct shuffle and the
+    * per-pair confirm). Hash collisions only ADD candidates; the
+    * exact confirm downstream filters them. Returns (a, b), a < b. */
+  private def bandCandidates(groups: DataFrame, numHashes: Int, bands: Int,
+      tau: Double): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-
-    val docs = df.select(col(idCol).as("doc_id"), tokenSet(col(textCol)).as("toks"))
-    val groups = docs.groupBy(col("toks"))
-      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      .cache()
-    val reps = groups.select(col("rep").as("doc_id"), col("toks"))
-    val exploded = reps.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val exploded = groups.select(col("rep").as("doc_id"), size(col("toks")).as("sz"),
+      explode(col("toks")).as("tok"))
     val sigCols = (0 until numHashes).map(i =>
       min(hash(concat(lit(s"$i:"), col("tok")))).as(s"h$i"))
-    val sigs = exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val sigs = exploded.groupBy(col("doc_id"))
+      .agg(sigCols.head, (sigCols.tail :+ max(col("sz")).as("sz")): _*)
     val bandCols = (0 until bands).map(b =>
       hash((lit(b) +: (0 until rowsPerBand).map(r => col(s"h${rowsPerBand * b + r}"))): _*))
-    val bandsDf = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
-    val cands = bandsDf.as("x").join(bandsDf.as("y"),
-        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+    val bandsDf = sigs.select(col("doc_id"), col("sz"), explode(array(bandCols: _*)).as("bkey"))
+    bandsDf.as("x").join(bandsDf.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.sz") >= lit(tau) * col("y.sz") && col("y.sz") >= lit(tau) * col("x.sz"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val ta = reps.select(col("doc_id").as("a"), col("toks").as("ta"))
-    val tb = reps.select(col("doc_id").as("b"), col("toks").as("tb"))
-    val repPairs = cands.join(broadcast(ta), "a").join(broadcast(tb), "b")
-      .withColumn("j", expr("sorted_jaccard(ta, tb)"))
-      .filter(col("j") >= tau)
-      .select(col("a"), col("b"), col("j"))
+  }
+
+  /** Expand confirmed rep pairs (a, b, j) back to member pairs, plus
+    * the within-group pairs (identical sets, j = 1). Plain shuffle
+    * equi-joins — the rep/member table is never driver-materialized. */
+  private def fanOut(groups: DataFrame, repPairs: DataFrame): DataFrame = {
     val cross = repPairs
-      .join(broadcast(groups.select(col("rep").as("a"), col("members").as("ma"))), "a")
-      .join(broadcast(groups.select(col("rep").as("b"), col("members").as("mb"))), "b")
+      .join(groups.select(col("rep").as("a"), col("members").as("ma")), "a")
+      .join(groups.select(col("rep").as("b"), col("members").as("mb")), "b")
       .select(explode(col("ma")).as("da"), col("mb"), col("j"))
       .select(col("da"), explode(col("mb")).as("db"), col("j"))
       .select(least(col("da"), col("db")).as("a"),
@@ -77,17 +107,51 @@ object TextOps {
     cross.unionAll(within)
   }
 
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard confirm.
+    *
+    * Pipeline: exact-set collapse → banded candidates → codegen'd
+    * sorted-merge Jaccard ≥ tau on candidate reps → fan-out back to
+    * member ids. Output: (a, b, j) with a < b.
+    */
+  def minhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String, tau: Double,
+      numHashes: Int = 32, bands: Int = 8): DataFrame =
+    setNearDupPairs(df, idCol, tokenSet(col(textCol)), tau, numHashes, bands)
+
+  /** [[minhashNearDupPairs]] over an arbitrary set-valued column —
+    * shingle sets, token sets, anything array&lt;string&gt;. */
+  def setNearDupPairs(
+      df: DataFrame, idCol: String, setCol: Column, tau: Double,
+      numHashes: Int, bands: Int): DataFrame = {
+    Graft.registerAll(df.sparkSession)
+    val groups = collapse(df, idCol, setCol).cache()
+    val cands = bandCandidates(groups, numHashes, bands, tau)
+    val reps = groups.select(col("rep"), col("toks"))
+    val repPairs = cands
+      .join(reps.select(col("rep").as("a"), col("toks").as("ta")), "a")
+      .join(reps.select(col("rep").as("b"), col("toks").as("tb")), "b")
+      .withColumn("j", expr("sorted_jaccard(ta, tb)"))
+      .filter(col("j") >= tau)
+      .select(col("a"), col("b"), col("j"))
+    fanOut(groups, repPairs)
+  }
+
   /** SimHash near-duplicate pairs: 32-bit simhash from per-token
-    * murmur bits, hamming prefilter, exact-Jaccard confirm.
-    * maxHamming must be validated against the corpus for losslessness
-    * (see LlmText for the measured bound on the testbed). */
+    * murmur bits, hamming ≤ maxHamming prefilter, exact-Jaccard ≥ tau
+    * confirm. Candidates come from the banded-MinHash generator (see
+    * the object scaladoc for why hamming-pigeonhole banding loses on
+    * this corpus); the simhash/hamming stage then runs only on
+    * candidate reps. maxHamming must be validated against the corpus
+    * for losslessness (measured max true-pair hamming on the testbed:
+    * 7 at sf0.1, 5 at sf0.001). */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      tau: Double, maxHamming: Int): DataFrame = {
-    val spark = df.sparkSession
-    Graft.registerAll(spark)
-    val docs = df.select(col(idCol).as("doc_id"), tokenSet(col(textCol)).as("toks"))
-    val tok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+      tau: Double, maxHamming: Int,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    Graft.registerAll(df.sparkSession)
+    val groups = collapse(df, idCol, tokenSet(col(textCol))).cache()
+    val cands = bandCandidates(groups, numHashes, bands, tau)
+    val tok = groups.select(col("rep").as("doc_id"), explode(col("toks")).as("tok"))
       .withColumn("h", hash(col("tok")))
     val sumCols = (0 until 32).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"s$b"))
@@ -95,37 +159,64 @@ object TextOps {
     val sim = sums.select(col("doc_id"),
       (0 until 32).map(b => when(col(s"s$b") > 0, 1L << b).otherwise(0L))
         .reduce(_ + _).as("sim"))
-    val withSim = docs.join(sim, "doc_id")
-    val a = withSim.select(col("doc_id").as("a"), col("toks").as("ta"), col("sim").as("sa"))
-    val b = withSim.select(col("doc_id").as("b"), col("toks").as("tb"), col("sim").as("sb"))
-    a.join(b, col("a") < col("b"))
+    val withSim = groups.select(col("rep").as("doc_id"), col("toks")).join(sim, "doc_id")
+    val repPairs = cands
+      .join(withSim.select(col("doc_id").as("a"), col("toks").as("ta"), col("sim").as("sa")), "a")
+      .join(withSim.select(col("doc_id").as("b"), col("toks").as("tb"), col("sim").as("sb")), "b")
       .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= maxHamming)
       .withColumn("j", expr("sorted_jaccard(ta, tb)"))
       .filter(col("j") >= tau)
       .select(col("a"), col("b"), col("j"))
+    fanOut(groups, repPairs)
   }
 
-  /** Word n-gram array (order-sensitive shingles). */
-  def wordNgrams(tk: Column, n: Int): Column =
-    when(size(tk) >= n,
-      transform(sequence(lit(1), size(tk) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*))
-    ).otherwise(array().cast("array<string>"))
-
-  /** Brute-force n-gram-set Jaccard pairs (shard the input or use
-    * [[minhashNearDupPairs]] over shingle text at scale). */
+  /** n-gram (shingle-set) Jaccard near-duplicate pairs, banded like
+    * the token-set flavor. Order-sensitive where token sets are not.
+    * Default 16 bands × 2 rows: on this testbed random pairs score
+    * J≈0.027 (p99 0.079) while true τ=0.5 pairs all score ≥ 0.9, so
+    * the per-pair miss probability at J=0.9 is (1-0.81)^16 ≈ 3e-12
+    * and candidates stay ≈1% of all-pairs. */
   def ngramJaccardPairs(
-      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
-    val spark = df.sparkSession
-    Graft.registerAll(spark)
-    val docs = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
-      .select(col("doc_id"), array_sort(array_distinct(wordNgrams(col("tk"), n))).as("bg"))
-    val a = docs.select(col("doc_id").as("a"), col("bg").as("ba"))
-    val b = docs.select(col("doc_id").as("b"), col("bg").as("bb"))
-    a.join(b, col("a") < col("b"))
-      .withColumn("j", expr("sorted_jaccard(ba, bb)"))
-      .filter(col("j") >= tau)
-      .select(col("a"), col("b"), col("j"))
+      df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double,
+      numHashes: Int = 32, bands: Int = 16): DataFrame =
+    setNearDupPairs(df, idCol, ngramSet(col(textCol), n), tau, numHashes, bands)
+
+  /** Near-duplicate CLUSTER assignment (doc_id → rep): the output a
+    * 100 TB dedup actually ships. Pair lists grow quadratically with
+    * duplicate-cluster size (190,925 pairs from 5,000 docs at sf0.1);
+    * cluster assignments stay linear and pairs can be derived on
+    * demand. Connected components by iterated min-label propagation
+    * over the confirmed pair graph — cluster diameters are tiny
+    * (near-dup clusters are near-cliques), so the loop converges in a
+    * few supersteps; each iterate is localCheckpoint'ed to cut
+    * lineage. Every input doc appears, singletons as their own rep. */
+  def minhashNearDupClusters(
+      df: DataFrame, idCol: String, textCol: String, tau: Double,
+      numHashes: Int = 32, bands: Int = 8, maxIters: Int = 20): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, tau, numHashes, bands)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().cache()
+    var labels = df.select(col(idCol).as("doc_id"), col(idCol).as("rep"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaEdge = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("rep")).as("nbr_rep"))
+      val next = labels.join(viaEdge, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("rep", "old_rep"), "doc_id")
+        .filter(col("rep") =!= col("old_rep")).isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
   }
 
   /** Winnowing-lite rolling-hash fingerprint over 4-token windows. */

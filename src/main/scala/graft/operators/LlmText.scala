@@ -92,21 +92,25 @@ object LlmText {
         Tables.t(s, d, "documents"), "doc_id", "text", tau = 0.95)
         .orderBy(col("a"), col("b"))),
 
-    // SimHash flavor: hamming<=8 prefilter measured lossless on this
-    // corpus (max true-pair hamming: 7 at sf0.1, 5 at sf0.001), then
-    // exact confirm. Sharded to doc_id < 1000 — the full-corpus
-    // quadratic pipeline is llm_dedup_minhash's job.
+    // SimHash flavor, FULL corpus: banded-minhash candidates (the
+    // pigeonhole alternative measured anti-productive here — see
+    // TextOps scaladoc), then the hamming<=8 prefilter (measured
+    // lossless on this corpus: max true-pair hamming 7 at sf0.1,
+    // 5 at sf0.001) and the exact-Jaccard confirm.
     "llm_dedup_simhash" -> ((s, d) =>
       graft.api.TextOps.simhashNearDupPairs(
-        Tables.t(s, d, "documents").filter(col("doc_id") < 1000),
+        Tables.t(s, d, "documents"),
         "doc_id", "text", tau = 0.95, maxHamming = 8)
         .orderBy(col("a"), col("b"))),
 
-    // n-gram (bigram-set) Jaccard flavor: order-sensitive, unlike the
-    // token-set keys — same vocabulary, different phrasing scores low
+    // n-gram (bigram-set) Jaccard flavor, FULL corpus: order-sensitive,
+    // unlike the token-set keys — same vocabulary, different phrasing
+    // scores low. Banded at 16 bands × 2 rows: true pairs here all
+    // score J >= 0.9 (measured; random pairs p99 = 0.079), so the
+    // per-pair miss probability is ~3e-12 and candidates stay ~1%.
     "llm_dedup_ngram_jaccard" -> ((s, d) =>
       graft.api.TextOps.ngramJaccardPairs(
-        Tables.t(s, d, "documents").filter(col("doc_id") < 1000),
+        Tables.t(s, d, "documents"),
         "doc_id", "text", n = 2, tau = 0.5)
         .orderBy(col("a"), col("b")))
   )
@@ -159,10 +163,10 @@ object LlmText {
         |          / len(list_distinct(list_concat(x.toks, y.toks))) AS j
         |      FROM t x JOIN t y ON x.doc_id < y.doc_id)
         |SELECT a, b, j FROM p WHERE j >= 0.95 ORDER BY a, b""".stripMargin,
-    // same brute-force form, restricted to the simhash key's shard
+    // same brute-force form over the full corpus
     "llm_dedup_simhash" ->
       """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-        |           FROM documents WHERE doc_id < 1000),
+        |           FROM documents),
         |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
         |        CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
         |          / len(list_distinct(list_concat(x.toks, y.toks))) AS j
@@ -170,7 +174,7 @@ object LlmText {
         |SELECT a, b, j FROM p WHERE j >= 0.95 ORDER BY a, b""".stripMargin,
     "llm_dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |           FROM documents WHERE doc_id < 1000),
+        |           FROM documents),
         |g AS (SELECT doc_id, list_sort(list_distinct(
         |        list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
         |          i -> tk[i] || ' ' || tk[i + 1]))) AS bg FROM t),

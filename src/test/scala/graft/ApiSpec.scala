@@ -65,6 +65,25 @@ class ApiSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("minhashNearDupClusters assigns every doc; components match the pair graph") {
+    val clusters = TextOps.minhashNearDupClusters(docs, "my_id", "my_text", tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every input doc gets a label; singletons keep their own id
+    assert(clusters.keySet === Set(10L, 11L, 12L, 13L, 14L))
+    // {10,11,14} form one near-dup component labeled by its min id
+    assert(clusters(10L) === 10L && clusters(11L) === 10L && clusters(14L) === 10L)
+    assert(clusters(12L) === 12L && clusters(13L) === 13L)
+    // equivalence with the pair form: two docs share a label iff they
+    // are connected in the pair graph (here: exactly the one clique)
+    val pairs = TextOps.minhashNearDupPairs(docs, "my_id", "my_text", tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sameLabel = (for {
+      a <- clusters.keys; b <- clusters.keys
+      if a < b && clusters(a) == clusters(b)
+    } yield (a, b)).toSet
+    assert(sameLabel === pairs)
+  }
+
   test("fingerprint: identical docs share fingerprints; reordered docs differ") {
     val fps = TextOps.fingerprint(docs, "my_id", "my_text")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap

@@ -45,17 +45,30 @@ class LlmSpec extends SparkSpec {
     }
   }
 
-  test("IVF-bucketed ANN: valid shape and meaningful recall vs brute force") {
+  test("IVF ANN: recall >= 0.8 vs brute force") {
     val brute = graft.operators.LlmVector.queries("llm_sim_search_topk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivf = graft.operators.LlmVector.queries("llm_sim_search_ivf")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(ivf.nonEmpty)
-    // multi-probe over 5 of 16 buckets scans ~31% of the corpus; the
-    // sign-bit quantizer correlates with cosine, so recall must beat
-    // the random-scan floor by a wide margin
-    assert(recall >= 0.4, s"IVF recall $recall below floor")
+    // sampled-k-means IVF, 10 of 16 cells probed: measured 0.88-0.94
+    // across SFs on these isotropic (worst-case) embeddings
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8 bar")
+  }
+
+  test("pairwise llm plans contain no BroadcastNestedLoopJoin or cartesian product") {
+    for (key <- Seq("llm_dedup_minhash", "llm_dedup_simhash",
+        "llm_dedup_ngram_jaccard", "llm_sim_threshold_pairs")) {
+      val df =
+        if (key.startsWith("llm_dedup")) graft.operators.LlmText.queries(key)(spark, sf)
+        else graft.operators.LlmVector.queries(key)(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$key plans a BroadcastNestedLoopJoin")
+      assert(!plan.contains("CartesianProduct"),
+        s"$key plans a CartesianProduct")
+    }
   }
 
   test("tfidf top-5 rows are exactly 5 per doc with distinct terms") {
