@@ -172,13 +172,14 @@ object TextOps {
 
   /** n-gram (shingle-set) Jaccard near-duplicate pairs, banded like
     * the token-set flavor. Order-sensitive where token sets are not.
-    * Default 16 bands × 2 rows: on this testbed random pairs score
+    * Default 10 bands × 3 rows: on this testbed random pairs score
     * J≈0.027 (p99 0.079) while true τ=0.5 pairs all score ≥ 0.9, so
-    * the per-pair miss probability at J=0.9 is (1-0.81)^16 ≈ 3e-12
-    * and candidates stay ≈1% of all-pairs. */
+    * the per-pair miss probability at J=0.9 is (1-0.9³)^10 ≈ 2e-6
+    * while random-pair collision falls to ~10·J³ ≈ 2e-4 (r=2 let
+    * ~16·J² ≈ 1% of random pairs through — 2× the confirm cost). */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, n: Int, tau: Double,
-      numHashes: Int = 32, bands: Int = 16): DataFrame =
+      numHashes: Int = 30, bands: Int = 10): DataFrame =
     setNearDupPairs(df, idCol, ngramSet(col(textCol), n), tau, numHashes, bands)
 
   /** Near-duplicate CLUSTER assignment (doc_id → rep): the output a
