@@ -118,6 +118,21 @@ object TextOps {
       numHashes: Int = 32, bands: Int = 8): DataFrame =
     setNearDupPairs(df, idCol, tokenSet(col(textCol)), tau, numHashes, bands)
 
+  /** Confirmed rep pairs (a, b, j): banded candidates → exact
+    * sorted-merge Jaccard ≥ tau. Shared by the pair and cluster
+    * output forms. */
+  private def confirmedRepPairs(groups: DataFrame, tau: Double,
+      numHashes: Int, bands: Int): DataFrame = {
+    val cands = bandCandidates(groups, numHashes, bands, tau)
+    val reps = groups.select(col("rep"), col("toks"))
+    cands
+      .join(reps.select(col("rep").as("a"), col("toks").as("ta")), "a")
+      .join(reps.select(col("rep").as("b"), col("toks").as("tb")), "b")
+      .withColumn("j", expr("sorted_jaccard(ta, tb)"))
+      .filter(col("j") >= tau)
+      .select(col("a"), col("b"), col("j"))
+  }
+
   /** [[minhashNearDupPairs]] over an arbitrary set-valued column —
     * shingle sets, token sets, anything array&lt;string&gt;. */
   def setNearDupPairs(
@@ -125,15 +140,7 @@ object TextOps {
       numHashes: Int, bands: Int): DataFrame = {
     Graft.registerAll(df.sparkSession)
     val groups = collapse(df, idCol, setCol).cache()
-    val cands = bandCandidates(groups, numHashes, bands, tau)
-    val reps = groups.select(col("rep"), col("toks"))
-    val repPairs = cands
-      .join(reps.select(col("rep").as("a"), col("toks").as("ta")), "a")
-      .join(reps.select(col("rep").as("b"), col("toks").as("tb")), "b")
-      .withColumn("j", expr("sorted_jaccard(ta, tb)"))
-      .filter(col("j") >= tau)
-      .select(col("a"), col("b"), col("j"))
-    fanOut(groups, repPairs)
+    fanOut(groups, confirmedRepPairs(groups, tau, numHashes, bands))
   }
 
   /** SimHash near-duplicate pairs: 32-bit simhash from per-token
@@ -194,30 +201,46 @@ object TextOps {
   def minhashNearDupClusters(
       df: DataFrame, idCol: String, textCol: String, tau: Double,
       numHashes: Int = 32, bands: Int = 8, maxIters: Int = 20): DataFrame = {
-    val pairs = minhashNearDupPairs(df, idCol, textCol, tau, numHashes, bands)
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().cache()
-    var labels = df.select(col(idCol).as("doc_id"), col(idCol).as("rep"))
+    Graft.registerAll(df.sparkSession)
+    val groups = collapse(df, idCol, tokenSet(col(textCol))).cache()
+    // propagate on the REP graph (one node per distinct token set) —
+    // exact-dup cliques are a single node, so the graph is orders of
+    // magnitude smaller than the fanned-out pair list and the member
+    // expansion happens exactly once, after the fixpoint
+    val repPairs = confirmedRepPairs(groups, tau, numHashes, bands)
+    val edges = repPairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(repPairs.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    var labels = groups.select(col("rep").as("node"), col("rep").as("lab"))
       .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val viaEdge = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("rep")).as("nbr_rep"))
-      val next = labels.join(viaEdge, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("lab")).as("nbr_lab"))
+      // carry the previous label through the checkpoint so the
+      // convergence test is a filter on the materialized frame, not
+      // another join
+      val next = labels.join(viaEdge, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"),
+          col("lab").as("old_lab"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("rep", "old_rep"), "doc_id")
-        .filter(col("rep") =!= col("old_rep")).isEmpty
-      labels = next
+      converged = next.filter(col("lab") =!= col("old_lab")).isEmpty
+      labels = next.select(col("node"), col("lab"))
       i += 1
     }
     edges.unpersist()
-    labels
+    // fan the rep labels out to members; docs dropped by collapse
+    // (empty sets) come back as singletons via the left join
+    val assigned = labels
+      .join(groups.select(col("rep").as("node"), col("members")), "node")
+      .select(explode(col("members")).as("doc_id"), col("lab"))
+    df.select(col(idCol).as("doc_id"))
+      .join(assigned, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("rep"))
   }
 
   /** Winnowing-lite rolling-hash fingerprint over 4-token windows. */

@@ -112,7 +112,19 @@ object LlmText {
       graft.api.TextOps.ngramJaccardPairs(
         Tables.t(s, d, "documents"),
         "doc_id", "text", n = 2, tau = 0.5)
-        .orderBy(col("a"), col("b")))
+        .orderBy(col("a"), col("b"))),
+
+    // Cluster-assignment output form (doc_id -> rep): the deliverable
+    // a 100 TB dedup actually ships — pair lists grow quadratically
+    // with duplicate-cluster size (190,925 pairs at sf0.1) while
+    // assignments stay linear. Min-label propagation over the
+    // confirmed pair graph to fixpoint; every doc appears, singletons
+    // as their own rep. Oracle: recursive-CTE connected components
+    // over the brute-force pair set.
+    "llm_dedup_clusters" -> ((s, d) =>
+      graft.api.TextOps.minhashNearDupClusters(
+        Tables.t(s, d, "documents"), "doc_id", "text", tau = 0.95)
+        .orderBy(col("doc_id")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -182,6 +194,22 @@ object LlmText {
         |        CAST(len(list_intersect(x.bg, y.bg)) AS DOUBLE)
         |          / len(list_distinct(list_concat(x.bg, y.bg))) AS j
         |      FROM g x JOIN g y ON x.doc_id < y.doc_id)
-        |SELECT a, b, j FROM p WHERE j >= 0.5 ORDER BY a, b""".stripMargin
+        |SELECT a, b, j FROM p WHERE j >= 0.5 ORDER BY a, b""".stripMargin,
+    // connected components of the brute-force near-dup graph via a
+    // recursive CTE: walk enumerates (node, reachable-label) pairs,
+    // min per node = component representative
+    "llm_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b
+        |      FROM t x JOIN t y ON x.doc_id < y.doc_id
+        |      WHERE CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+        |            / len(list_distinct(list_concat(x.toks, y.toks))) >= 0.95),
+        |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+        |walk(node, lab) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT e.src, walk.lab FROM e JOIN walk ON e.dst = walk.node
+        |)
+        |SELECT node AS doc_id, min(lab) AS rep FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
   )
 }
