@@ -220,12 +220,19 @@ object TextOps {
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("lab")).as("nbr_lab"))
+      // pointer jump: lab(lab(v)) — labels are always real node ids
+      // within the component, so composing them halves the remaining
+      // propagation depth each superstep (hash-min alone needs
+      // diameter-many rounds; measured diameter 6 at sf0.01)
+      val jump = labels.select(col("node").as("lab"), col("lab").as("jmp_lab"))
       // carry the previous label through the checkpoint so the
       // convergence test is a filter on the materialized frame, not
       // another join
       val next = labels.join(viaEdge, Seq("node"), "left")
+        .join(jump, Seq("lab"), "left")
         .select(col("node"),
-          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"),
+          least(least(col("lab"), coalesce(col("nbr_lab"), col("lab"))),
+            coalesce(col("jmp_lab"), col("lab"))).as("lab"),
           col("lab").as("old_lab"))
         .localCheckpoint()
       converged = next.filter(col("lab") =!= col("old_lab")).isEmpty
