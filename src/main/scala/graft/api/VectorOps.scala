@@ -80,14 +80,17 @@ object VectorOps {
     * sample (index build is bounded driver work, like any ANN
     * library); Lloyd iterations with evenly-spaced init over the
     * id-sorted sample. Returns k centroid vectors. */
-  private def trainCentroids(e: DataFrame, k: Int, sampleSize: Int): Array[Array[Double]] = {
+  private def trainCentroids(e: DataFrame, numCells: Int, sampleSize: Int): Array[Array[Double]] = {
     val n = e.count()
+    require(n > 0, "ivfTopK needs a non-empty corpus")
     val stride = math.max(1L, n / sampleSize)
     val sample = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy(col("vec_id")).limit(sampleSize)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
-    require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
+    // a corpus smaller than the requested cell count just gets fewer
+    // cells (degenerates gracefully toward exact scan)
+    val k = math.min(numCells, sample.length)
     val dim = sample.head.length
     val cent = Array.tabulate(k)(i => sample((i.toLong * sample.length / k).toInt).clone())
     for (_ <- 0 until 5) {
@@ -132,7 +135,8 @@ object VectorOps {
     }: _*))
     val eCell = e.withColumn("cell", element_at(cellRank, 1).getField("i"))
     val p = prepared(probes, idCol, vecCol)
-      .withColumn("probe_cell", explode(slice(transform(cellRank, s => s.getField("i")), 1, nprobe)))
+      .withColumn("probe_cell",
+        explode(slice(transform(cellRank, s => s.getField("i")), 1, math.min(nprobe, cent.length))))
       .select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnrm"),
         col("probe_cell"))
     val scored = p.join(eCell, col("probe_cell") === col("cell") && col("vec_id") =!= col("pid"))

@@ -63,6 +63,12 @@ class ApiSpec extends SparkSpec {
     val pairs = VectorOps.cosineThresholdPairs(vecs, "vid", "emb", tau = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
+    // ivfTopK on a corpus smaller than the default cell count must
+    // degrade gracefully (cells clamp to the sample size) and still
+    // return the true neighbour here (3 vectors = every cell probed)
+    val ivf = VectorOps.ivfTopK(vecs, vecs.filter(col("vid") === 1), "vid", "emb", k = 1)
+      .collect()
+    assert(ivf.length === 1 && ivf.head.getLong(2) === 2L)
   }
 
   test("minhashNearDupClusters assigns every doc; components match the pair graph") {
