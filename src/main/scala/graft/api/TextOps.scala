@@ -128,7 +128,9 @@ object TextOps {
     cands
       .join(reps.select(col("rep").as("a"), col("toks").as("ta")), "a")
       .join(reps.select(col("rep").as("b"), col("toks").as("tb")), "b")
-      .withColumn("j", expr("sorted_jaccard(ta, tb)"))
+      // threshold-aware kernel: exact j for every surviving pair,
+      // early abandon (-1) the moment a pair provably misses tau
+      .withColumn("j", expr(s"sorted_jaccard_min(ta, tb, ${tau}D)"))
       .filter(col("j") >= tau)
       .select(col("a"), col("b"), col("j"))
   }
@@ -171,7 +173,7 @@ object TextOps {
       .join(withSim.select(col("doc_id").as("a"), col("toks").as("ta"), col("sim").as("sa")), "a")
       .join(withSim.select(col("doc_id").as("b"), col("toks").as("tb"), col("sim").as("sb")), "b")
       .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= maxHamming)
-      .withColumn("j", expr("sorted_jaccard(ta, tb)"))
+      .withColumn("j", expr(s"sorted_jaccard_min(ta, tb, ${tau}D)"))
       .filter(col("j") >= tau)
       .select(col("a"), col("b"), col("j"))
     fanOut(groups, repPairs)

@@ -51,6 +51,13 @@ object Graft {
         exprs => VecDot(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("sorted_jaccard",
         exprs => SortedJaccard(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("sorted_jaccard_min",
+        exprs => SortedJaccardMin(exprs(0), exprs(1),
+          exprs(2).asInstanceOf[Literal].value match {
+            case d: java.lang.Double => d
+            case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+            case other => other.toString.toDouble
+          }), "built-in")
       spark.udf.register("wmean",
         udaf(WeightedMean, Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)))
       spark.udf.register("tier", (bal: Double) =>

@@ -48,6 +48,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sorted_jaccard_min: exact j above tau, abandons only provable misses") {
+    for (tau <- Seq(0.3, 0.5, 0.95)) {
+      samples(Gen.zip(Gen.listOf(word), Gen.listOf(word))).foreach { case (as, bs) =>
+        val sa = as.distinct.sorted; val sb = bs.distinct.sorted
+        val aa = ArrayData.toArrayData(sa.map(u).toArray)
+        val bb = ArrayData.toArrayData(sb.map(u).toArray)
+        val exact = VectorKernelUtil.sortedJaccard(aa, bb)
+        val fast = VectorKernelUtil.sortedJaccardMin(aa, bb, tau)
+        if (exact >= tau)
+          assert(fast === exact, s"lost a true pair at tau=$tau: $sa vs $sb")
+        else
+          assert(fast === exact || fast === -1.0, s"wrong abandon at tau=$tau: $sa vs $sb")
+      }
+    }
+  }
+
   test("vec_dot: commutative; zero annihilates; Cauchy-Schwarz holds") {
     val vec = Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0))
     samples(Gen.zip(vec, vec)).foreach { case (a, b) =>
