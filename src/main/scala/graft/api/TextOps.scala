@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   * candidate pair-slots reach 148% (9 segs @ sf0.1) to 678% (17 segs
   * @ sf0.01) of the all-pairs count, and 64-bit simhash hamming
   * between true J≥0.95 pairs reaches 11 — so the banded-MinHash
-  * generator (which prunes to <1% here) backs every dedup flavor.
+  * generator backs every dedup flavor (measured pruning at sf0.1:
+  * token sets ~17% of rep all-pairs after the length filter — the
+  * shared 31-word vocabulary keeps random token-set Jaccard ≈ 0.7 —
+  * and bigram-shingle sets ~0.02%, where random J ≈ 0.027).
   */
 object TextOps {
 
