@@ -20,14 +20,27 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def mapJson(entries: Iterable[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // The driver tail-captures stdout: emit the long per-query map
-    // FIRST and a short self-contained total line LAST, so truncation
-    // can only ever eat the detail, never the parsed headline.
-    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
+    // The driver keeps only the LAST ~2000 chars of stdout and parses
+    // the final JSON line. Emit the full per-query map FIRST (humans /
+    // manual recovery), then a contract line LAST whose embedded
+    // queries map is capped to the slowest entries so the whole line
+    // always fits inside the tail window untruncated.
+    println(s"""{"metric":"queries","queries":${mapJson(results)},"sf":"$sfDir"}""")
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    val budget = 1700 // chars for the final line, < tail window minus sbt epilogue
+    var keep = bySlowest.length
+    def finalLine(k: Int): String = {
+      val kept = bySlowest.take(k)
+      val rest = bySlowest.drop(k).map(_._2).sum
+      val entries = if (k < bySlowest.length) kept :+ ("_other" -> rest) else kept
+      s"""{"metric":"graft_bench","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${mapJson(entries)},"sf":"$sfDir"}"""
+    }
+    while (keep > 1 && finalLine(keep).length > budget) keep -= 1
+    println(finalLine(keep))
     spark.stop()
   }
 }

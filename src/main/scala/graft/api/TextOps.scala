@@ -69,18 +69,20 @@ object TextOps {
     * join condition (J ≥ τ ⟹ τ·|A| ≤ |B| ≤ |A|/τ — a theorem, so
     * dropping those pairs is lossless at any τ; on this testbed it
     * cuts candidates ~3×, BEFORE the distinct shuffle and the
-    * per-pair confirm). Hash collisions only ADD candidates; the
-    * exact confirm downstream filters them. Returns (a, b), a < b. */
+    * per-pair confirm). Signatures are computed per ROW with
+    * higher-order functions — a narrow codegen'd map, where the
+    * explode → numHashes-column groupBy formulation shuffles the
+    * whole exploded corpus once per dedup call. Hash collisions only
+    * ADD candidates; the exact confirm downstream filters them.
+    * Returns (a, b), a < b. */
   private def bandCandidates(groups: DataFrame, numHashes: Int, bands: Int,
       tau: Double): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val exploded = groups.select(col("rep").as("doc_id"), size(col("toks")).as("sz"),
-      explode(col("toks")).as("tok"))
-    val sigCols = (0 until numHashes).map(i =>
-      min(hash(concat(lit(s"$i:"), col("tok")))).as(s"h$i"))
-    val sigs = exploded.groupBy(col("doc_id"))
-      .agg(sigCols.head, (sigCols.tail :+ max(col("sz")).as("sz")): _*)
+    val sigs = groups.select(
+      col("rep").as("doc_id") +: size(col("toks")).as("sz") +:
+        (0 until numHashes).map(i =>
+          array_min(transform(col("toks"), t => hash(lit(i), t))).as(s"h$i")): _*)
     val bandCols = (0 until bands).map(b =>
       hash((lit(b) +: (0 until rowsPerBand).map(r => col(s"h${rowsPerBand * b + r}"))): _*))
     val bandsDf = sigs.select(col("doc_id"), col("sz"), explode(array(bandCols: _*)).as("bkey"))
@@ -163,15 +165,18 @@ object TextOps {
     Graft.registerAll(df.sparkSession)
     val groups = collapse(df, idCol, tokenSet(col(textCol))).cache()
     val cands = bandCandidates(groups, numHashes, bands, tau)
-    val tok = groups.select(col("rep").as("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("h", hash(col("tok")))
-    val sumCols = (0 until 32).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"s$b"))
-    val sums = tok.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
-    val sim = sums.select(col("doc_id"),
-      (0 until 32).map(b => when(col(s"s$b") > 0, 1L << b).otherwise(0L))
-        .reduce(_ + _).as("sim"))
-    val withSim = groups.select(col("rep").as("doc_id"), col("toks")).join(sim, "doc_id")
+    // per-row simhash: materialize the token murmur bits once, then 32
+    // per-bit aggregates over that array — no explode/groupBy shuffle
+    // and no extra join back onto the rep table
+    val simCol = (0 until 32).map(b =>
+      when(aggregate(col("hs"), lit(0),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(1) * 2 - 1)) > 0,
+        lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val withSim = groups
+      .select(col("rep").as("doc_id"), col("toks"),
+        transform(col("toks"), t => hash(t)).as("hs"))
+      .select(col("doc_id"), col("toks"), simCol.as("sim"))
     val repPairs = cands
       .join(withSim.select(col("doc_id").as("a"), col("toks").as("ta"), col("sim").as("sa")), "a")
       .join(withSim.select(col("doc_id").as("b"), col("toks").as("tb"), col("sim").as("sb")), "b")
@@ -216,7 +221,11 @@ object TextOps {
     val edges = repPairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(repPairs.select(col("b").as("src"), col("a").as("dst")))
       .cache()
-    var labels = groups.select(col("rep").as("node"), col("rep").as("lab"))
+    // propagate only over nodes with degree ≥ 1: singleton reps (the
+    // overwhelming majority of a deduped corpus) can never change
+    // label, so they skip the loop entirely and rejoin at fan-out
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
       .localCheckpoint()
     var converged = false
     var i = 0
@@ -245,11 +254,13 @@ object TextOps {
       i += 1
     }
     edges.unpersist()
-    // fan the rep labels out to members; docs dropped by collapse
-    // (empty sets) come back as singletons via the left join
-    val assigned = labels
-      .join(groups.select(col("rep").as("node"), col("members")), "node")
-      .select(explode(col("members")).as("doc_id"), col("lab"))
+    // fan the rep labels out to members (singleton reps, absent from
+    // the loop, keep their own id); docs dropped by collapse (empty
+    // sets) come back as singletons via the second left join
+    val assigned = groups
+      .join(labels.withColumnRenamed("node", "rep"), Seq("rep"), "left")
+      .select(explode(col("members")).as("doc_id"),
+        coalesce(col("lab"), col("rep")).as("lab"))
     df.select(col(idCol).as("doc_id"))
       .join(assigned, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("rep"))
