@@ -10,11 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup outside the timed region (first Spark job in
-    // a fresh JVM otherwise charges ~5 s of JIT/codegen to whichever
-    // query happens to run first); table caches are NOT pre-warmed —
-    // input-scan cost stays inside the measurements
-    spark.range(1000).selectExpr("sum(id * 2)").collect()
+    Warmup.run(spark)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

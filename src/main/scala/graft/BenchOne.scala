@@ -17,7 +17,7 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000).selectExpr("sum(id * 2)").collect()
+    Warmup.run(spark)
     val fn = SparkEntry.queries(key)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()

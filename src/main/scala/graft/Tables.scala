@@ -34,12 +34,35 @@ object Tables {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  /** Cached read of one base table (size-aware `.cache()`, see above). */
+  /** Compute-heavy corpus tables: per-row cost downstream (tokenize,
+    * shingle, minhash, vector math — interpreted HOFs, no codegen) is
+    * orders of magnitude above scan cost, so these are rebalanced to
+    * core width BEFORE caching when they arrive as fewer file splits
+    * than cores (a small parquet file is ONE split, and caching it
+    * as-is pins every downstream operator to a single task — measured:
+    * the sf0.1 documents table ran the whole shingle pipeline on 1 of
+    * 32 cores). Relational tables deliberately keep their natural
+    * split count: blanket 32-way rebalance was measured to COST ~15 s
+    * across the ~100 small relational queries (32-task scheduling per
+    * stage, 32× the output files on write paths) for no CPU win. On a
+    * real cluster corpus tables exceed core count in splits and this
+    * is a no-op. */
+  private val computeHeavy = Set("documents", "embeddings")
+
+  /** Cached read of one base table (size-aware `.cache()`, see above;
+    * corpus tables rebalanced to core width first). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.getOrElseUpdate(
       s"${System.identityHashCode(spark)}|$dir|$name", {
         val df = read(spark, dir, name)
-        if (shouldCache(spark, dir, name)) df.cache() else df
+        if (shouldCache(spark, dir, name)) {
+          val cores = spark.sparkContext.defaultParallelism
+          val balanced =
+            if (computeHeavy(name) && df.rdd.getNumPartitions < cores)
+              df.repartition(cores)
+            else df
+          balanced.cache()
+        } else df
       })
 
   /** Uncached read — for keys that assert parquet pushdown in the

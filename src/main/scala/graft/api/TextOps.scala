@@ -79,13 +79,21 @@ object TextOps {
       tau: Double): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val sigs = groups.select(
-      col("rep").as("doc_id") +: size(col("toks")).as("sz") +:
-        (0 until numHashes).map(i =>
-          array_min(transform(col("toks"), t => hash(lit(i), t))).as(s"h$i")): _*)
-    val bandCols = (0 until bands).map(b =>
-      hash((lit(b) +: (0 until rowsPerBand).map(r => col(s"h${rowsPerBand * b + r}"))): _*))
-    val bandsDf = sigs.select(col("doc_id"), col("sz"), explode(array(bandCols: _*)).as("bkey"))
+    // ONE array column for the whole signature (each token's string is
+    // murmured once, then the i-th hash mixes the seed with that int)
+    // instead of numHashes separate projections: the expression tree
+    // stays tiny, so Catalyst analysis and Janino compilation of the
+    // plan are O(1) in numHashes (the 30-column form cost ~5 s of
+    // per-plan optimizer+codegen time before the first row moved)
+    val sigs = groups
+      .select(col("rep").as("doc_id"), size(col("toks")).as("sz"),
+        transform(col("toks"), t => hash(t)).as("hs"))
+      .select(col("doc_id"), col("sz"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => array_min(transform(col("hs"), h => hash(i, h)))).as("sig"))
+    val bandsDf = sigs.select(col("doc_id"), col("sz"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))).as("bkey"))
     bandsDf.as("x").join(bandsDf.as("y"),
         col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id") &&
           col("x.sz") >= lit(tau) * col("y.sz") && col("y.sz") >= lit(tau) * col("x.sz"))
@@ -166,13 +174,15 @@ object TextOps {
     val groups = collapse(df, idCol, tokenSet(col(textCol))).cache()
     val cands = bandCandidates(groups, numHashes, bands, tau)
     // per-row simhash: materialize the token murmur bits once, then 32
-    // per-bit aggregates over that array — no explode/groupBy shuffle
-    // and no extra join back onto the rep table
-    val simCol = (0 until 32).map(b =>
-      when(aggregate(col("hs"), lit(0),
-        (acc, h) => acc + (shiftright(h, b).bitwiseAND(1) * 2 - 1)) > 0,
-        lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    // per-bit aggregates over that array — no explode/groupBy shuffle,
+    // no join back onto the rep table, and ONE nested expression (not
+    // 32 projections) so per-plan optimizer/codegen cost stays flat
+    val simCol = expr(
+      """aggregate(
+        |  transform(sequence(0, 31), b ->
+        |    if(aggregate(hs, 0, (acc, h) -> acc + (shiftright(h, b) & 1) * 2 - 1) > 0,
+        |       shiftleft(1L, b), 0L)),
+        |  0L, (acc, x) -> acc + x)""".stripMargin)
     val withSim = groups
       .select(col("rep").as("doc_id"), col("toks"),
         transform(col("toks"), t => hash(t)).as("hs"))
@@ -235,9 +245,12 @@ object TextOps {
         .groupBy(col("src").as("node"))
         .agg(min(col("lab")).as("nbr_lab"))
       // pointer jump: lab(lab(v)) — labels are always real node ids
-      // within the component, so composing them halves the remaining
-      // propagation depth each superstep (hash-min alone needs
-      // diameter-many rounds; measured diameter 6 at sf0.01)
+      // within the component, so composing them shortcuts the
+      // remaining propagation depth each superstep (hash-min alone
+      // needs diameter-many rounds). True pointer DOUBLING (squaring
+      // the new mapping inside the superstep) was measured SLOWER
+      // here: it cuts supersteps 8 → 5 but doubles per-superstep join
+      // count, a net loss when each superstep is fixed-overhead-bound.
       val jump = labels.select(col("node").as("lab"), col("lab").as("jmp_lab"))
       // carry the previous label through the checkpoint so the
       // convergence test is a filter on the materialized frame, not
@@ -252,6 +265,8 @@ object TextOps {
       converged = next.filter(col("lab") =!= col("old_lab")).isEmpty
       labels = next.select(col("node"), col("lab"))
       i += 1
+      if (sys.env.contains("GRAFT_TRACE_CC"))
+        System.err.println(s"GRAFT_CC superstep=$i converged=$converged t=${System.nanoTime() / 1e9}")
     }
     edges.unpersist()
     // fan the rep labels out to members (singleton reps, absent from
