@@ -281,6 +281,40 @@ object TextOps {
       .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("rep"))
   }
 
+  /** Count of the most frequent element in a string array, computed
+    * per ROW: sort, then one fold counting the longest equal run —
+    * O(n log n) a row, zero shuffles, no explode. The streaming-fold
+    * shape is what survives 100 TB: the explode → (doc, token) groupBy
+    * alternative shuffles the whole exploded corpus twice per metric. */
+  private def maxRunCount(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style repetition metrics per document: the share of
+    * tokens claimed by the most frequent unigram and bigram. High
+    * ratios mark boilerplate / degenerate repetition — the standard
+    * pre-training filter signal alongside [[fingerprint]] and the
+    * dedup families. Returns (doc_id, n_toks, top_tok_n,
+    * top_bigram_n, top_tok_ratio, top_bigram_ratio). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = col("tk")
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+      .select(col("doc_id"), size(tk).as("n_toks"),
+        maxRunCount(tk).as("top_tok_n"),
+        maxRunCount(wordNgrams(tk, 2)).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_toks"), col("top_tok_n"), col("top_bigram_n"),
+        (col("top_tok_n").cast("double") / col("n_toks")).as("top_tok_ratio"),
+        (col("top_bigram_n").cast("double") / greatest(col("n_toks") - 1, lit(1)))
+          .as("top_bigram_ratio"))
+  }
+
   /** Winnowing-lite rolling-hash fingerprint over 4-token windows. */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     def tokhash(c: Column) =

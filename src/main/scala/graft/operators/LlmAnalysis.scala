@@ -67,6 +67,19 @@ object LlmAnalysis {
     // near-dup candidates at scale (groupable, no pairwise work)
     "llm_fingerprint" -> ((s, d) =>
       graft.api.TextOps.fingerprint(Tables.t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Gopher-style repetition filter: drop documents whose most
+    // frequent unigram/bigram claims too large a token share.
+    // Thresholds sized to the corpus (measured at sf0.01: ratio
+    // medians 0.093/0.033) so both outcomes are exercised — 376
+    // keep / 124 drop. Spark side is a shuffle-free per-row fold
+    // (sorted-run count); the oracle recomputes via unnest + groupBy,
+    // a genuinely different formulation of the same semantics.
+    "llm_repetition_filter" -> ((s, d) =>
+      graft.api.TextOps.repetitionStats(Tables.t(s, d, "documents"), "doc_id", "text")
+        .withColumn("keep",
+          col("top_tok_ratio") < 0.12 && col("top_bigram_ratio") < 0.06)
         .orderBy(col("doc_id")))
   )
 
@@ -111,6 +124,26 @@ object LlmAnalysis {
         |       WHEN CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE) / len(toks) < 0.15 THEN 'medium'
         |       ELSE 'low' END AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+    "llm_repetition_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |u AS (SELECT doc_id, count(*) AS c
+        |      FROM (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY doc_id, tok),
+        |um AS (SELECT doc_id, max(c) AS mx FROM u GROUP BY doc_id),
+        |b AS (SELECT doc_id, count(*) AS c
+        |      FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+        |              i -> tk[i] || ' ' || tk[i + 1])) AS g FROM t) GROUP BY doc_id, g),
+        |bm AS (SELECT doc_id, max(c) AS mx FROM b GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(tk) AS INTEGER) AS n_toks,
+        |  CAST(um.mx AS INTEGER) AS top_tok_n,
+        |  CAST(coalesce(bm.mx, 0) AS INTEGER) AS top_bigram_n,
+        |  CAST(um.mx AS DOUBLE) / len(tk) AS top_tok_ratio,
+        |  CAST(coalesce(bm.mx, 0) AS DOUBLE) / greatest(len(tk) - 1, 1) AS top_bigram_ratio,
+        |  (CAST(um.mx AS DOUBLE) / len(tk) < 0.12
+        |    AND CAST(coalesce(bm.mx, 0) AS DOUBLE) / greatest(len(tk) - 1, 1) < 0.06) AS keep
+        |FROM t JOIN um ON t.doc_id = um.doc_id
+        |       LEFT JOIN bm ON t.doc_id = bm.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "llm_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |f AS (SELECT doc_id,

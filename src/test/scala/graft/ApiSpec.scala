@@ -96,4 +96,28 @@ class ApiSpec extends SparkSpec {
     assert(fps(10L) === fps(11L))
     assert(fps.contains(13L))
   }
+
+  test("repetitionStats: per-row fold equals explode/groupBy counts; filter is non-vacuous") {
+    val d = Tables.t(spark, sf, "documents")
+    val stats = TextOps.repetitionStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3))).toMap
+    // reference formulation: explode to (doc, gram), group, max count
+    val toks = d.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    def maxCount(grams: org.apache.spark.sql.DataFrame) = grams
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(org.apache.spark.sql.functions.max("count").as("mx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uni = maxCount(toks.select(col("doc_id"), explode(col("tk")).as("g")))
+    val bi = maxCount(toks.select(col("doc_id"),
+      explode(expr("transform(sequence(1, size(tk) - 1), i -> concat_ws(' ', tk[i - 1], tk[i]))")).as("g")))
+    stats.foreach { case (id, (tn, bn)) =>
+      assert(tn.toLong === uni(id), s"unigram max mismatch for doc $id")
+      assert(bn.toLong === bi.getOrElse(id, 0L), s"bigram max mismatch for doc $id")
+    }
+    // thresholds must actually split the corpus (no vacuous green)
+    val keeps = graft.operators.LlmAnalysis.queries("llm_repetition_filter")(spark, sf)
+      .groupBy("keep").count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(keeps.getOrElse(true, 0L) > 0 && keeps.getOrElse(false, 0L) > 0,
+      s"repetition filter is vacuous: $keeps")
+  }
 }
