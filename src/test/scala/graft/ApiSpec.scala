@@ -114,6 +114,15 @@ class ApiSpec extends SparkSpec {
       assert(tn.toLong === uni(id), s"unigram max mismatch for doc $id")
       assert(bn.toLong === bi.getOrElse(id, 0L), s"bigram max mismatch for doc $id")
     }
+    // the stats computation itself is one narrow map — NO shuffle
+    // above the cached table scan (Tables.t's one-time corpus
+    // rebalance lives inside the InMemoryRelation; the declared key's
+    // orderBy adds its own exchange)
+    val plan = TextOps.repetitionStats(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val aboveScan = plan.split("InMemoryTableScan|FileScan")(0)
+    assert(!aboveScan.contains("Exchange"),
+      s"repetitionStats plans a shuffle:\n$plan")
     // thresholds must actually split the corpus (no vacuous green)
     val keeps = graft.operators.LlmAnalysis.queries("llm_repetition_filter")(spark, sf)
       .groupBy("keep").count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
