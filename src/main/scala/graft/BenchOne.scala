@@ -17,7 +17,7 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Warmup.run(spark)
+    try Warmup.run(spark) catch { case _: Throwable => }
     val fn = SparkEntry.queries(key)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()

@@ -265,8 +265,6 @@ object TextOps {
       converged = next.filter(col("lab") =!= col("old_lab")).isEmpty
       labels = next.select(col("node"), col("lab"))
       i += 1
-      if (sys.env.contains("GRAFT_TRACE_CC"))
-        System.err.println(s"GRAFT_CC superstep=$i converged=$converged t=${System.nanoTime() / 1e9}")
     }
     edges.unpersist()
     // fan the rep labels out to members (singleton reps, absent from
@@ -305,7 +303,11 @@ object TextOps {
     * top_bigram_n, top_tok_ratio, top_bigram_ratio). */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tk = col("tk")
-    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+    // null text is dropped (not scored null): matches the SQL-side
+    // inner-join-on-counts shape and keeps `keep` a non-null boolean,
+    // which the output representation contract requires
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
       .select(col("doc_id"), size(tk).as("n_toks"),
         maxRunCount(tk).as("top_tok_n"),
         maxRunCount(wordNgrams(tk, 2)).as("top_bigram_n"))

@@ -108,7 +108,9 @@ class ApiSpec extends SparkSpec {
       .groupBy("doc_id").agg(org.apache.spark.sql.functions.max("count").as("mx"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val uni = maxCount(toks.select(col("doc_id"), explode(col("tk")).as("g")))
-    val bi = maxCount(toks.select(col("doc_id"),
+    // size >= 2 guard: sequence(1, 0) is DESCENDING in Spark, so an
+    // unguarded 1-token doc would index out of bounds
+    val bi = maxCount(toks.filter(size(col("tk")) >= 2).select(col("doc_id"),
       explode(expr("transform(sequence(1, size(tk) - 1), i -> concat_ws(' ', tk[i - 1], tk[i]))")).as("g")))
     stats.foreach { case (id, (tn, bn)) =>
       assert(tn.toLong === uni(id), s"unigram max mismatch for doc $id")
