@@ -113,33 +113,51 @@ object VectorOps {
     cent
   }
 
-  /** Approximate cosine top-k through a sampled-k-means IVF index:
-    * assign every corpus vector to its nearest of `k`-of-`numCells`
-    * centroids (one shuffle key), probe the `nprobe` nearest cells
-    * per query, exact-score only the probed cells, global top-k per
-    * probe with deterministic (score desc, id) tie-break. All
-    * distributed work is equi-join + window — the quadratic scan is
-    * cut to ~nprobe/numCells of the corpus. */
-  def ivfTopK(corpus: DataFrame, probes: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      numCells: Int = 16, nprobe: Int = 10, sampleSize: Int = 256): DataFrame = {
-    val e = prepared(corpus, idCol, vecCol)
-    val cent = trainCentroids(e, numCells, sampleSize)
-    // d²(v, c) = |v|² − 2·v·c + |c|²; |v|² is constant per row for the
-    // argmin, so rank cells by (−2·v·c + |c|², cell-id)
-    // D suffix: bare SQL numeric literals with many digits parse as
-    // DECIMAL(19,19), which vec_dot rejects
-    def cellRank: Column = array_sort(array(cent.zipWithIndex.map { case (c, i) =>
+  /** A built IVF index: the trained coarse quantizer plus the corpus
+    * with its cell assignment materialized as a column. Build ONCE,
+    * probe many — at 100 TB `assigned` is persisted as a
+    * cell-partitioned table and shared by every query batch, instead
+    * of re-training the quantizer and re-assigning the corpus per
+    * call (which rescans everything). */
+  final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** Rank all cells for the row's `v` by exact distance:
+    * d²(v, c) = |v|² − 2·v·c + |c|²; |v|² is constant per row for the
+    * argmin, so rank by (−2·v·c + |c|², cell-id).
+    * D suffix: bare SQL numeric literals with many digits parse as
+    * DECIMAL(19,19), which vec_dot rejects. */
+  private def cellRank(cent: Array[Array[Double]]): Column =
+    array_sort(array(cent.zipWithIndex.map { case (c, i) =>
       val dot = expr(s"vec_dot(v, ${c.mkString("array(", "D,", "D)")})")
       struct((lit(-2) * dot + lit(c.map(x => x * x).sum)).as("d"), lit(i).as("i"))
     }: _*))
-    val eCell = e.withColumn("cell", element_at(cellRank, 1).getField("i"))
+
+  /** Train the coarse quantizer and assign every corpus vector to its
+    * nearest cell (one narrow map — the cell becomes the shuffle/
+    * partition key downstream). */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      numCells: Int = 16, sampleSize: Int = 256): IvfIndex = {
+    val e = prepared(corpus, idCol, vecCol)
+    val cent = trainCentroids(e, numCells, sampleSize)
+    IvfIndex(cent, e.withColumn("cell", element_at(cellRank(cent), 1).getField("i")))
+  }
+
+  /** Probe a built index: explode each query onto its `nprobe`
+    * nearest cells, equi-join on the cell key, exact-score only those
+    * cells, global top-k per probe with deterministic (score desc,
+    * id) tie-break. All distributed work is equi-join + window — the
+    * quadratic scan is cut to ~nprobe/numCells of the corpus. */
+  def ivfProbe(index: IvfIndex, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 10): DataFrame = {
+    val cent = index.centroids
     val p = prepared(probes, idCol, vecCol)
       .withColumn("probe_cell",
-        explode(slice(transform(cellRank, s => s.getField("i")), 1, math.min(nprobe, cent.length))))
+        explode(slice(transform(cellRank(cent), s => s.getField("i")), 1,
+          math.min(nprobe, cent.length))))
       .select(col("vec_id").as("pid"), col("v").as("pv"), col("nrm").as("pnrm"),
         col("probe_cell"))
-    val scored = p.join(eCell, col("probe_cell") === col("cell") && col("vec_id") =!= col("pid"))
+    val scored = p.join(index.assigned,
+        col("probe_cell") === col("cell") && col("vec_id") =!= col("pid"))
       .select(col("pid"), col("vec_id").as("cid"),
         (expr("vec_dot(pv, v)") / (col("pnrm") * col("nrm"))).as("score"))
     val w = org.apache.spark.sql.expressions.Window
@@ -147,6 +165,14 @@ object VectorOps {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("pid"), col("rk"), col("cid"), col("score"))
   }
+
+  /** Approximate cosine top-k through a sampled-k-means IVF index —
+    * one-shot convenience over [[buildIvfIndex]] + [[ivfProbe]]. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      numCells: Int = 16, nprobe: Int = 10, sampleSize: Int = 256): DataFrame =
+    ivfProbe(buildIvfIndex(corpus, idCol, vecCol, numCells, sampleSize),
+      probes, idCol, vecCol, k, nprobe)
 
   /** Per-label centroids and each vector's distance to its own
     * centroid (partial-aggregable sums per (label, dim)). */

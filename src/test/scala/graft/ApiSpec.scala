@@ -69,6 +69,15 @@ class ApiSpec extends SparkSpec {
     val ivf = VectorOps.ivfTopK(vecs, vecs.filter(col("vid") === 1), "vid", "emb", k = 1)
       .collect()
     assert(ivf.length === 1 && ivf.head.getLong(2) === 2L)
+    // build-once/probe-many: one index serves multiple probe batches
+    // and agrees with the one-shot form
+    val idx = VectorOps.buildIvfIndex(vecs, "vid", "emb")
+    val p1 = VectorOps.ivfProbe(idx, vecs.filter(col("vid") === 1), "vid", "emb", k = 1)
+      .collect()
+    val p3 = VectorOps.ivfProbe(idx, vecs.filter(col("vid") === 3), "vid", "emb", k = 1)
+      .collect()
+    assert(p1.map(r => (r.getLong(0), r.getLong(2))).toSeq === Seq((1L, 2L)))
+    assert(p3.length === 1 && p3.head.getLong(0) === 3L)
   }
 
   test("minhashNearDupClusters assigns every doc; components match the pair graph") {
