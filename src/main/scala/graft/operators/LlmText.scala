@@ -105,9 +105,10 @@ object LlmText {
 
     // n-gram (bigram-set) Jaccard flavor, FULL corpus: order-sensitive,
     // unlike the token-set keys — same vocabulary, different phrasing
-    // scores low. Banded at 16 bands × 2 rows: true pairs here all
-    // score J >= 0.9 (measured; random pairs p99 = 0.079), so the
-    // per-pair miss probability is ~3e-12 and candidates stay ~1%.
+    // scores low. Banded at the API default 10 bands × 3 rows: true
+    // pairs here all score J >= 0.9 (measured; random pairs p99 =
+    // 0.079), so the per-pair miss probability is (1-0.9³)^10 ≈ 2e-6
+    // and random-pair collisions stay ~2e-4 (see ngramJaccardPairs).
     "llm_dedup_ngram_jaccard" -> ((s, d) =>
       graft.api.TextOps.ngramJaccardPairs(
         Tables.t(s, d, "documents"),
