@@ -134,6 +134,22 @@ class ApiSpec extends SparkSpec {
     val aboveScan = plan.split("InMemoryTableScan|FileScan")(0)
     assert(!aboveScan.contains("Exchange"),
       s"repetitionStats plans a shuffle:\n$plan")
+    // property-style: random small-alphabet docs (forced repeats)
+    // against a plain-Scala reference count
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val gen = (0 until 100).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val genDf = spark.createDataFrame(gen).toDF("doc_id", "text")
+    TextOps.repetitionStats(genDf, "doc_id", "text").collect().foreach { r =>
+      val toks = gen(r.getLong(0).toInt)._2.split(" ").toSeq
+      val uniRef = toks.groupBy(identity).values.map(_.size).max
+      val biRef = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).values.map(_.size).maxOption.getOrElse(0)
+      assert(r.getInt(2) === uniRef, s"unigram mismatch for '${gen(r.getLong(0).toInt)._2}'")
+      assert(r.getInt(3) === biRef, s"bigram mismatch for '${gen(r.getLong(0).toInt)._2}'")
+    }
     // thresholds must actually split the corpus (no vacuous green)
     val keeps = graft.operators.LlmAnalysis.queries("llm_repetition_filter")(spark, sf)
       .groupBy("keep").count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
