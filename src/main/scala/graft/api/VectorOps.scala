@@ -62,13 +62,22 @@ object VectorOps {
       tau: Double, numBlocks: Int = 8): DataFrame = {
     val e = prepared(df, idCol, vecCol)
     val spark = df.sparkSession
+    // RANGE-ordered blocks (id / width), not pmod: pair order then
+    // correlates with block order, so only the upper-triangular tiles
+    // bi ≤ bj can hold an (ida < idb) pair — half the tiles of the
+    // full grid are never materialized, halving the inherent Θ(n²)
+    // work. The max-id probe is bounded index-build driver work, like
+    // trainCentroids' sample.
+    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+    val width = maxId / numBlocks + 1
     val grid = spark.range(numBlocks.toLong * numBlocks)
       .select((col("id") / numBlocks).cast("int").as("bi"),
         (col("id") % numBlocks).cast("int").as("bj"))
+      .filter(col("bi") <= col("bj"))
     val a = e.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"),
-      pmod(col("vec_id"), lit(numBlocks)).cast("int").as("bi"))
+      (col("vec_id") / width).cast("int").as("bi"))
     val b = e.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"),
-      pmod(col("vec_id"), lit(numBlocks)).cast("int").as("bj"))
+      (col("vec_id") / width).cast("int").as("bj"))
     grid.join(a, "bi").join(b, "bj")
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb"),
