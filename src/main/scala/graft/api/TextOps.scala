@@ -70,9 +70,10 @@ object TextOps {
     * dropping those pairs is lossless at any τ; on this testbed it
     * cuts candidates ~3×, BEFORE the distinct shuffle and the
     * per-pair confirm). Signatures are computed per ROW with
-    * higher-order functions — a narrow codegen'd map, where the
-    * explode → numHashes-column groupBy formulation shuffles the
-    * whole exploded corpus once per dedup call. Hash collisions only
+    * higher-order functions — a narrow map (HOFs evaluate interpreted,
+    * but move no data), where the explode → numHashes-column groupBy
+    * formulation shuffles the whole exploded corpus once per dedup
+    * call. Hash collisions only
     * ADD candidates; the exact confirm downstream filters them.
     * Returns (a, b), a < b. */
   private def bandCandidates(groups: DataFrame, numHashes: Int, bands: Int,
