@@ -62,22 +62,30 @@ object VectorOps {
       tau: Double, numBlocks: Int = 8): DataFrame = {
     val e = prepared(df, idCol, vecCol)
     val spark = df.sparkSession
-    // RANGE-ordered blocks (id / width), not pmod: pair order then
-    // correlates with block order, so only the upper-triangular tiles
-    // bi ≤ bj can hold an (ida < idb) pair — half the tiles of the
-    // full grid are never materialized, halving the inherent Θ(n²)
-    // work. The max-id probe is bounded index-build driver work, like
-    // trainCentroids' sample.
-    val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
-    val width = maxId / numBlocks + 1
+    // RANGE-ordered blocks, not pmod: pair order then correlates with
+    // block order, so only the upper-triangular tiles bi ≤ bj can
+    // hold an (ida < idb) pair — half the tiles of the full grid are
+    // never materialized, halving the inherent Θ(n²) work. Block
+    // boundaries come from approximate id quantiles (bounded
+    // index-build driver work, like trainCentroids' sample), so
+    // blocks stay balanced under ANY id distribution — skewed,
+    // negative, or sparse — where a fixed-width split would pile the
+    // corpus into one quadratic tile. Any monotone assignment yields
+    // identical results; the boundaries only shape the tiles.
+    val cuts = if (df.isEmpty) Array.empty[Double]
+      else e.stat.approxQuantile("vec_id",
+        (1 until numBlocks).map(_.toDouble / numBlocks).toArray, 0.001)
+    def blockOf(id: Column): Column =
+      if (cuts.isEmpty) lit(0)
+      else size(filter(lit(cuts), c => id > c))
     val grid = spark.range(numBlocks.toLong * numBlocks)
       .select((col("id") / numBlocks).cast("int").as("bi"),
         (col("id") % numBlocks).cast("int").as("bj"))
       .filter(col("bi") <= col("bj"))
     val a = e.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"),
-      (col("vec_id") / width).cast("int").as("bi"))
+      blockOf(col("vec_id")).as("bi"))
     val b = e.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"),
-      (col("vec_id") / width).cast("int").as("bj"))
+      blockOf(col("vec_id")).as("bj"))
     grid.join(a, "bi").join(b, "bj")
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb"),

@@ -29,28 +29,25 @@ object LlmText {
       val stop = array(StopWords.map(lit): _*)
       // normalize+tokenize ONCE into a column; the stopword filter
       // then reads the bound array instead of re-running the regex.
-      // ONE pass over the regex: explode_outer the clean tokens with
-      // the per-doc sizes carried along, first-level agg per (lang,
-      // doc) collapses the fan-out, second level folds to lang — the
-      // two-consumer join formulation ran the whole tokenize pipeline
-      // twice (Spark does not CSE across join branches).
+      // Two consumers = the tokenize pipeline runs twice (Spark does
+      // not CSE across join branches) — deliberately kept: the
+      // single-scan alternative (collect per-doc distinct-token sets
+      // into the lang row) funnels O(corpus tokens) into one
+      // aggregation buffer, trading a cheap re-scan for unbounded
+      // reducer state; countDistinct keeps the distinct distributed.
       val perDoc = Tables.t(s, d, "documents")
-        .select(col("lang"), col("doc_id"),
+        .select(col("lang"),
           filter(split(lower(regexp_replace(col("text"), "[^a-z0-9 ]", " ")), " +"),
             x => length(x) > 0).as("toks"))
-        .select(col("lang"), col("doc_id"), size(col("toks")).as("st"),
+        .select(col("lang"), col("toks"),
           filter(col("toks"), x => !array_contains(stop, x)).as("clean"))
-      perDoc
-        .select(col("lang"), col("doc_id"), col("st"), size(col("clean")).as("sc"),
-          explode_outer(col("clean")).as("tok"))
-        .groupBy(col("lang"), col("doc_id"), col("st"), col("sc"))
-        .agg(collect_set(col("tok")).as("dtoks"))
-        .groupBy(col("lang")).agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("st")).as("tot_toks"),
-          sum(col("sc")).as("tot_clean"),
-          size(array_distinct(flatten(collect_list(col("dtoks"))))).cast("long").as("nd_toks"))
-        .orderBy(col("lang"))
+      val byLang = perDoc.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).as("tot_toks"),
+        sum(size(col("clean"))).as("tot_clean"))
+      val nd = perDoc.select(col("lang"), explode(col("clean")).as("tok"))
+        .groupBy(col("lang")).agg(countDistinct(col("tok")).as("nd_toks"))
+      byLang.join(nd, "lang").orderBy(col("lang"))
     },
 
     "llm_wordcount_tfidf" -> { (s, d) =>

@@ -45,10 +45,17 @@ for a, b in pairs:
 expected = {d: find(d) for d in docs}
 
 files = sorted(glob.glob(f"{outdir}/llm_dedup_clusters/*.parquet"))
-got = dict(con.execute(
-    f"SELECT doc_id, rep FROM read_parquet({files!r})").fetchall())
+rows = con.execute(
+    f"SELECT doc_id, rep FROM read_parquet({files!r})").fetchall()
+got = dict(rows)
+# exact key-set + cardinality check: extra rows, missing docs, and
+# conflicting duplicate doc_ids must all fail, not pass silently
+bad_shape = len(rows) != len(docs) or set(got) != set(docs)
 mismatch = [d for d in docs if expected[d] != got.get(d)]
 print(f"docs={len(docs)} pairs={len(pairs)} "
-      f"components={len(set(expected.values()))} mismatches={len(mismatch)}")
-print("CLUSTERS", "OK" if not mismatch else f"FAIL {mismatch[:10]}")
-sys.exit(1 if mismatch else 0)
+      f"components={len(set(expected.values()))} "
+      f"rows={len(rows)} mismatches={len(mismatch)}")
+ok = not mismatch and not bad_shape
+print("CLUSTERS", "OK" if ok else
+      f"FAIL shape_ok={not bad_shape} {mismatch[:10]}")
+sys.exit(0 if ok else 1)
