@@ -248,10 +248,15 @@ object TextOps {
       // pointer jump: lab(lab(v)) — labels are always real node ids
       // within the component, so composing them shortcuts the
       // remaining propagation depth each superstep (hash-min alone
-      // needs diameter-many rounds). True pointer DOUBLING (squaring
-      // the new mapping inside the superstep) was measured SLOWER
-      // here: it cuts supersteps 8 → 5 but doubles per-superstep join
-      // count, a net loss when each superstep is fixed-overhead-bound.
+      // needs diameter-many rounds). Two rejected variants, both
+      // measured SLOWER: true pointer DOUBLING (squaring the new
+      // mapping inside the superstep) cuts supersteps 8 → 5 but
+      // doubles per-superstep join count, a net loss when supersteps
+      // are fixed-overhead-bound; and fusing the jump into the edge
+      // join by unioning label-edges (v → lab(v)) onto `edges` halves
+      // the join count on paper but rebuilds the union every
+      // superstep, forfeiting the cached edge relation (6.4 s → 14 s
+      // warm at sf0.1).
       val jump = labels.select(col("node").as("lab"), col("lab").as("jmp_lab"))
       // carry the previous label through the checkpoint so the
       // convergence test is a filter on the materialized frame, not
