@@ -256,7 +256,9 @@ object TextOps {
       // join by unioning label-edges (v → lab(v)) onto `edges` halves
       // the join count on paper but rebuilds the union every
       // superstep, forfeiting the cached edge relation (6.4 s → 14 s
-      // warm at sf0.1).
+      // warm at sf0.1). Disabling AQE for the loop also measured ~2×
+      // slower: AQE's partition coalescing is what keeps each tiny
+      // superstep shuffle at ~1 task instead of 32.
       val jump = labels.select(col("node").as("lab"), col("lab").as("jmp_lab"))
       // carry the previous label through the checkpoint so the
       // convergence test is a filter on the materialized frame, not
