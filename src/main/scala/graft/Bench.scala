@@ -12,7 +12,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // best-effort: a warmup failure must never cost the bench run
     try Warmup.run(spark) catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SORTED iteration: Map order is hash-bucket order, so first-touch
+    // costs (table cache materialization, residual JIT) landed on a
+    // different key each build — r7→r8 showed ±6 s single-query swings
+    // on byte-identical code. Alphabetical order pins attribution so
+    // per-query numbers are comparable round over round.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -20,14 +25,14 @@ object Bench {
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def mapJson(entries: Iterable[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     // The driver keeps only the LAST ~2000 chars of stdout and parses
     // the final JSON line. Emit the full per-query map FIRST (humans /
     // manual recovery), then a contract line LAST whose embedded
     // queries map is capped to the slowest entries so the whole line
     // always fits inside the tail window untruncated.
     println(s"""{"metric":"queries","queries":${mapJson(results)},"sf":"$sfDir"}""")
-    val bySlowest = results.toSeq.sortBy(-_._2)
+    val bySlowest = results.sortBy(-_._2)
     val budget = 1700 // chars for the final line, < tail window minus sbt epilogue
     var keep = bySlowest.length
     def finalLine(k: Int): String = {

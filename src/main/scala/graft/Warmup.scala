@@ -48,6 +48,14 @@ object Warmup {
     val docs = Seq((1L, "a b c d"), (2L, "a b c d e"), (3L, "x y z"))
       .toDF("doc_id", "text")
     graft.api.TextOps.minhashNearDupClusters(docs, "doc_id", "text", 0.5).count()
+    // the simhash and shingle flavors compile DIFFERENT plan shapes
+    // (per-bit simhash fold + hamming filter; n-gram window transform
+    // and 10×3 banding) — without these two calls their first measured
+    // run pays ~3.6 s of Janino/JIT (r7 BenchOne: simhash 5.01 s first
+    // vs 1.42 s steady)
+    graft.api.TextOps.simhashNearDupPairs(docs, "doc_id", "text",
+      tau = 0.5, maxHamming = 8).count()
+    graft.api.TextOps.ngramJaccardPairs(docs, "doc_id", "text", n = 2, tau = 0.5).count()
     val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
       (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
     graft.api.VectorOps.cosineTopK(vecs, vecs, "vec_id", "embedding", 1).count()

@@ -52,16 +52,36 @@ object TextOps {
     df.groupBy(sha2(lower(trim(col(textCol))).cast("binary"), 256).as("h"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** Identical-set collapse: one representative (min id) per distinct
-    * element set, with the member list for later fan-out. Exact dups
-    * never reach the pairwise stages — per-set work is bounded.
-    * Empty sets are dropped: J(∅,∅) is 0/0, undefined, and the
-    * brute-force formulation never emits such pairs either. */
-  private def collapse(df: DataFrame, idCol: String, setCol: Column): DataFrame =
-    df.select(col(idCol).as("doc_id"), setCol.as("toks"))
+  /** Identical-set collapse, as TWO relations so no aggregation buffer
+    * ever holds a duplicate group's ids (the former
+    * `collect_list(doc_id)` design funneled every member of a distinct
+    * set into ONE reducer buffer — a single hot boilerplate document
+    * at corpus scale is an executor OOM):
+    *
+    *  - `groups` (rep, toks): one row per distinct set, rep = min id.
+    *    A plain min aggregate — partial-aggregable, so a mega-dup set
+    *    collapses map-side and the reducer sees one row per mapper.
+    *  - `membership` (doc_id, rep): each doc keyed to its set's
+    *    representative via an equi-join on the set column — the probe
+    *    side streams (constant memory per task) and AQE can
+    *    skew-split a hot set, where a window/partition formulation
+    *    would buffer the whole group in one task.
+    *
+    * Exact dups never reach the pairwise stages — per-set work is
+    * bounded. Empty sets are dropped: J(∅,∅) is 0/0, undefined, and
+    * the brute-force formulation never emits such pairs either. */
+  private final case class Collapsed(groups: DataFrame, membership: DataFrame) {
+    def cached(): this.type = { groups.cache(); membership.cache(); this }
+  }
+
+  private def collapse(df: DataFrame, idCol: String, setCol: Column): Collapsed = {
+    val base = df.select(col(idCol).as("doc_id"), setCol.as("toks"))
       .filter(size(col("toks")) > 0)
-      .groupBy(col("toks"))
-      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+    val groups = base.groupBy(col("toks")).agg(min(col("doc_id")).as("rep"))
+      .select(col("rep"), col("toks"))
+    val membership = base.join(groups, "toks").select(col("doc_id"), col("rep"))
+    Collapsed(groups, membership)
+  }
 
   /** Banded-MinHash candidate rep pairs over `groups` (from
     * [[collapse]]): fixed-seed murmur minhash signatures → int band
@@ -103,21 +123,22 @@ object TextOps {
   }
 
   /** Expand confirmed rep pairs (a, b, j) back to member pairs, plus
-    * the within-group pairs (identical sets, j = 1). Plain shuffle
-    * equi-joins — the rep/member table is never driver-materialized. */
-  private def fanOut(groups: DataFrame, repPairs: DataFrame): DataFrame = {
+    * the within-group pairs (identical sets, j = 1). Every stage is a
+    * plain shuffle equi-join on the membership RELATION — no member
+    * array is ever materialized, so the widest row is one (doc_id,
+    * rep) pair regardless of duplicate-group size, and only the
+    * OUTPUT (inherently quadratic in group size, as the pair-list
+    * contract demands) grows. */
+  private def fanOut(c: Collapsed, repPairs: DataFrame): DataFrame = {
+    val mem = c.membership
     val cross = repPairs
-      .join(groups.select(col("rep").as("a"), col("members").as("ma")), "a")
-      .join(groups.select(col("rep").as("b"), col("members").as("mb")), "b")
-      .select(explode(col("ma")).as("da"), col("mb"), col("j"))
-      .select(col("da"), explode(col("mb")).as("db"), col("j"))
+      .join(mem.select(col("rep").as("a"), col("doc_id").as("da")), "a")
+      .join(mem.select(col("rep").as("b"), col("doc_id").as("db")), "b")
       .select(least(col("da"), col("db")).as("a"),
         greatest(col("da"), col("db")).as("b"), col("j"))
-    val within = groups.filter(size(col("members")) >= 2)
-      .select(explode(col("members")).as("da"), col("members"))
-      .select(col("da"), explode(col("members")).as("db"))
-      .filter(col("da") < col("db"))
-      .select(col("da").as("a"), col("db").as("b"), lit(1.0).as("j"))
+    val within = mem.as("x").join(mem.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), lit(1.0).as("j"))
     cross.unionAll(within)
   }
 
@@ -155,8 +176,8 @@ object TextOps {
       df: DataFrame, idCol: String, setCol: Column, tau: Double,
       numHashes: Int, bands: Int): DataFrame = {
     Graft.registerAll(df.sparkSession)
-    val groups = collapse(df, idCol, setCol).cache()
-    fanOut(groups, confirmedRepPairs(groups, tau, numHashes, bands))
+    val c = collapse(df, idCol, setCol).cached()
+    fanOut(c, confirmedRepPairs(c.groups, tau, numHashes, bands))
   }
 
   /** SimHash near-duplicate pairs: 32-bit simhash from per-token
@@ -172,7 +193,8 @@ object TextOps {
       tau: Double, maxHamming: Int,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     Graft.registerAll(df.sparkSession)
-    val groups = collapse(df, idCol, tokenSet(col(textCol))).cache()
+    val c = collapse(df, idCol, tokenSet(col(textCol))).cached()
+    val groups = c.groups
     val cands = bandCandidates(groups, numHashes, bands, tau)
     // per-row simhash: materialize the token murmur bits once, then 32
     // per-bit aggregates over that array — no explode/groupBy shuffle,
@@ -195,7 +217,7 @@ object TextOps {
       .withColumn("j", expr(s"sorted_jaccard_min(ta, tb, ${tau}D)"))
       .filter(col("j") >= tau)
       .select(col("a"), col("b"), col("j"))
-    fanOut(groups, repPairs)
+    fanOut(c, repPairs)
   }
 
   /** n-gram (shingle-set) Jaccard near-duplicate pairs, banded like
@@ -223,12 +245,12 @@ object TextOps {
       df: DataFrame, idCol: String, textCol: String, tau: Double,
       numHashes: Int = 32, bands: Int = 8, maxIters: Int = 20): DataFrame = {
     Graft.registerAll(df.sparkSession)
-    val groups = collapse(df, idCol, tokenSet(col(textCol))).cache()
+    val c = collapse(df, idCol, tokenSet(col(textCol))).cached()
     // propagate on the REP graph (one node per distinct token set) —
     // exact-dup cliques are a single node, so the graph is orders of
     // magnitude smaller than the fanned-out pair list and the member
     // expansion happens exactly once, after the fixpoint
-    val repPairs = confirmedRepPairs(groups, tau, numHashes, bands)
+    val repPairs = confirmedRepPairs(c.groups, tau, numHashes, bands)
     val edges = repPairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(repPairs.select(col("b").as("src"), col("a").as("dst")))
       .cache()
@@ -275,13 +297,13 @@ object TextOps {
       i += 1
     }
     edges.unpersist()
-    // fan the rep labels out to members (singleton reps, absent from
-    // the loop, keep their own id); docs dropped by collapse (empty
+    // fan the rep labels out through the membership relation — an
+    // equi-join, no member arrays (singleton reps, absent from the
+    // loop, keep their own id); docs dropped by collapse (empty
     // sets) come back as singletons via the second left join
-    val assigned = groups
+    val assigned = c.membership
       .join(labels.withColumnRenamed("node", "rep"), Seq("rep"), "left")
-      .select(explode(col("members")).as("doc_id"),
-        coalesce(col("lab"), col("rep")).as("lab"))
+      .select(col("doc_id"), coalesce(col("lab"), col("rep")).as("lab"))
     df.select(col(idCol).as("doc_id"))
       .join(assigned, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("rep"))
