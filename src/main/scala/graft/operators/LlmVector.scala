@@ -45,7 +45,11 @@ object LlmVector {
     // VectorOps.cosineThresholdPairs: Θ(n²) compute is inherent at
     // tau=0.4 on dense vectors — measured, no sound pruning exists —
     // but the plan is bounded shuffle-join tiles, never a
-    // BroadcastNestedLoopJoin or a driver-side corpus).
+    // BroadcastNestedLoopJoin or a driver-side corpus). The declared
+    // 100 TB serving path is VectorOps.ivfThresholdPairs (shared-IVF-
+    // cell candidates, exact confirm — approximate, recall measured
+    // 1.0 on this corpus and asserted >= 0.8 in LlmSpec); this key
+    // stays on the exact form so it remains oracle-checkable.
     "llm_sim_threshold_pairs" -> ((s, d) =>
       graft.api.VectorOps.cosineThresholdPairs(
         Tables.t(s, d, "embeddings"), "vec_id", "embedding", tau = 0.4)

@@ -150,6 +150,24 @@ class ApiSpec extends SparkSpec {
       assert(r.getInt(2) === uniRef, s"unigram mismatch for '${gen(r.getLong(0).toInt)._2}'")
       assert(r.getInt(3) === biRef, s"bigram mismatch for '${gen(r.getLong(0).toInt)._2}'")
     }
+    // pinned adversarial edges: the greatest(n_toks - 1, 1) bigram
+    // denominator and the empty-bigram path get explicit cases, not
+    // just whatever the random generator happens to cover —
+    // (text, n_toks, top_tok_n, top_bigram_n, tok_ratio, bigram_ratio)
+    val edges = Seq(
+      (100L, "solo"),            // single token: no bigrams, denom clamps to 1
+      (101L, "x x x x x"),       // degenerate repetition: both ratios 1.0
+      (102L, "a b a b a"),       // alternating: max bigram 2 of 4, ratio 0.5
+      (103L, "a b c d e")        // all distinct: every count 1
+    )
+    val edgeDf = spark.createDataFrame(edges).toDF("doc_id", "text")
+    val er = TextOps.repetitionStats(edgeDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(er(100L) === ((1, 1, 0, 1.0, 0.0)))
+    assert(er(101L) === ((5, 5, 4, 1.0, 1.0)))
+    assert(er(102L) === ((5, 3, 2, 0.6, 0.5)))
+    assert(er(103L) === ((5, 1, 1, 0.2, 0.25)))
     // thresholds must actually split the corpus (no vacuous green)
     val keeps = graft.operators.LlmAnalysis.queries("llm_repetition_filter")(spark, sf)
       .groupBy("keep").count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
