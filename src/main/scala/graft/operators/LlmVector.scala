@@ -73,6 +73,21 @@ object LlmVector {
         .orderBy(col("pid"), col("rk"))
     },
 
+    // the threshold-join scale path as a first-class key: candidates
+    // from shared IVF cells, exact confirm. Approximate by
+    // construction -> rows-only key; LlmSpec asserts approx ⊆ exact
+    // and recall >= 0.8 vs the exact block-grid (measured 1.0 here).
+    // On these isotropic worst-case embeddings the cell filter prunes
+    // little (documented in VectorOps) — on clustered real embeddings
+    // the same plan's candidate mass drops to the per-cell pair mass.
+    "llm_sim_threshold_ivf" -> { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val idx = graft.api.VectorOps.buildIvfIndex(emb, "vec_id", "embedding")
+      graft.api.VectorOps.ivfThresholdPairs(idx, tau = 0.4)
+        .select(col("ida"), col("idb"), col("score").cast(FloatType).as("score"))
+        .orderBy(col("ida"), col("idb"))
+    },
+
     "llm_embed_centroids" -> ((s, d) =>
       graft.api.VectorOps.centroidDistances(
         Tables.t(s, d, "embeddings"), "vec_id", "embedding", "label")
