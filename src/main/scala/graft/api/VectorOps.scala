@@ -131,11 +131,16 @@ object VectorOps {
   }
 
   /** A built IVF index: the trained coarse quantizer plus the corpus
-    * with its cell assignment materialized as a column. Build ONCE,
-    * probe many — at 100 TB `assigned` is persisted as a
-    * cell-partitioned table and shared by every query batch, instead
-    * of re-training the quantizer and re-assigning the corpus per
-    * call (which rescans everything). */
+    * with its cell assignment materialized as columns — `cells` is the
+    * FULL distance-ranked cell-id list (numCells ints, tiny next to
+    * the vector itself) and `cell` its head. Build ONCE, probe many —
+    * at 100 TB `assigned` is persisted as a cell-partitioned table
+    * and shared by every query batch, instead of re-training the
+    * quantizer and re-assigning the corpus per call (which rescans
+    * everything). Storing the ranking at build time means multi-probe
+    * consumers ([[ivfThresholdPairs]]) slice a column instead of
+    * re-scoring all centroids per row and re-embedding the k×dim
+    * centroid literals into every probe plan. */
   final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
 
   /** Rank all cells for the row's `v` by exact distance:
@@ -150,13 +155,17 @@ object VectorOps {
     }: _*))
 
   /** Train the coarse quantizer and assign every corpus vector to its
-    * nearest cell (one narrow map — the cell becomes the shuffle/
-    * partition key downstream). */
+    * distance-ranked cell list (one narrow map — the head cell becomes
+    * the shuffle/partition key downstream; the tail rows pay for
+    * themselves the first time a multi-probe consumer reuses them). */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       numCells: Int = 16, sampleSize: Int = 256): IvfIndex = {
     val e = prepared(corpus, idCol, vecCol)
     val cent = trainCentroids(e, numCells, sampleSize)
-    IvfIndex(cent, e.withColumn("cell", element_at(cellRank(cent), 1).getField("i")))
+    val assigned = e
+      .withColumn("cells", transform(cellRank(cent), s => s.getField("i")))
+      .withColumn("cell", element_at(col("cells"), 1))
+    IvfIndex(cent, assigned)
   }
 
   /** Probe a built index: explode each query onto its `nprobe`
@@ -200,19 +209,19 @@ object VectorOps {
     * measured recall sits well above the bar on real clustered
     * embeddings. */
   def ivfThresholdPairs(index: IvfIndex, tau: Double, nprobe: Int = 5): DataFrame = {
-    val cent = index.centroids
+    // ONE exploded probe-cell relation, self-joined under aliases: the
+    // ranked `cells` column was materialized at index-build time, so
+    // neither join side re-scores the centroids (no k×dim literals in
+    // the plan) and the two sides are the identical subtree — the
+    // pcell shuffle is planned once and reused for both inputs
     val multi = index.assigned
-      .withColumn("pcell",
-        explode(slice(transform(cellRank(cent), s => s.getField("i")), 1,
-          math.min(nprobe, cent.length))))
-    val x = multi.select(col("vec_id").as("ida"), col("v").as("va"),
-      col("nrm").as("na"), col("pcell"))
-    val y = multi.select(col("vec_id").as("idb"), col("v").as("vb"),
-      col("nrm").as("nb"), col("pcell"))
-    x.join(y, Seq("pcell"))
-      .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"),
-        (expr("vec_dot(va, vb)") / (col("na") * col("nb"))).as("score"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(slice(col("cells"), 1,
+          math.min(nprobe, index.centroids.length))).as("pcell"))
+    multi.as("x").join(multi.as("y"),
+        col("x.pcell") === col("y.pcell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"),
+        (expr("vec_dot(x.v, y.v)") / (col("x.nrm") * col("y.nrm"))).as("score"))
       .filter(col("score") >= tau)
       .dropDuplicates("ida", "idb")
   }
