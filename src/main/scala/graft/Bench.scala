@@ -12,6 +12,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // best-effort: a warmup failure must never cost the bench run
     try Warmup.run(spark) catch { case _: Throwable => }
+    // Machine-speed calibration, measured before and after the suite:
+    // a fixed synthetic Spark job (range → project → shuffle agg) that
+    // touches the same machinery the measured queries do (task
+    // scheduling, codegen'd eval, one exchange) but none of the test
+    // data. The bench host was OBSERVED (r10) oscillating between fast
+    // and ~10x-slow phases on identical binaries and an otherwise idle
+    // machine (llm_dedup_clusters warm: 6.5 s at 23:02, 92.7 s at
+    // 23:28, 9.3 s at 23:35 the same night, with raw single- and
+    // multi-core arithmetic spins staying fast throughout — the slow
+    // phase hits threaded JVM/shuffle work specifically, with ~30%
+    // kernel time). Round totals are therefore only comparable after
+    // dividing by the calibration; ~0.5-1.5 s is a healthy reading.
+    def calSpark(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 100000000L, 1L, 32)
+        .selectExpr("id % 97 AS k", "id * 2654435761L AS v")
+        .groupBy("k").sum("v").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calSpark() // compile/JIT the probe plan outside both readings
+    val calStart = calSpark()
     // SORTED iteration: Map order is hash-bucket order, so first-touch
     // costs (table cache materialization, residual JIT) landed on a
     // different key each build — r7→r8 showed ±6 s single-query swings
@@ -25,6 +46,7 @@ object Bench {
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def mapJson(entries: Iterable[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val calEnd = calSpark()
     val total = results.map(_._2).sum
     // The driver keeps only the LAST ~2000 chars of stdout and parses
     // the final JSON line. Emit the full per-query map FIRST (humans /
@@ -39,7 +61,7 @@ object Bench {
       val kept = bySlowest.take(k)
       val rest = bySlowest.drop(k).map(_._2).sum
       val entries = if (k < bySlowest.length) kept :+ ("_other" -> rest) else kept
-      s"""{"metric":"graft_bench","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${mapJson(entries)},"sf":"$sfDir"}"""
+      s"""{"metric":"graft_bench","value":${fmt(total)},"unit":"sec","n":${results.size},"cal_start_sec":${fmt(calStart)},"cal_end_sec":${fmt(calEnd)},"queries":${mapJson(entries)},"sf":"$sfDir"}"""
     }
     while (keep > 1 && finalLine(keep).length > budget) keep -= 1
     println(finalLine(keep))

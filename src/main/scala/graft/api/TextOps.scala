@@ -72,7 +72,23 @@ object TextOps {
     * the brute-force formulation never emits such pairs either. */
   private final case class Collapsed(groups: DataFrame, membership: DataFrame) {
     def cached(): this.type = { groups.cache(); membership.cache(); this }
+    def unpersist(): Unit = {
+      groups.unpersist(blocking = false); membership.unpersist(blocking = false)
+    }
   }
+
+  /** Bounded lifecycle for the per-invocation collapse caches. A bare
+    * `.cache()` here is a session-lifetime leak: every dedup call (4
+    * bench keys + 3 warmup calls) would pin TWO DataFrames forever.
+    * Instead, live Collapsed caches are registered per canonical
+    * groups-plan: a same-plan call reuses the registered entry (the
+    * cross-key reuse the bench relies on — minhash/simhash/clusters
+    * share one token-set collapse), and the registry evicts
+    * least-recently-used entries beyond 2 (token-set + shingle-set of
+    * the current corpus; a new corpus/SF evicts the old one). */
+  private val liveCollapsed =
+    new java.util.LinkedHashMap[String, Collapsed](8, 0.75f, true)
+  private val maxLiveCollapsed = 2
 
   private def collapse(df: DataFrame, idCol: String, setCol: Column): Collapsed = {
     val base = df.select(col(idCol).as("doc_id"), setCol.as("toks"))
@@ -80,7 +96,21 @@ object TextOps {
     val groups = base.groupBy(col("toks")).agg(min(col("doc_id")).as("rep"))
       .select(col("rep"), col("toks"))
     val membership = base.join(groups, "toks").select(col("doc_id"), col("rep"))
-    Collapsed(groups, membership)
+    val key = df.sparkSession.hashCode() + "|" +
+      groups.queryExecution.analyzed.canonicalized.semanticHash()
+    liveCollapsed.synchronized {
+      val hit = liveCollapsed.get(key)
+      if (hit != null) hit
+      else {
+        val c = Collapsed(groups, membership).cached()
+        liveCollapsed.put(key, c)
+        val it = liveCollapsed.entrySet().iterator()
+        while (liveCollapsed.size() > maxLiveCollapsed && it.hasNext) {
+          it.next().getValue.unpersist(); it.remove()
+        }
+        c
+      }
+    }
   }
 
   /** Banded-MinHash candidate rep pairs over `groups` (from
@@ -176,7 +206,7 @@ object TextOps {
       df: DataFrame, idCol: String, setCol: Column, tau: Double,
       numHashes: Int, bands: Int): DataFrame = {
     Graft.registerAll(df.sparkSession)
-    val c = collapse(df, idCol, setCol).cached()
+    val c = collapse(df, idCol, setCol)
     fanOut(c, confirmedRepPairs(c.groups, tau, numHashes, bands))
   }
 
@@ -193,7 +223,7 @@ object TextOps {
       tau: Double, maxHamming: Int,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     Graft.registerAll(df.sparkSession)
-    val c = collapse(df, idCol, tokenSet(col(textCol))).cached()
+    val c = collapse(df, idCol, tokenSet(col(textCol)))
     val groups = c.groups
     val cands = bandCandidates(groups, numHashes, bands, tau)
     // per-row simhash: materialize the token murmur bits once, then 32
@@ -245,7 +275,7 @@ object TextOps {
       df: DataFrame, idCol: String, textCol: String, tau: Double,
       numHashes: Int = 32, bands: Int = 8, maxIters: Int = 20): DataFrame = {
     Graft.registerAll(df.sparkSession)
-    val c = collapse(df, idCol, tokenSet(col(textCol))).cached()
+    val c = collapse(df, idCol, tokenSet(col(textCol)))
     // propagate on the REP graph (one node per distinct token set) —
     // exact-dup cliques are a single node, so the graph is orders of
     // magnitude smaller than the fanned-out pair list and the member

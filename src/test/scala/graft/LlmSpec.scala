@@ -67,7 +67,8 @@ class LlmSpec extends SparkSpec {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       for (key <- Seq("llm_dedup_minhash", "llm_dedup_simhash",
-          "llm_dedup_ngram_jaccard", "llm_sim_threshold_pairs")) {
+          "llm_dedup_ngram_jaccard", "llm_sim_threshold_pairs",
+          "llm_sim_threshold_ivf")) {
         val df =
           if (key.startsWith("llm_dedup")) graft.operators.LlmText.queries(key)(spark, sf)
           else graft.operators.LlmVector.queries(key)(spark, sf)

@@ -45,7 +45,10 @@ class ScanSpec extends SparkSpec {
   test("partition pruning reaches the file index (PartitionFilters)") {
     import graft.operators.Scans
     Scans.queries("scan_partitioned")(spark, sf).count() // writes the partitioned copy
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_io/${math.abs(sf.hashCode)}/scan_partitioned"
+    // same key scheme as Scans.ioDir — the old abs(hashCode) path kept
+    // passing only off a stale pre-r4 staging dir until a reboot wiped
+    // /tmp (caught r10)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_io/${graft.Q.pathKey(sf)}/scan_partitioned"
     val df = spark.read.parquet(dir).filter(col("o_year") === 1997)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan)
