@@ -72,8 +72,46 @@ object TextOps {
     * the brute-force formulation never emits such pairs either. */
   private final case class Collapsed(groups: DataFrame, membership: DataFrame) {
     def cached(): this.type = { groups.cache(); membership.cache(); this }
-    def unpersist(): Unit = {
+
+    /** Banded minhash signatures of `groups`, cached per (numHashes,
+      * bands): (doc_id = rep, sz, bkey) with one row per (rep, band).
+      * The signature computation is the per-row interpreted-HOF pass —
+      * the priciest narrow stage of the dedup pipeline — and is
+      * tau-INDEPENDENT (tau only filters the candidate join), so one
+      * materialization serves the band self-join's both sides AND
+      * every same-parameter dedup flavor over this collapse
+      * (minhash/simhash/clusters all use 32x8). */
+    private val bandsCache =
+      scala.collection.mutable.Map.empty[(Int, Int), DataFrame]
+
+    def bandedSignatures(numHashes: Int, bands: Int): DataFrame = synchronized {
+      bandsCache.getOrElseUpdate((numHashes, bands), {
+        val rowsPerBand = numHashes / bands
+        require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+        // ONE array column for the whole signature (each token's string
+        // is murmured once, then the i-th hash mixes the seed with that
+        // int) instead of numHashes separate projections: the
+        // expression tree stays tiny, so Catalyst analysis and Janino
+        // compilation of the plan are O(1) in numHashes (the 30-column
+        // form cost ~5 s of per-plan optimizer+codegen time before the
+        // first row moved)
+        val sigs = groups
+          .select(col("rep").as("doc_id"), size(col("toks")).as("sz"),
+            transform(col("toks"), t => hash(t)).as("hs"))
+          .select(col("doc_id"), col("sz"),
+            transform(sequence(lit(0), lit(numHashes - 1)),
+              i => array_min(transform(col("hs"), h => hash(i, h)))).as("sig"))
+        sigs.select(col("doc_id"), col("sz"),
+          explode(transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))).as("bkey"))
+          .cache()
+      })
+    }
+
+    def unpersist(): Unit = synchronized {
       groups.unpersist(blocking = false); membership.unpersist(blocking = false)
+      bandsCache.values.foreach(_.unpersist(blocking = false))
+      bandsCache.clear()
     }
   }
 
@@ -126,25 +164,13 @@ object TextOps {
     * call. Hash collisions only
     * ADD candidates; the exact confirm downstream filters them.
     * Returns (a, b), a < b. */
-  private def bandCandidates(groups: DataFrame, numHashes: Int, bands: Int,
+  private def bandCandidates(c: Collapsed, numHashes: Int, bands: Int,
       tau: Double): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    // ONE array column for the whole signature (each token's string is
-    // murmured once, then the i-th hash mixes the seed with that int)
-    // instead of numHashes separate projections: the expression tree
-    // stays tiny, so Catalyst analysis and Janino compilation of the
-    // plan are O(1) in numHashes (the 30-column form cost ~5 s of
-    // per-plan optimizer+codegen time before the first row moved)
-    val sigs = groups
-      .select(col("rep").as("doc_id"), size(col("toks")).as("sz"),
-        transform(col("toks"), t => hash(t)).as("hs"))
-      .select(col("doc_id"), col("sz"),
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          i => array_min(transform(col("hs"), h => hash(i, h)))).as("sig"))
-    val bandsDf = sigs.select(col("doc_id"), col("sz"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))).as("bkey"))
+    // the banded-signature relation is cached on the Collapsed (see
+    // bandedSignatures): both sides of the self-join read one
+    // materialization instead of re-running the interpreted signature
+    // pass per side, and same-parameter dedup flavors share it
+    val bandsDf = c.bandedSignatures(numHashes, bands)
     bandsDf.as("x").join(bandsDf.as("y"),
         col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id") &&
           col("x.sz") >= lit(tau) * col("y.sz") && col("y.sz") >= lit(tau) * col("x.sz"))
@@ -186,10 +212,10 @@ object TextOps {
   /** Confirmed rep pairs (a, b, j): banded candidates → exact
     * sorted-merge Jaccard ≥ tau. Shared by the pair and cluster
     * output forms. */
-  private def confirmedRepPairs(groups: DataFrame, tau: Double,
+  private def confirmedRepPairs(c: Collapsed, tau: Double,
       numHashes: Int, bands: Int): DataFrame = {
-    val cands = bandCandidates(groups, numHashes, bands, tau)
-    val reps = groups.select(col("rep"), col("toks"))
+    val cands = bandCandidates(c, numHashes, bands, tau)
+    val reps = c.groups.select(col("rep"), col("toks"))
     cands
       .join(reps.select(col("rep").as("a"), col("toks").as("ta")), "a")
       .join(reps.select(col("rep").as("b"), col("toks").as("tb")), "b")
@@ -207,7 +233,7 @@ object TextOps {
       numHashes: Int, bands: Int): DataFrame = {
     Graft.registerAll(df.sparkSession)
     val c = collapse(df, idCol, setCol)
-    fanOut(c, confirmedRepPairs(c.groups, tau, numHashes, bands))
+    fanOut(c, confirmedRepPairs(c, tau, numHashes, bands))
   }
 
   /** SimHash near-duplicate pairs: 32-bit simhash from per-token
@@ -225,7 +251,7 @@ object TextOps {
     Graft.registerAll(df.sparkSession)
     val c = collapse(df, idCol, tokenSet(col(textCol)))
     val groups = c.groups
-    val cands = bandCandidates(groups, numHashes, bands, tau)
+    val cands = bandCandidates(c, numHashes, bands, tau)
     // per-row simhash: materialize the token murmur bits once, then 32
     // per-bit aggregates over that array — no explode/groupBy shuffle,
     // no join back onto the rep table, and ONE nested expression (not
@@ -280,7 +306,7 @@ object TextOps {
     // exact-dup cliques are a single node, so the graph is orders of
     // magnitude smaller than the fanned-out pair list and the member
     // expansion happens exactly once, after the fixpoint
-    val repPairs = confirmedRepPairs(c.groups, tau, numHashes, bands)
+    val repPairs = confirmedRepPairs(c, tau, numHashes, bands)
     val edges = repPairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(repPairs.select(col("b").as("src"), col("a").as("dst")))
       .cache()
