@@ -48,6 +48,28 @@ class ApiSpec extends SparkSpec {
     assert(pairs === Set((10L, 11L), (10L, 14L), (11L, 14L)))
   }
 
+  test("collapse registry eviction never breaks a returned lazy frame") {
+    val s = spark
+    import s.implicits._
+    // hold a LAZY result over corpus A, then churn the bounded cache
+    // registry past its capacity with distinct collapses (B, C, and a
+    // shingle flavor) so A's cached collapse is evicted, THEN evaluate
+    // A: the frame must recompute transparently and stay correct
+    val lazyA = TextOps.minhashNearDupPairs(docs, "my_id", "my_text", tau = 0.95)
+    val corpusB = Seq((1L, "u v w"), (2L, "u v w"), (3L, "x y z"))
+      .toDF("id", "txt")
+    val corpusC = Seq((7L, "p q r s"), (8L, "p q r s"), (9L, "m n o"))
+      .toDF("id", "txt")
+    assert(TextOps.minhashNearDupPairs(corpusB, "id", "txt", tau = 0.95)
+      .count() === 1)
+    assert(TextOps.ngramJaccardPairs(corpusB, "id", "txt", n = 2, tau = 0.5)
+      .count() === 1)
+    assert(TextOps.minhashNearDupPairs(corpusC, "id", "txt", tau = 0.95)
+      .count() === 1)
+    val pairs = lazyA.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 11L), (10L, 14L), (11L, 14L)))
+  }
+
   test("cosine ops on a caller-shaped vector frame") {
     val s = spark
     import s.implicits._
