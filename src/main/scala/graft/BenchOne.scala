@@ -19,10 +19,23 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     try Warmup.run(spark) catch { case _: Throwable => }
     val fn = SparkEntry.queries(key)
+    // host-speed probe per rep (same job as Bench's cal_start/end_sec):
+    // the bench host oscillates between fast and ~10x-slow phases for
+    // threaded JVM work (observed r10), so a raw rep time is
+    // uninterpretable without the calibration printed next to it
+    def calSpark(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 100000000L, 1L, 32)
+        .selectExpr("id % 97 AS k", "id * 2654435761L AS v")
+        .groupBy("k").sum("v").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calSpark() // compile/JIT the probe plan outside the readings
     (1 to reps).foreach { i =>
+      val cal = calSpark()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(f"BENCHONE $key run$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      println(f"BENCHONE $key run$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n cal=$cal%.2f s")
     }
     spark.stop()
   }
