@@ -70,8 +70,14 @@ object TextOps {
     * Exact dups never reach the pairwise stages — per-set work is
     * bounded. Empty sets are dropped: J(∅,∅) is 0/0, undefined, and
     * the brute-force formulation never emits such pairs either. */
-  private final case class Collapsed(groups: DataFrame, membership: DataFrame) {
+  private[graft] class Collapsed(val groups: DataFrame, val membership: DataFrame) {
     def cached(): this.type = { groups.cache(); membership.cache(); this }
+
+    /** Set once the registry drops this instance. A caller may still
+      * hold a reference (lazy frames recompute fine), but nothing will
+      * ever unpersist caches created AFTER eviction — so
+      * [[bandedSignatures]] must stop caching from that point. */
+    @volatile private[graft] var evicted = false
 
     /** Banded minhash signatures of `groups`, cached per (numHashes,
       * bands): (doc_id = rep, sz, bkey) with one row per (rep, band).
@@ -85,7 +91,7 @@ object TextOps {
       scala.collection.mutable.Map.empty[(Int, Int), DataFrame]
 
     def bandedSignatures(numHashes: Int, bands: Int): DataFrame = synchronized {
-      bandsCache.getOrElseUpdate((numHashes, bands), {
+      def build(): DataFrame = {
         val rowsPerBand = numHashes / bands
         require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
         // ONE array column for the whole signature (each token's string
@@ -104,11 +110,16 @@ object TextOps {
         sigs.select(col("doc_id"), col("sz"),
           explode(transform(sequence(lit(0), lit(bands - 1)),
             b => hash(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))).as("bkey"))
-          .cache()
-      })
+      }
+      // post-eviction: return the plan UNCACHED — a cache created now
+      // has no owner left to unpersist it (the instance is out of the
+      // registry), so it would pin executor memory for the session
+      if (evicted) build()
+      else bandsCache.getOrElseUpdate((numHashes, bands), build().cache())
     }
 
     def unpersist(): Unit = synchronized {
+      evicted = true
       groups.unpersist(blocking = false); membership.unpersist(blocking = false)
       bandsCache.values.foreach(_.unpersist(blocking = false))
       bandsCache.clear()
@@ -128,24 +139,61 @@ object TextOps {
     new java.util.LinkedHashMap[String, Collapsed](8, 0.75f, true)
   private val maxLiveCollapsed = 2
 
-  private def collapse(df: DataFrame, idCol: String, setCol: Column): Collapsed = {
+  /** Eviction is best-effort cleanup: an entry may be bound to a
+    * SparkSession that has since been stopped, and its unpersist can
+    * throw — that must never fail the unrelated live `collapse()`
+    * call that triggered the eviction. */
+  private def safeUnpersist(c: Collapsed): Unit =
+    try c.unpersist() catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Register under `key`, evicting LRU entries beyond capacity.
+    * Caller must hold `liveCollapsed`'s monitor (or be a test). */
+  private[graft] def registerCollapsed(key: String, c: Collapsed): Unit =
+    liveCollapsed.synchronized {
+      liveCollapsed.put(key, c)
+      val it = liveCollapsed.entrySet().iterator()
+      while (liveCollapsed.size() > maxLiveCollapsed && it.hasNext) {
+        safeUnpersist(it.next().getValue); it.remove()
+      }
+    }
+
+  /** The two relations of the exact-set collapse, pre-registry. */
+  private[graft] def collapseParts(df: DataFrame, idCol: String,
+      setCol: Column): (DataFrame, DataFrame) = {
     val base = df.select(col(idCol).as("doc_id"), setCol.as("toks"))
       .filter(size(col("toks")) > 0)
     val groups = base.groupBy(col("toks")).agg(min(col("doc_id")).as("rep"))
       .select(col("rep"), col("toks"))
-    val membership = base.join(groups, "toks").select(col("doc_id"), col("rep"))
+    (base, groups)
+  }
+
+  private[graft] def collapse(df: DataFrame, idCol: String, setCol: Column): Collapsed = {
+    val (base, groups) = collapseParts(df, idCol, setCol)
+    // the 32-bit semantic hash is only a LOOKUP key; correctness comes
+    // from the sameResult verification on hit inside collapseKeyed
     val key = df.sparkSession.hashCode() + "|" +
       groups.queryExecution.analyzed.canonicalized.semanticHash()
+    collapseKeyed(key, base, groups)
+  }
+
+  /** Registry lookup with the hit VERIFIED by full canonicalized-plan
+    * equality (`sameResult`), mirroring Spark's own CacheManager: the
+    * 32-bit key alone could collide across two different corpus plans
+    * and silently return the wrong collapse — a wrong dedup answer. A
+    * collided or stale entry is unpersisted (best-effort) and replaced
+    * by a fresh build. */
+  private[graft] def collapseKeyed(key: String, base: DataFrame,
+      groups: DataFrame): Collapsed = {
+    val membership = base.join(groups, "toks").select(col("doc_id"), col("rep"))
     liveCollapsed.synchronized {
       val hit = liveCollapsed.get(key)
-      if (hit != null) hit
+      if (hit != null &&
+          hit.groups.queryExecution.analyzed.sameResult(groups.queryExecution.analyzed))
+        hit
       else {
-        val c = Collapsed(groups, membership).cached()
-        liveCollapsed.put(key, c)
-        val it = liveCollapsed.entrySet().iterator()
-        while (liveCollapsed.size() > maxLiveCollapsed && it.hasNext) {
-          it.next().getValue.unpersist(); it.remove()
-        }
+        if (hit != null) { safeUnpersist(hit); liveCollapsed.remove(key) }
+        val c = new Collapsed(groups, membership).cached()
+        registerCollapsed(key, c)
         c
       }
     }

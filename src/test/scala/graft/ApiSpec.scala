@@ -70,6 +70,58 @@ class ApiSpec extends SparkSpec {
     assert(pairs === Set((10L, 11L), (10L, 14L), (11L, 14L)))
   }
 
+  test("collapse registry verifies plan equality on hit: a forced key collision never returns the wrong corpus") {
+    val s = spark
+    import s.implicits._
+    // two semantically DIFFERENT corpora registered under the SAME key
+    // simulate a 32-bit semanticHash collision: the sameResult check
+    // must reject the stale entry and build fresh, not silently hand
+    // corpus X's collapse to corpus Y (a wrong dedup answer)
+    val corpusX = Seq((1L, "a b c"), (2L, "a b c"), (3L, "q r s")).toDF("id", "txt")
+    val corpusY = Seq((1L, "m n"), (2L, "x y"), (3L, "z w")).toDF("id", "txt")
+    val (bx, gx) = TextOps.collapseParts(corpusX, "id", TextOps.tokenSet(col("txt")))
+    val (by, gy) = TextOps.collapseParts(corpusY, "id", TextOps.tokenSet(col("txt")))
+    val cx = TextOps.collapseKeyed("forced-collision", bx, gx)
+    val cy = TextOps.collapseKeyed("forced-collision", by, gy)
+    assert(!(cx eq cy), "collided key returned the other corpus's cached collapse")
+    assert(cy.groups.count() === 3) // corpus Y: 3 distinct token sets
+    assert(cx.groups.count() === 2) // stale instance stays lazily correct
+    // same key + same plan still reuses the registered instance
+    assert(TextOps.collapseKeyed("forced-collision", by, gy) eq cy)
+  }
+
+  test("bandedSignatures after eviction never creates an unowned cache") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "h i j"), (2L, "h i j"), (3L, "k l m")).toDF("id", "txt")
+    val (b, g) = TextOps.collapseParts(corpus, "id", TextOps.tokenSet(col("txt")))
+    val c = TextOps.collapseKeyed("evict-target", b, g)
+    assert(c.bandedSignatures(32, 8).storageLevel.useMemory,
+      "live collapse should cache its banded signatures")
+    c.unpersist() // what registry eviction calls
+    val sig = c.bandedSignatures(32, 8)
+    assert(sig.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "evicted collapse cached a frame nothing will ever unpersist")
+    assert(sig.count() === 16) // 2 reps x 8 bands, recomputed correctly
+  }
+
+  test("eviction of a poisoned entry (e.g. stopped session) never fails a live collapse") {
+    val s = spark
+    import s.implicits._
+    val (b, g) = TextOps.collapseParts(docs, "my_id", TextOps.tokenSet(col("my_text")))
+    def poisoned() = new TextOps.Collapsed(g, b) {
+      override def unpersist(): Unit =
+        throw new IllegalStateException("SparkSession already stopped")
+    }
+    // fill the bounded registry with entries whose cleanup throws
+    TextOps.registerCollapsed("poison-a", poisoned())
+    TextOps.registerCollapsed("poison-b", poisoned())
+    // the next real collapses must evict them without propagating
+    val corpusB = Seq((1L, "u v w"), (2L, "u v w"), (3L, "x y z")).toDF("id", "txt")
+    assert(TextOps.minhashNearDupPairs(corpusB, "id", "txt", tau = 0.95).count() === 1)
+    assert(TextOps.ngramJaccardPairs(corpusB, "id", "txt", n = 2, tau = 0.5).count() === 1)
+  }
+
   test("cosine ops on a caller-shaped vector frame") {
     val s = spark
     import s.implicits._
