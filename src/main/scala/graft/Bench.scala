@@ -66,15 +66,24 @@ object Bench {
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def mapJson(entries: Iterable[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val calQuickFinal = calQuick()
     val calEnd = calFull()
     val total = results.map(_._2).sum
-    // per-query host-normalized time: scale by this query's own probe
-    // vs the healthy constant, never upward. A query measured during a
-    // 10x-slow host phase (probe ~10x healthy) counts ~1/10 its raw
-    // reading; a query on a healthy host counts as measured.
+    // per-query host-normalized time: scale by the query's own probe
+    // BRACKET vs the healthy constant, never upward. Each query is
+    // bracketed by its pre-probe and the NEXT query's pre-probe (the
+    // last by one extra probe) and normalized by the slower of the
+    // two: a phase flip DURING a query (observed this round: a 0.40 s
+    // pre-probe followed by a 58 s reading and a 1.2 s next probe)
+    // is caught by the closing bracket, at zero extra probe cost. A
+    // query on a healthy host counts as measured; a 10x-slow phase
+    // counts ~1/10.
     def norm(raw: Double, cal: Double): Double =
       raw * math.min(1.0, calHealthyQuick / math.max(cal, 1e-9))
-    val totalNorm = results.map { case (_, raw, cal) => norm(raw, cal) }.sum
+    val totalNorm = results.zipWithIndex.map { case ((_, raw, cal), i) =>
+      val calClose = if (i + 1 < results.length) results(i + 1)._3 else calQuickFinal
+      norm(raw, math.max(cal, calClose))
+    }.sum
     val cals = results.map { case (n, _, c) => (n, c) }
     // The driver keeps only the LAST ~2000 chars of stdout and parses
     // the final JSON line. Emit the full per-query map FIRST, then the
@@ -83,7 +92,7 @@ object Bench {
     // slowest entries so the whole line always fits inside the tail
     // window untruncated.
     println(s"""{"metric":"queries","queries":${mapJson(results.map(r => (r._1, r._2)))},"sf":"$sfDir"}""")
-    println(s"""{"metric":"query_cals","cal_healthy_quick_sec":$calHealthyQuick,"cals":${mapJson(cals)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"query_cals","cal_healthy_quick_sec":$calHealthyQuick,"cal_quick_final_sec":${fmt(calQuickFinal)},"cals":${mapJson(cals)},"sf":"$sfDir"}""")
     val bySlowest = results.map(r => (r._1, r._2)).sortBy(-_._2)
     val budget = 1700 // chars for the final line, < tail window minus sbt epilogue
     var keep = bySlowest.length

@@ -1,0 +1,146 @@
+package graft.plans
+
+import graft.functions.SortedJaccardMin
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+/** SURVEY §4.1's one anticipated custom optimizer rule: rewrite a
+  * brute-force similarity join —
+  *
+  * {{{ L join R on sorted_jaccard_min(ta, tb, τ) >= τ [and ...] }}}
+  *
+  * (a cross product: the condition has no equi-join key, so Spark
+  * plans BroadcastNestedLoopJoin/CartesianProduct — Θ(|L|·|R|)) —
+  * into the banded-MinHash candidate equi-join the graft.api dedup
+  * pipeline uses: both sides gain per-row minhash band keys (32
+  * hashes × 8 bands, one narrow map each), the join becomes an
+  * equi-join on the band key (shuffle-partitionable, AQE-skew-
+  * splittable), and the ORIGINAL predicate is kept as the exact
+  * confirm, so no false positives are introduced. A distinct over the
+  * join's output collapses the one-row-per-shared-band multiplicity.
+  *
+  * OPT-IN, off by default (`spark.graft.lsh.rewrite.enabled`): LSH
+  * banding is probabilistic — a true pair whose signatures collide in
+  * no band is missed (at 32×8, P(miss) = (1−J⁴)⁸: ≈2e-6 at J=0.95,
+  * exactly 0 at J=1) — and the distinct assumes the joined outputs
+  * identify rows (true for the dedup pipelines this serves, where
+  * sides carry unique doc ids). Both caveats are the same contract
+  * the graft.api banded pipeline documents; the rule exists so a user
+  * who WROTE the brute-force form gets the banded plan by flipping a
+  * conf, with no query rewrite.
+  *
+  * Registration: `LshBandRewrite.install(spark)` on a live session
+  * (experimental optimizer rules), or
+  * `spark.sql.extensions=graft.plans.GraftExtensions` at session
+  * build. The rule runs in the "User Provided Optimizers" batch on a
+  * fully-resolved plan, so every emitted expression is constructed
+  * resolved (explicit lambda variables, typed attributes).
+  */
+case class LshBandRewrite(session: SparkSession)
+  extends Rule[LogicalPlan] with PredicateHelper {
+
+  import LshBandRewrite._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (conf.getConfString(EnabledKey, "false") != "true") plan
+    else plan.transformUp {
+      case j @ Join(left, right, Inner | Cross, Some(cond), hint)
+          if j.resolved && !alreadyBanded(left) && !alreadyBanded(right) =>
+        jaccardPred(cond, left, right) match {
+          case Some((ta, tb)) =>
+            val (genL, bkeyL) = withBandKeys(left, ta, leftSide = true)
+            val (genR, bkeyR) = withBandKeys(right, tb, leftSide = false)
+            val banded = Join(genL, genR, Inner,
+              Some(And(EqualTo(bkeyL, bkeyR), cond)), hint)
+            // one output row per shared band -> distinct back to the
+            // cross-join-filter multiplicity (canonical Aggregate form:
+            // the Distinct operator is already replaced by this point)
+            Aggregate(j.output, j.output, Project(j.output, banded))
+          case None => j
+        }
+    }
+
+  /** Refire guard: a join whose side already carries a band key is
+    * this rule's own output (the confirm predicate survives in its
+    * condition, so the pattern would match again under fixed point). */
+  private def alreadyBanded(p: LogicalPlan): Boolean =
+    p.output.exists(_.name.startsWith(BandColPrefix))
+
+  /** Find a conjunct `sorted_jaccard_min(l, r, _) >= τ` with one set
+    * column per join side; returns (leftSets, rightSets). */
+  private def jaccardPred(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression)] = {
+    def sides(l: Expression, r: Expression): Option[(Expression, Expression)] =
+      if (l.references.subsetOf(left.outputSet) &&
+          r.references.subsetOf(right.outputSet)) Some((l, r))
+      else if (r.references.subsetOf(left.outputSet) &&
+          l.references.subsetOf(right.outputSet)) Some((r, l))
+      else None
+    splitConjunctivePredicates(cond).iterator.map {
+      case GreaterThanOrEqual(SortedJaccardMin(l, r, _), Literal(_, _)) => sides(l, r)
+      case GreaterThan(SortedJaccardMin(l, r, _), Literal(_, _)) => sides(l, r)
+      case _ => None
+    }.collectFirst { case Some(p) => p }
+  }
+
+  /** Append an exploded minhash band-key column to `child`:
+    * Project(+hs) → Generate(explode(bandKeys(hs))). Same signature
+    * family as graft.api.TextOps (fixed-seed murmur, i-th hash mixes
+    * the seed into each token's single murmur), unrolled to resolved
+    * expressions because no analyzer runs after this batch. */
+  private def withBandKeys(child: LogicalPlan, sets: Expression,
+      leftSide: Boolean): (LogicalPlan, Attribute) = {
+    val at = sets.dataType.asInstanceOf[ArrayType]
+    // hs: each token murmured once, materialized per row so the
+    // numHashes sig expressions below share it instead of re-hashing
+    // the token array numHashes times
+    val tVar = NamedLambdaVariable("t", at.elementType, at.containsNull)
+    val hsAlias = Alias(
+      ArrayTransform(sets, LambdaFunction(new Murmur3Hash(Seq(tVar)), Seq(tVar))),
+      BandColPrefix + (if (leftSide) "hs_l" else "hs_r"))()
+    val proj = Project(child.output :+ hsAlias, child)
+    val hs = hsAlias.toAttribute
+    // sig_i = min_h murmur(i, h); band key b = murmur(b, sig_{b·r} ..)
+    val sigs = (0 until NumHashes).map { i =>
+      val hVar = NamedLambdaVariable("h", IntegerType, nullable = true)
+      ArrayMin(ArrayTransform(hs,
+        LambdaFunction(new Murmur3Hash(Seq(Literal(i), hVar)), Seq(hVar))))
+    }
+    val bandKeys = CreateArray((0 until Bands).map { b =>
+      new Murmur3Hash(Literal(b) +: sigs.slice(b * RowsPerBand, (b + 1) * RowsPerBand))
+    })
+    val bkey = AttributeReference(
+      BandColPrefix + (if (leftSide) "bkey_l" else "bkey_r"), IntegerType,
+      nullable = true)()
+    (Generate(Explode(bandKeys), unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(bkey), child = proj), bkey)
+  }
+}
+
+object LshBandRewrite {
+  val EnabledKey = "spark.graft.lsh.rewrite.enabled"
+  private val BandColPrefix = "_lsh_"
+  private val NumHashes = 32
+  private val Bands = 8
+  private val RowsPerBand = NumHashes / Bands
+
+  /** Idempotently register on a live session (the extensions hook only
+    * works at session build time). */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[LshBandRewrite]))
+      spark.experimental.extraOptimizations = cur :+ LshBandRewrite(spark)
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` injects the
+  * rewrite at session build; it stays inert until the conf flag
+  * enables it. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(s => LshBandRewrite(s))
+}

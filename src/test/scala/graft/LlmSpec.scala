@@ -114,6 +114,25 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.8, s"ivfThresholdPairs recall $recall below 0.8 bar")
   }
 
+  test("ivfThresholdPairs recall >= 0.8 holds at the sf0.1 corpus scale") {
+    // the suite's other assertions run at sf0.001 (500 vectors); the
+    // serving-path recall claim must also hold at the largest local
+    // corpus (sf0.1: 2000 vectors, same isotropic worst-case
+    // distribution), where cells are 4x fuller and a too-coarse
+    // quantizer would show up as recall collapse
+    val emb = Tables.t(spark, "/root/testdata/sf0.1", "embeddings")
+    val exact = graft.api.VectorOps.cosineThresholdPairs(emb, "vec_id", "embedding", tau = 0.4)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = graft.api.VectorOps.buildIvfIndex(emb, "vec_id", "embedding")
+    val approx = graft.api.VectorOps.ivfThresholdPairs(idx, tau = 0.4)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "sf0.1 corpus should contain threshold pairs")
+    assert(approx.subsetOf(exact), s"false positives: ${(approx -- exact).take(5)}")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"sf0.1 ivfThresholdPairs recall $recall%.3f (${approx.size}/${exact.size})")
+    assert(recall >= 0.8, s"sf0.1 ivfThresholdPairs recall $recall below 0.8 bar")
+  }
+
   test("tfidf top-5 rows are exactly 5 per doc with distinct terms") {
     val df = graft.operators.LlmText.queries("llm_wordcount_tfidf")(spark, sf)
     val byDoc = df.groupBy("doc_id").agg(count(lit(1)).as("n"),

@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.Graft
+import graft.plans.LshBandRewrite
+import org.apache.spark.sql.functions._
+
+/** SURVEY §4.1's custom optimizer rule: brute-force jaccard joins
+  * rewritten to banded equi-joins, opt-in, results unchanged on
+  * corpora where banding is lossless (J=1 pairs: zero miss
+  * probability).
+  */
+class PlanRuleSpec extends SparkSpec {
+
+  private def pairsDf = {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, "a b c"), (2L, "c b a"),       // same token SET -> J = 1
+      (3L, "x y z"), (4L, "a b c d e f")  // J(1,4) = 0.5 < tau
+    ).toDF("id", "txt")
+    val sets = base.select(col("id"),
+      array_sort(array_distinct(split(col("txt"), " "))).as("toks"))
+    val l = sets.select(col("id").as("ida"), col("toks").as("ta"))
+    val r = sets.select(col("id").as("idb"), col("toks").as("tb"))
+    // the brute-force form a user writes: no equi key, jaccard filter
+    l.join(r, expr("sorted_jaccard_min(ta, tb, 0.95) >= 0.95") &&
+      col("ida") < col("idb")).select(col("ida"), col("idb"))
+  }
+
+  test("LshBandRewrite is inert by default and rewrites only when enabled") {
+    Graft.registerAll(spark)
+    LshBandRewrite.install(spark)
+
+    // flag off (default): the brute-force plan stands — no band keys
+    val off = pairsDf
+    assert(!off.queryExecution.optimizedPlan.toString.contains("_lsh_"),
+      "rule fired without the conf flag")
+    assert(off.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L)))
+
+    spark.conf.set(LshBandRewrite.EnabledKey, "true")
+    try {
+      val on = pairsDf
+      val opt = on.queryExecution.optimizedPlan.toString
+      assert(opt.contains("_lsh_bkey_l") && opt.contains("_lsh_bkey_r"),
+        s"rule did not fire:\n$opt")
+      // the physical join must be an equi-join on the band key, not a
+      // quadratic fallback
+      val phys = on.queryExecution.executedPlan.toString
+      assert(!phys.contains("CartesianProduct") &&
+        !phys.contains("BroadcastNestedLoopJoin"),
+        s"banded plan still quadratic:\n$phys")
+      // identical results: J=1 pairs collide in every band, the kept
+      // original predicate confirms exactly, distinct collapses the
+      // per-band multiplicity
+      assert(on.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((1L, 2L)))
+    } finally spark.conf.set(LshBandRewrite.EnabledKey, "false")
+  }
+
+  test("declared llm keys are unaffected by the rule being installed") {
+    Graft.registerAll(spark)
+    LshBandRewrite.install(spark)
+    // flag stays default-off: the banded pipeline keys plan as before
+    val df = graft.operators.LlmText.queries("llm_dedup_minhash")(spark, sf)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("_lsh_"))
+    assert(df.count() > 0)
+  }
+}
