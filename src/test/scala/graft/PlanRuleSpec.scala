@@ -44,6 +44,8 @@ class PlanRuleSpec extends SparkSpec {
       val opt = on.queryExecution.optimizedPlan.toString
       assert(opt.contains("_lsh_bkey_l") && opt.contains("_lsh_bkey_r"),
         s"rule did not fire:\n$opt")
+      // the lossless tau-length filter must ride the banded join
+      assert(opt.contains("size("), s"length filter missing:\n$opt")
       // the physical join must be an equi-join on the band key, not a
       // quadratic fallback
       val phys = on.queryExecution.executedPlan.toString
