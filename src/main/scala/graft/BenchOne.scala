@@ -37,6 +37,9 @@ object BenchOne {
       val n = fn(spark, sfDir).count()
       println(f"BENCHONE $key run$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n cal=$cal%.2f s")
     }
+    // closing bracket: a phase flip DURING the last rep shows up here,
+    // not in any pre-rep cal (same lesson as Bench's per-query brackets)
+    println(f"BENCHONE $key cal_final=${calSpark()}%.2f s")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.SortedJaccardMin
+import graft.functions.{SortedJaccardMin, TokenJaccard}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
@@ -12,6 +12,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
   * brute-force similarity join —
   *
   * {{{ L join R on sorted_jaccard_min(ta, tb, τ) >= τ [and ...] }}}
+  * (or the raw-text form `token_jaccard(sa, sb) >= τ`, banded over
+  * the kernel's own token-set definition)
   *
   * (a cross product: the condition has no equi-join key, so Spark
   * plans BroadcastNestedLoopJoin/CartesianProduct — Θ(|L|·|R|)) —
@@ -96,11 +98,22 @@ case class LshBandRewrite(session: SparkSession)
       case n: Number => n.doubleValue()
       case _ => 0.0 // tau=0 makes the length filter vacuous, never wrong
     }
+    // the raw-text form banded over the SAME token-set definition the
+    // kernel uses (split on \s+, empties dropped): the length filter's
+    // losslessness proof is about the CONFIRM's set sizes, so the
+    // banding sets must match them exactly
+    def tokSet(e: Expression): Expression =
+      ArrayRemove(ArrayDistinct(
+        StringSplit(e, Literal("\\s+"), Literal(-1))), Literal(""))
     splitConjunctivePredicates(cond).iterator.map {
       case GreaterThanOrEqual(SortedJaccardMin(l, r, _), Literal(t, _)) =>
         sides(l, r, tauOf(t))
       case GreaterThan(SortedJaccardMin(l, r, _), Literal(t, _)) =>
         sides(l, r, tauOf(t))
+      case GreaterThanOrEqual(TokenJaccard(l, r), Literal(t, _)) =>
+        sides(l, r, tauOf(t)).map { case (a, b, tt) => (tokSet(a), tokSet(b), tt) }
+      case GreaterThan(TokenJaccard(l, r), Literal(t, _)) =>
+        sides(l, r, tauOf(t)).map { case (a, b, tt) => (tokSet(a), tokSet(b), tt) }
       case _ => None
     }.collectFirst { case Some(p) => p }
   }

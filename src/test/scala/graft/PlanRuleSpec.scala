@@ -60,6 +60,61 @@ class PlanRuleSpec extends SparkSpec {
     } finally spark.conf.set(LshBandRewrite.EnabledKey, "false")
   }
 
+  test("rewrite also matches the raw-text token_jaccard form") {
+    Graft.registerAll(spark)
+    LshBandRewrite.install(spark)
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a b c"), (2L, "c b a"), (3L, "x y z")).toDF("id", "txt")
+    val l = base.select(col("id").as("ida"), col("txt").as("sa"))
+    val r = base.select(col("id").as("idb"), col("txt").as("sb"))
+    def q = l.join(r, expr("token_jaccard(sa, sb) >= 0.95") &&
+      col("ida") < col("idb")).select(col("ida"), col("idb"))
+    val brute = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(brute === Set((1L, 2L)))
+    spark.conf.set(LshBandRewrite.EnabledKey, "true")
+    try {
+      val on = q
+      assert(on.queryExecution.optimizedPlan.toString.contains("_lsh_bkey_l"))
+      assert(on.collect().map(x => (x.getLong(0), x.getLong(1))).toSet === brute)
+    } finally spark.conf.set(LshBandRewrite.EnabledKey, "false")
+  }
+
+  test("property: banded results are a subset of brute force and miss no J=1 pair") {
+    Graft.registerAll(spark)
+    LshBandRewrite.install(spark)
+    val s = spark
+    import s.implicits._
+    // random small-alphabet docs: plenty of set-equal (J=1) pairs plus
+    // a band of partial overlaps around the tau=0.6 threshold
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val sets = docs.toDF("id", "txt").select(col("id"),
+      array_sort(array_distinct(split(col("txt"), " "))).as("toks"))
+    val l = sets.select(col("id").as("ida"), col("toks").as("ta"))
+    val r = sets.select(col("id").as("idb"), col("toks").as("tb"))
+    def q = l.join(r, expr("sorted_jaccard_min(ta, tb, 0.6) >= 0.6") &&
+      col("ida") < col("idb")).select(col("ida"), col("idb"))
+    val brute = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    spark.conf.set(LshBandRewrite.EnabledKey, "true")
+    val banded = try q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      finally spark.conf.set(LshBandRewrite.EnabledKey, "false")
+    // the kept original predicate means NO false positives, ever
+    assert(banded.subsetOf(brute), s"invented pairs: ${banded -- brute}")
+    // identical sets agree on every minhash -> collide in every band:
+    // J=1 pairs are structurally immune to LSH misses
+    val local = docs.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val j1 = (for {
+      a <- local.keys; b <- local.keys
+      if a < b && local(a) == local(b)
+    } yield (a, b)).toSet
+    assert(j1.nonEmpty, "corpus should contain set-equal pairs")
+    assert(j1.subsetOf(banded), s"missed J=1 pairs: ${j1 -- banded}")
+  }
+
   test("declared llm keys are unaffected by the rule being installed") {
     Graft.registerAll(spark)
     LshBandRewrite.install(spark)
