@@ -92,21 +92,21 @@ object TextOps {
 
     def bandedSignatures(numHashes: Int, bands: Int): DataFrame = synchronized {
       def build(): DataFrame = {
+        Graft.registerAll(groups.sparkSession) // minhash_sig; idempotent
         val rowsPerBand = numHashes / bands
         require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-        // ONE array column for the whole signature (each token's string
-        // is murmured once, then the i-th hash mixes the seed with that
-        // int) instead of numHashes separate projections: the
-        // expression tree stays tiny, so Catalyst analysis and Janino
-        // compilation of the plan are O(1) in numHashes (the 30-column
-        // form cost ~5 s of per-plan optimizer+codegen time before the
-        // first row moved)
+        // ONE array column for the whole signature, computed by the
+        // codegen'd minhash_sig kernel (bit-identical to the former
+        // nested-HOF formulation — asserted in ExtensibilitySpec —
+        // but a primitive loop instead of numHashes×tokens interpreted
+        // closure calls per row; this was the priciest narrow stage of
+        // every dedup flavor). One expression, not numHashes separate
+        // projections: Catalyst analysis and Janino compilation stay
+        // O(1) in numHashes (the 30-column form cost ~5 s of per-plan
+        // optimizer+codegen time before the first row moved)
         val sigs = groups
           .select(col("rep").as("doc_id"), size(col("toks")).as("sz"),
-            transform(col("toks"), t => hash(t)).as("hs"))
-          .select(col("doc_id"), col("sz"),
-            transform(sequence(lit(0), lit(numHashes - 1)),
-              i => array_min(transform(col("hs"), h => hash(i, h)))).as("sig"))
+            expr(s"minhash_sig(toks, $numHashes)").as("sig"))
         sigs.select(col("doc_id"), col("sz"),
           explode(transform(sequence(lit(0), lit(bands - 1)),
             b => hash(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))).as("bkey"))

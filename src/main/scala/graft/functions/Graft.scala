@@ -47,6 +47,9 @@ object Graft {
       reg.createOrReplaceTempFunction("topk_keys",
         exprs => TopKKeys(exprs(0), exprs(1),
           exprs(2).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction("minhash_sig",
+        exprs => MinhashSig(exprs(0),
+          exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
       reg.createOrReplaceTempFunction("vec_dot",
         exprs => VecDot(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("sorted_jaccard",

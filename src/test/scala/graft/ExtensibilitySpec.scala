@@ -20,6 +20,36 @@ class ExtensibilitySpec extends SparkSpec {
     assert(TokenJaccardUtil.compute(u("a a b"), u("a b")) === 1.0) // distinct sets
   }
 
+  test("minhash_sig is bit-identical to the nested-HOF formulation it replaced") {
+    Graft.registerAll(spark)
+    val s = spark
+    import s.implicits._
+    // random + adversarial arrays: empty, empty-string tokens, unicode,
+    // single token, long tokens — the signatures drive LSH band
+    // collisions, so ANY bit difference changes candidate sets
+    val rnd = new scala.util.Random(11)
+    val rows: Seq[(Long, Seq[String])] = (0 until 300).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, (0 until n).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(9)).mkString))
+    } ++ Seq(
+      (1000L, Seq.empty[String]),
+      (1001L, Seq("")),
+      (1002L, Seq("", "a", "")),
+      (1003L, Seq("é", "漢字", "emoji😀")),
+      (1004L, Seq("x" * 500)),
+      (1005L, Seq("a"))
+    )
+    val df = rows.toDF("id", "toks")
+    for (n <- Seq(30, 32)) { // the two production numHashes
+      val mismatch = df.selectExpr("id",
+        s"minhash_sig(toks, $n) AS fast",
+        s"transform(sequence(0, ${n - 1}), i -> array_min(transform(transform(toks, t -> hash(t)), h -> hash(i, h)))) AS ref")
+        .where("NOT (fast <=> ref)")
+      assert(mismatch.count() === 0,
+        s"minhash_sig($n) diverges from HOF reference: ${mismatch.take(3).mkString(", ")}")
+    }
+  }
+
   test("token_jaccard through codegen equals interpreted kernel") {
     Graft.registerAll(spark)
     Tables.views(spark, sf)
