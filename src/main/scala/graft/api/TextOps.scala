@@ -31,9 +31,12 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Distinct sorted token set of a whitespace-tokenized text column. */
+  /** Distinct sorted token set of a whitespace-tokenized text column.
+    * Backed by the codegen'd `ngram_set` kernel (1-grams = tokens);
+    * requires [[Graft.registerAll]] on the session before analysis —
+    * every TextOps entry point (and [[collapseParts]]) does this. */
   def tokenSet(textCol: Column): Column =
-    array_sort(array_distinct(split(textCol, " ")))
+    call_function("ngram_set", textCol, lit(1))
 
   /** Word n-gram array (order-sensitive shingles). */
   def wordNgrams(tk: Column, n: Int): Column =
@@ -42,9 +45,16 @@ object TextOps {
         i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*))
     ).otherwise(array().cast("array<string>"))
 
-  /** Distinct sorted n-gram shingle set of a text column. */
+  /** Distinct sorted n-gram shingle set of a text column. Backed by
+    * the codegen'd `ngram_set` kernel — one byte scan emitting
+    * zero-copy slices (an n-gram re-joined with the single-space
+    * delimiter IS a byte range of the original text), where the HOF
+    * form paid a closure call + concat allocation per shingle plus
+    * `array_sort`'s interpreted comparator, over the full corpus
+    * twice per collapse. Bit-identity vs the HOF form is asserted in
+    * ExtensibilitySpec; registration contract as [[tokenSet]]. */
   def ngramSet(textCol: Column, n: Int): Column =
-    array_sort(array_distinct(wordNgrams(split(textCol, " "), n)))
+    call_function("ngram_set", textCol, lit(n))
 
   /** Exact text dedup groups: sha256 of the normalized text, the
     * minimum id as group keeper, and the copy count. */
@@ -160,6 +170,7 @@ object TextOps {
   /** The two relations of the exact-set collapse, pre-registry. */
   private[graft] def collapseParts(df: DataFrame, idCol: String,
       setCol: Column): (DataFrame, DataFrame) = {
+    Graft.registerAll(df.sparkSession) // ngram_set in setCol; idempotent
     val base = df.select(col(idCol).as("doc_id"), setCol.as("toks"))
       .filter(size(col("toks")) > 0)
     val groups = base.groupBy(col("toks")).agg(min(col("doc_id")).as("rep"))
@@ -205,13 +216,12 @@ object TextOps {
     * join condition (J ≥ τ ⟹ τ·|A| ≤ |B| ≤ |A|/τ — a theorem, so
     * dropping those pairs is lossless at any τ; on this testbed it
     * cuts candidates ~3×, BEFORE the distinct shuffle and the
-    * per-pair confirm). Signatures are computed per ROW with
-    * higher-order functions — a narrow map (HOFs evaluate interpreted,
-    * but move no data), where the explode → numHashes-column groupBy
-    * formulation shuffles the whole exploded corpus once per dedup
-    * call. Hash collisions only
-    * ADD candidates; the exact confirm downstream filters them.
-    * Returns (a, b), a < b. */
+    * per-pair confirm). Signatures are computed per ROW by the
+    * codegen'd minhash_sig kernel — a narrow map that moves no data,
+    * where the explode → numHashes-column groupBy formulation
+    * shuffles the whole exploded corpus once per dedup call. Hash
+    * collisions only ADD candidates; the exact confirm downstream
+    * filters them. Returns (a, b), a < b. */
   private def bandCandidates(c: Collapsed, numHashes: Int, bands: Int,
       tau: Double): DataFrame = {
     // the banded-signature relation is cached on the Collapsed (see
@@ -300,20 +310,13 @@ object TextOps {
     val c = collapse(df, idCol, tokenSet(col(textCol)))
     val groups = c.groups
     val cands = bandCandidates(c, numHashes, bands, tau)
-    // per-row simhash: materialize the token murmur bits once, then 32
-    // per-bit aggregates over that array — no explode/groupBy shuffle,
-    // no join back onto the rep table, and ONE nested expression (not
-    // 32 projections) so per-plan optimizer/codegen cost stays flat
-    val simCol = expr(
-      """aggregate(
-        |  transform(sequence(0, 31), b ->
-        |    if(aggregate(hs, 0, (acc, h) -> acc + (shiftright(h, b) & 1) * 2 - 1) > 0,
-        |       shiftleft(1L, b), 0L)),
-        |  0L, (acc, x) -> acc + x)""".stripMargin)
+    // per-row simhash via the codegen'd simhash_sig kernel
+    // (bit-identical to the former 32-pass nested-HOF aggregate —
+    // asserted in ExtensibilitySpec): no explode/groupBy shuffle, no
+    // join back onto the rep table, one expression per row
     val withSim = groups
       .select(col("rep").as("doc_id"), col("toks"),
-        transform(col("toks"), t => hash(t)).as("hs"))
-      .select(col("doc_id"), col("toks"), simCol.as("sim"))
+        expr("simhash_sig(toks)").as("sim"))
     val repPairs = cands
       .join(withSim.select(col("doc_id").as("a"), col("toks").as("ta"), col("sim").as("sa")), "a")
       .join(withSim.select(col("doc_id").as("b"), col("toks").as("tb"), col("sim").as("sb")), "b")

@@ -50,6 +50,11 @@ object Graft {
       reg.createOrReplaceTempFunction("minhash_sig",
         exprs => MinhashSig(exprs(0),
           exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction("ngram_set",
+        exprs => NgramSet(exprs(0),
+          exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction("simhash_sig",
+        exprs => SimhashSig(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction("vec_dot",
         exprs => VecDot(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("sorted_jaccard",

@@ -50,6 +50,65 @@ class ExtensibilitySpec extends SparkSpec {
     }
   }
 
+  test("ngram_set is bit-identical to the split/HOF formulation it replaced") {
+    Graft.registerAll(spark)
+    val s = spark
+    import s.implicits._
+    // adversarial texts: consecutive/leading/trailing spaces (empty
+    // tokens), empty string, single token, unicode multibyte, long
+    // repeats — plus random space-ridden strings. The sets key the
+    // exact-dup collapse AND the confirm Jaccard, so any difference
+    // changes dedup output.
+    val rnd = new scala.util.Random(13)
+    val alphabet = Vector("a", "bb", "ccc", "é", "漢字", " ", "  ", "")
+    val rows: Seq[(Long, String)] = (0 until 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString)
+    } ++ Seq(
+      (1000L, ""), (1001L, " "), (1002L, "  "), (1003L, "a"),
+      (1004L, " a  b c "), (1005L, "x y x y x"), (1006L, "é 漢字 emoji😀 é"),
+      (1007L, ("tok " * 200).trim)
+    )
+    val df = rows.toDF("id", "txt")
+    for (n <- Seq(1, 2, 3)) {
+      val ref =
+        s"array_sort(array_distinct(CASE WHEN size(split(txt, ' ')) >= $n THEN transform(sequence(1, size(split(txt, ' ')) - ${n - 1}), i -> concat_ws(' ', ${(0 until n).map(o => s"element_at(split(txt, ' '), i + $o)").mkString(", ")})) ELSE array() END))"
+      val mismatch = df.selectExpr("id", s"ngram_set(txt, $n) AS fast", s"$ref AS ref")
+        .where("NOT (fast <=> ref)")
+      assert(mismatch.count() === 0,
+        s"ngram_set($n) diverges from HOF reference: ${mismatch.take(3).mkString(", ")}")
+    }
+    // declared null delta: kernel nulls out, HOF form gave empty array;
+    // both vanish at the collapse's size(toks) > 0 filter
+    assert(Seq((1L, null: String)).toDF("id", "txt")
+      .selectExpr("ngram_set(txt, 2) AS x").where("x IS NULL").count() === 1)
+  }
+
+  test("simhash_sig is bit-identical to the nested-HOF formulation it replaced") {
+    Graft.registerAll(spark)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows: Seq[(Long, Seq[String])] = (0 until 300).map { i =>
+      val m = rnd.nextInt(14)
+      (i.toLong, (0 until m).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString))
+    } ++ Seq(
+      (1000L, Seq.empty[String]), // 0L by both forms: every vote sum is 0
+      (1001L, Seq("")), (1002L, Seq("a")), (1003L, Seq("é", "漢字", "emoji😀")),
+      (1004L, Seq.fill(64)("same")) // heavy tie pressure on every bit
+    )
+    val mismatch = rows.toDF("id", "toks")
+      .selectExpr("id", "simhash_sig(toks) AS fast",
+        """aggregate(
+          |  transform(sequence(0, 31), b ->
+          |    if(aggregate(transform(toks, t -> hash(t)), 0,
+          |                 (acc, h) -> acc + (shiftright(h, b) & 1) * 2 - 1) > 0,
+          |       shiftleft(1L, b), 0L)),
+          |  0L, (acc, x) -> acc + x) AS ref""".stripMargin)
+      .where("NOT (fast <=> ref)")
+    assert(mismatch.count() === 0,
+      s"simhash_sig diverges from HOF reference: ${mismatch.take(3).mkString(", ")}")
+  }
+
   test("token_jaccard through codegen equals interpreted kernel") {
     Graft.registerAll(spark)
     Tables.views(spark, sf)
