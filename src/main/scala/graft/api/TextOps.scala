@@ -128,11 +128,29 @@ object TextOps {
       else bandsCache.getOrElseUpdate((numHashes, bands), build().cache())
     }
 
+    /** Confirmed rep pairs cached per (tau, numHashes, bands) — the
+      * band self-join + exact-confirm output, shared verbatim by every
+      * flavor that asks for the same parameters (the pair and cluster
+      * output forms both use tau with the default 32×8 banding, so the
+      * whole candidate+confirm stage runs ONCE per collapse, not once
+      * per output form). Same lifecycle rules as [[bandedSignatures]]:
+      * no caching after eviction. */
+    private val repPairsCache =
+      scala.collection.mutable.Map.empty[(Double, Int, Int), DataFrame]
+
+    def cachedConfirmedPairs(tau: Double, numHashes: Int, bands: Int)
+        (build: => DataFrame): DataFrame = synchronized {
+      if (evicted) build
+      else repPairsCache.getOrElseUpdate((tau, numHashes, bands), build.cache())
+    }
+
     def unpersist(): Unit = synchronized {
       evicted = true
       groups.unpersist(blocking = false); membership.unpersist(blocking = false)
       bandsCache.values.foreach(_.unpersist(blocking = false))
       bandsCache.clear()
+      repPairsCache.values.foreach(_.unpersist(blocking = false))
+      repPairsCache.clear()
     }
   }
 
@@ -271,18 +289,19 @@ object TextOps {
     * sorted-merge Jaccard ≥ tau. Shared by the pair and cluster
     * output forms. */
   private def confirmedRepPairs(c: Collapsed, tau: Double,
-      numHashes: Int, bands: Int): DataFrame = {
-    val cands = bandCandidates(c, numHashes, bands, tau)
-    val reps = c.groups.select(col("rep"), col("toks"))
-    cands
-      .join(reps.select(col("rep").as("a"), col("toks").as("ta")), "a")
-      .join(reps.select(col("rep").as("b"), col("toks").as("tb")), "b")
-      // threshold-aware kernel: exact j for every surviving pair,
-      // early abandon (-1) the moment a pair provably misses tau
-      .withColumn("j", expr(s"sorted_jaccard_min(ta, tb, ${tau}D)"))
-      .filter(col("j") >= tau)
-      .select(col("a"), col("b"), col("j"))
-  }
+      numHashes: Int, bands: Int): DataFrame =
+    c.cachedConfirmedPairs(tau, numHashes, bands) {
+      val cands = bandCandidates(c, numHashes, bands, tau)
+      val reps = c.groups.select(col("rep"), col("toks"))
+      cands
+        .join(reps.select(col("rep").as("a"), col("toks").as("ta")), "a")
+        .join(reps.select(col("rep").as("b"), col("toks").as("tb")), "b")
+        // threshold-aware kernel: exact j for every surviving pair,
+        // early abandon (-1) the moment a pair provably misses tau
+        .withColumn("j", expr(s"sorted_jaccard_min(ta, tb, ${tau}D)"))
+        .filter(col("j") >= tau)
+        .select(col("a"), col("b"), col("j"))
+    }
 
   /** [[minhashNearDupPairs]] over an arbitrary set-valued column —
     * shingle sets, token sets, anything array&lt;string&gt;. */

@@ -98,11 +98,19 @@ class ApiSpec extends SparkSpec {
     val c = TextOps.collapseKeyed("evict-target", b, g)
     assert(c.bandedSignatures(32, 8).storageLevel.useMemory,
       "live collapse should cache its banded signatures")
+    def fakeConfirm() = c.cachedConfirmedPairs(0.9, 32, 8) {
+      c.groups.select(col("rep").as("a"), col("rep").as("b"),
+        org.apache.spark.sql.functions.lit(1.0).as("j"))
+    }
+    assert(fakeConfirm().storageLevel.useMemory,
+      "live collapse should cache its confirmed rep pairs")
     c.unpersist() // what registry eviction calls
     val sig = c.bandedSignatures(32, 8)
     assert(sig.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
       "evicted collapse cached a frame nothing will ever unpersist")
     assert(sig.count() === 16) // 2 reps x 8 bands, recomputed correctly
+    assert(fakeConfirm().storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "evicted collapse cached a confirmed-pairs frame nothing will ever unpersist")
   }
 
   test("eviction of a poisoned entry (e.g. stopped session) never fails a live collapse") {
