@@ -1,12 +1,12 @@
 package graft.plans
 
-import graft.functions.{SortedJaccardMin, TokenJaccard}
+import graft.functions.{MinhashSig, SortedJaccardMin, TokenJaccard}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 /** SURVEY §4.1's one anticipated custom optimizer rule: rewrite a
   * brute-force similarity join —
@@ -119,30 +119,23 @@ case class LshBandRewrite(session: SparkSession)
   }
 
   /** Append an exploded minhash band-key column to `child`:
-    * Project(+hs) → Generate(explode(bandKeys(hs))). Same signature
-    * family as graft.api.TextOps (fixed-seed murmur, i-th hash mixes
-    * the seed into each token's single murmur), unrolled to resolved
-    * expressions because no analyzer runs after this batch. */
+    * Project(+sig) → Generate(explode(bandKeys(sig))). The signature
+    * is the codegen'd [[MinhashSig]] kernel — the SAME expression the
+    * graft.api pipeline computes (bit-identity to the murmur-HOF
+    * formulation asserted in ExtensibilitySpec), and the band key
+    * `murmur(b, slice(sig, b·r+1, r))` folds element-by-element
+    * exactly like TextOps' bkey, so a rewrite-banded join and the
+    * hand-built pipeline bucket identically. Constructed resolved
+    * because no analyzer runs after this batch. */
   private def withBandKeys(child: LogicalPlan, sets: Expression,
       leftSide: Boolean): (LogicalPlan, Attribute) = {
-    val at = sets.dataType.asInstanceOf[ArrayType]
-    // hs: each token murmured once, materialized per row so the
-    // numHashes sig expressions below share it instead of re-hashing
-    // the token array numHashes times
-    val tVar = NamedLambdaVariable("t", at.elementType, at.containsNull)
-    val hsAlias = Alias(
-      ArrayTransform(sets, LambdaFunction(new Murmur3Hash(Seq(tVar)), Seq(tVar))),
-      BandColPrefix + (if (leftSide) "hs_l" else "hs_r"))()
-    val proj = Project(child.output :+ hsAlias, child)
-    val hs = hsAlias.toAttribute
-    // sig_i = min_h murmur(i, h); band key b = murmur(b, sig_{b·r} ..)
-    val sigs = (0 until NumHashes).map { i =>
-      val hVar = NamedLambdaVariable("h", IntegerType, nullable = true)
-      ArrayMin(ArrayTransform(hs,
-        LambdaFunction(new Murmur3Hash(Seq(Literal(i), hVar)), Seq(hVar))))
-    }
+    val sigAlias = Alias(MinhashSig(sets, NumHashes),
+      BandColPrefix + (if (leftSide) "sig_l" else "sig_r"))()
+    val proj = Project(child.output :+ sigAlias, child)
+    val sig = sigAlias.toAttribute
     val bandKeys = CreateArray((0 until Bands).map { b =>
-      new Murmur3Hash(Literal(b) +: sigs.slice(b * RowsPerBand, (b + 1) * RowsPerBand))
+      new Murmur3Hash(Seq(Literal(b),
+        Slice(sig, Literal(b * RowsPerBand + 1), Literal(RowsPerBand))))
     })
     val bkey = AttributeReference(
       BandColPrefix + (if (leftSide) "bkey_l" else "bkey_r"), IntegerType,
