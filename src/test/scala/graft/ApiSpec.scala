@@ -48,6 +48,30 @@ class ApiSpec extends SparkSpec {
     assert(pairs === Set((10L, 11L), (10L, 14L), (11L, 14L)))
   }
 
+  test("dedup kernels run inside whole-stage codegen, not interpreted fallback") {
+    // the kernels exist to keep the narrow signature/confirm stages in
+    // generated code; a CodegenFallback regression (e.g. dropping
+    // doGenCode) would silently de-optimize every dedup flavor. WSCG
+    // spans render as "*(n)" prefixes in the executed plan.
+    graft.functions.Graft.registerAll(spark)
+    // a parquet scan source: a local Seq relation gets constant-folded
+    // into a LocalTableScan before any codegen happens
+    val df = Tables.t(spark, sf, "documents")
+      .selectExpr("ngram_set(text, 2) AS toks")
+      .selectExpr("minhash_sig(toks, 32) AS sig", "simhash_sig(toks) AS sim")
+    // collect() (not count(), which plans a separate aggregate query)
+    // so THIS queryExecution runs: AQE only renders WSCG "*(n)" spans
+    // on the final plan
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    for (k <- Seq("ngram_set", "minhash_sig", "simhash_sig")) {
+      // a codegen'd operator line reads like "+- *(1) Project [ngram_set(..."
+      val line = plan.linesIterator.find(_.contains(k))
+      assert(line.exists(l => l.indexOf("*(") >= 0 && l.indexOf("*(") < l.indexOf(k)),
+        s"$k not inside a WholeStageCodegen span:\n$plan")
+    }
+  }
+
   test("collapse registry eviction never breaks a returned lazy frame") {
     val s = spark
     import s.implicits._
