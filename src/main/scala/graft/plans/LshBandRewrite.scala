@@ -87,7 +87,14 @@ case class LshBandRewrite(session: SparkSession)
       right: LogicalPlan): Option[(Expression, Expression, Double)] = {
     def sides(l: Expression, r: Expression,
         tau: Double): Option[(Expression, Expression, Double)] =
-      if (l.references.subsetOf(left.outputSet) &&
+      // tau <= 0 is a vacuous predicate (every pair, even empty sets,
+      // satisfies it): the join IS a cross product and banding would
+      // silently drop almost all of it — leave such plans alone. The
+      // guard also makes the empty-set prune in withBandKeys lossless:
+      // both jaccard kernels return 0.0 on an empty union, so for
+      // tau > 0 an empty or null set can never confirm.
+      if (tau <= 0.0) None
+      else if (l.references.subsetOf(left.outputSet) &&
           r.references.subsetOf(right.outputSet)) Some((l, r, tau))
       else if (r.references.subsetOf(left.outputSet) &&
           l.references.subsetOf(right.outputSet)) Some((r, l, tau))
@@ -96,7 +103,7 @@ case class LshBandRewrite(session: SparkSession)
       case d: Double => d
       case f: Float => f.toDouble
       case n: Number => n.doubleValue()
-      case _ => 0.0 // tau=0 makes the length filter vacuous, never wrong
+      case _ => 0.0 // unknown literal shape -> tau guard skips the rewrite
     }
     // the raw-text form banded over the SAME token-set definition the
     // kernel uses (split on \s+, empties dropped): the length filter's
@@ -131,7 +138,14 @@ case class LshBandRewrite(session: SparkSession)
       leftSide: Boolean): (LogicalPlan, Attribute) = {
     val sigAlias = Alias(MinhashSig(sets, NumHashes),
       BandColPrefix + (if (leftSide) "sig_l" else "sig_r"))()
-    val proj = Project(child.output :+ sigAlias, child)
+    // lossless prune (caller guarantees tau > 0, under which an empty
+    // or null set can never satisfy the confirm): null/empty sets all
+    // hash to the SAME 8 band keys, so without this filter they pile
+    // into one bucket whose join does |nulls|^2 confirm work that is
+    // all rejected — a self-inflicted skew key at corpus scale
+    val pruned = Filter(And(IsNotNull(sets),
+      GreaterThan(Size(sets), Literal(0))), child)
+    val proj = Project(child.output :+ sigAlias, pruned)
     val sig = sigAlias.toAttribute
     val bandKeys = CreateArray((0 until Bands).map { b =>
       new Murmur3Hash(Seq(Literal(b),

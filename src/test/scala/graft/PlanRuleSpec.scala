@@ -115,6 +115,60 @@ class PlanRuleSpec extends SparkSpec {
     assert(j1.subsetOf(banded), s"missed J=1 pairs: ${j1 -- banded}")
   }
 
+  test("tau <= 0 (a vacuous predicate) is left alone even when enabled") {
+    Graft.registerAll(spark)
+    LshBandRewrite.install(spark)
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a b"), (2L, "c d")).toDF("id", "txt")
+    val sets = base.select(col("id"),
+      array_sort(array_distinct(split(col("txt"), " "))).as("toks"))
+    val l = sets.select(col("id").as("ida"), col("toks").as("ta"))
+    val r = sets.select(col("id").as("idb"), col("toks").as("tb"))
+    // jaccard >= 0 holds for EVERY pair: the join is a cross product
+    // by intent and banding would drop almost all of it
+    def q = l.join(r, expr("sorted_jaccard_min(ta, tb, 0.0) >= 0.0") &&
+      col("ida") < col("idb")).select(col("ida"), col("idb"))
+    spark.conf.set(LshBandRewrite.EnabledKey, "true")
+    try {
+      assert(!q.queryExecution.optimizedPlan.toString.contains("_lsh_"),
+        "rule fired on a vacuous tau<=0 predicate")
+      assert(q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet ===
+        Set((1L, 2L)))
+    } finally spark.conf.set(LshBandRewrite.EnabledKey, "false")
+  }
+
+  test("null and empty sets are pruned losslessly, not banded into one bucket") {
+    Graft.registerAll(spark)
+    LshBandRewrite.install(spark)
+    val s = spark
+    import s.implicits._
+    // two J=1 pairs plus null-text and whitespace-only (empty-set) rows
+    val base = Seq((1L, "a b c"), (2L, "c b a"), (3L, null),
+      (4L, " "), (5L, null), (6L, "x y"), (7L, "y x")).toDF("id", "txt")
+    val sets = base.select(col("id"), when(col("txt").isNotNull,
+      array_sort(array_remove(array_distinct(split(col("txt"), "\\s+")), ""))).as("toks"))
+    val l = sets.select(col("id").as("ida"), col("toks").as("ta"))
+    val r = sets.select(col("id").as("idb"), col("toks").as("tb"))
+    def q = l.join(r, expr("sorted_jaccard_min(ta, tb, 0.9) >= 0.9") &&
+      col("ida") < col("idb")).select(col("ida"), col("idb"))
+    val brute = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(brute === Set((1L, 2L), (6L, 7L)))
+    spark.conf.set(LshBandRewrite.EnabledKey, "true")
+    try {
+      val on = q
+      val opt = on.queryExecution.optimizedPlan.toString
+      assert(opt.contains("_lsh_bkey_l"), s"rule did not fire:\n$opt")
+      // the prune must ride the banded sides so null/empty rows never
+      // reach the band join (they all share the same 8 band keys);
+      // `size(..) > 0` is the rule's own conjunct — isnotnull alone
+      // could come from constraint inference
+      assert(opt.contains("isnotnull") && opt.contains("> 0"),
+        s"null/empty prune missing:\n$opt")
+      assert(on.collect().map(x => (x.getLong(0), x.getLong(1))).toSet === brute)
+    } finally spark.conf.set(LshBandRewrite.EnabledKey, "false")
+  }
+
   test("declared llm keys are unaffected by the rule being installed") {
     Graft.registerAll(spark)
     LshBandRewrite.install(spark)
