@@ -169,6 +169,33 @@ class PlanRuleSpec extends SparkSpec {
     } finally spark.conf.set(LshBandRewrite.EnabledKey, "false")
   }
 
+  test("rewrite bands arbitrary set expressions: the ngram_set shingle form") {
+    Graft.registerAll(spark)
+    LshBandRewrite.install(spark)
+    val s = spark
+    import s.implicits._
+    // bigram-shingle jaccard: docs 1/2 share every bigram (identical
+    // text), doc 3 is disjoint — the banding must ride ngram_set
+    // itself, not assume a token-set column exists
+    val base = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+      .toDF("id", "txt")
+    val l = base.select(col("id").as("ida"), col("txt").as("sa"))
+    val r = base.select(col("id").as("idb"), col("txt").as("sb"))
+    def q = l.join(r,
+      expr("sorted_jaccard_min(ngram_set(sa, 2), ngram_set(sb, 2), 0.9) >= 0.9") &&
+        col("ida") < col("idb")).select(col("ida"), col("idb"))
+    val brute = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(brute === Set((1L, 2L)))
+    spark.conf.set(LshBandRewrite.EnabledKey, "true")
+    try {
+      val on = q
+      val opt = on.queryExecution.optimizedPlan.toString
+      assert(opt.contains("_lsh_bkey_l") && opt.contains("ngram_set"),
+        s"rule did not band the ngram_set expression:\n$opt")
+      assert(on.collect().map(x => (x.getLong(0), x.getLong(1))).toSet === brute)
+    } finally spark.conf.set(LshBandRewrite.EnabledKey, "false")
+  }
+
   test("declared llm keys are unaffected by the rule being installed") {
     Graft.registerAll(spark)
     LshBandRewrite.install(spark)
