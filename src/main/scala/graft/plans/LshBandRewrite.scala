@@ -51,7 +51,12 @@ case class LshBandRewrite(session: SparkSession)
     if (conf.getConfString(EnabledKey, "false") != "true") plan
     else plan.transformUp {
       case j @ Join(left, right, Inner | Cross, Some(cond), hint)
-          if j.resolved && !alreadyBanded(left) && !alreadyBanded(right) =>
+          if j.resolved && !alreadyBanded(left) && !alreadyBanded(right) &&
+            // the de-duplicating Aggregate groups by EVERY join output
+            // column: a non-groupable type there (MapType) would make
+            // the rewritten plan fail at execution, so decline and
+            // leave the user's working brute-force plan in place
+            j.output.forall(a => RowOrdering.isOrderable(a.dataType)) =>
         jaccardPred(cond, left, right) match {
           case Some((ta, tb, tau)) =>
             val (genL, bkeyL) = withBandKeys(left, ta, leftSide = true)

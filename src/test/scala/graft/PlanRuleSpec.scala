@@ -196,6 +196,34 @@ class PlanRuleSpec extends SparkSpec {
     } finally spark.conf.set(LshBandRewrite.EnabledKey, "false")
   }
 
+  test("a non-groupable (map) join output column declines the rewrite") {
+    Graft.registerAll(spark)
+    LshBandRewrite.install(spark)
+    val s = spark
+    import s.implicits._
+    // the rewrite dedups with an Aggregate over ALL join output
+    // columns; maps can't be grouping keys, so firing here would turn
+    // a working brute-force join into a runtime failure
+    val base = Seq((1L, "a b c"), (2L, "c b a"), (3L, "x y")).toDF("id", "txt")
+    val sets = base.select(col("id"),
+      array_sort(array_distinct(split(col("txt"), " "))).as("toks"),
+      map(lit("k"), col("id")).as("meta"))
+    val l = sets.select(col("id").as("ida"), col("toks").as("ta"), col("meta"))
+    val r = sets.select(col("id").as("idb"), col("toks").as("tb"))
+    // keep the map in the final projection — otherwise column pruning
+    // (an earlier batch) removes it from the join output and the
+    // rewrite may legitimately fire
+    def q = l.join(r, expr("sorted_jaccard_min(ta, tb, 0.9) >= 0.9") &&
+      col("ida") < col("idb")).select(col("ida"), col("idb"), col("meta"))
+    spark.conf.set(LshBandRewrite.EnabledKey, "true")
+    try {
+      assert(!q.queryExecution.optimizedPlan.toString.contains("_lsh_"),
+        "rule fired despite a map-typed join output column")
+      assert(q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet ===
+        Set((1L, 2L)))
+    } finally spark.conf.set(LshBandRewrite.EnabledKey, "false")
+  }
+
   test("declared llm keys are unaffected by the rule being installed") {
     Graft.registerAll(spark)
     LshBandRewrite.install(spark)
