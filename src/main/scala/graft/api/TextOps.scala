@@ -1,8 +1,9 @@
 package graft.api
 
-import graft.functions.Graft
+import graft.functions.{Graft, NgramSet}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Public text-pipeline API over arbitrary DataFrames — the
   * library surface a training-data pipeline calls; the SparkEntry
@@ -32,11 +33,13 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Distinct sorted token set of a whitespace-tokenized text column.
-    * Backed by the codegen'd `ngram_set` kernel (1-grams = tokens);
-    * requires [[Graft.registerAll]] on the session before analysis —
-    * every TextOps entry point (and [[collapseParts]]) does this. */
-  def tokenSet(textCol: Column): Column =
-    call_function("ngram_set", textCol, lit(1))
+    * Backed by the codegen'd `ngram_set` kernel (1-grams = tokens).
+    * The Column carries the kernel EXPRESSION (via [[ColumnBridge]]),
+    * not an unresolved function name, so it analyzes on any session —
+    * no [[Graft.registerAll]] needed. Null text → null set (the
+    * kernel's documented semantics; every collapse-based pipeline
+    * drops null and empty sets alike). */
+  def tokenSet(textCol: Column): Column = ngramSet(textCol, 1)
 
   /** Word n-gram array (order-sensitive shingles). */
   def wordNgrams(tk: Column, n: Int): Column =
@@ -52,9 +55,10 @@ object TextOps {
     * form paid a closure call + concat allocation per shingle plus
     * `array_sort`'s interpreted comparator, over the full corpus
     * twice per collapse. Bit-identity vs the HOF form is asserted in
-    * ExtensibilitySpec; registration contract as [[tokenSet]]. */
+    * ExtensibilitySpec; session contract and null semantics as
+    * [[tokenSet]]. */
   def ngramSet(textCol: Column, n: Int): Column =
-    call_function("ngram_set", textCol, lit(n))
+    ColumnBridge.column(NgramSet(ColumnBridge.expression(textCol), n))
 
   /** Exact text dedup groups: sha256 of the normalized text, the
     * minimum id as group keeper, and the copy count. */

@@ -1,8 +1,7 @@
 package graft.functions
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
@@ -34,11 +33,15 @@ object WeightedMean extends Aggregator[(Double, Double), (Long, Long), Double] {
   * afterwards, so the functions work from SQL text and expr() alike.
   */
 object Graft {
-  private val registered = ConcurrentHashMap.newKeySet[Int]()
-
-  def registerAll(spark: SparkSession): Unit =
-    if (registered.add(System.identityHashCode(spark))) try {
-      val reg = spark.sessionState.functionRegistry
+  // keyed on the session's OWN FunctionRegistry, not a memo of session
+  // hashes: an identity-hash memo outlives stopped sessions and can
+  // collide with a later session's hash, silently skipping
+  // registration. The registry lookup is a map get, and concurrent
+  // double-registration is harmless (createOrReplaceTempFunction and
+  // udf.register are idempotent).
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("sorted_jaccard_min"))) {
       reg.createOrReplaceTempFunction("token_jaccard",
         exprs => TokenJaccard(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("ngrams",
@@ -71,7 +74,6 @@ object Graft {
       spark.udf.register("tier", (bal: Double) =>
         if (bal > 7500) "platinum" else if (bal > 2500) "gold"
         else if (bal >= 0) "standard" else "delinquent")
-    } catch { case e: Throwable =>
-      registered.remove(System.identityHashCode(spark)); throw e
     }
+  }
 }

@@ -280,4 +280,24 @@ class ApiSpec extends SparkSpec {
     assert(keeps.getOrElse(true, 0L) > 0 && keeps.getOrElse(false, 0L) > 0,
       s"repetition filter is vacuous: $keeps")
   }
+
+  test("tokenSet/ngramSet analyze on a session that never ran registerAll") {
+    // the helpers hand out the kernel EXPRESSION, not an unresolved
+    // function name: a fresh session (own FunctionRegistry, no graft
+    // registrations) must still analyze and execute them
+    val s2 = spark.newSession()
+    val df = s2.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1L, "b a c b")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("txt",
+          org.apache.spark.sql.types.StringType))))
+    val toks = df.select(TextOps.tokenSet(col("txt")).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(toks === Seq("a", "b", "c"))
+    val grams = df.select(TextOps.ngramSet(col("txt"), 2).as("g"))
+      .collect().head.getSeq[String](0)
+    assert(grams === Seq("a c", "b a", "c b"))
+  }
 }
