@@ -77,7 +77,11 @@ object Bench {
     // pre-probe followed by a 58 s reading and a 1.2 s next probe)
     // is caught by the closing bracket, at zero extra probe cost. A
     // query on a healthy host counts as measured; a 10x-slow phase
-    // counts ~1/10.
+    // counts ~1/10. Known one-sided error: a genuine engine
+    // regression in query i followed by a phase flip BETWEEN i and
+    // probe i+1 gets discounted too — the normalized total can
+    // under-read but the raw total and per-query maps are always
+    // emitted alongside for exactly this audit.
     def norm(raw: Double, cal: Double): Double =
       raw * math.min(1.0, calHealthyQuick / math.max(cal, 1e-9))
     val totalNorm = results.zipWithIndex.map { case ((_, raw, cal), i) =>

@@ -59,14 +59,16 @@ case class LshBandRewrite(session: SparkSession)
             j.output.forall(a => RowOrdering.isOrderable(a.dataType)) =>
         jaccardPred(cond, left, right) match {
           case Some((ta, tb, tau)) =>
-            val (genL, bkeyL) = withBandKeys(left, ta, leftSide = true)
-            val (genR, bkeyR) = withBandKeys(right, tb, leftSide = false)
+            val (genL, bkeyL, szL) = withBandKeys(left, ta, leftSide = true)
+            val (genR, bkeyR, szR) = withBandKeys(right, tb, leftSide = false)
             // the lossless length filter the hand-built pipeline folds
             // into its candidate join (J >= tau implies tau*|A| <= |B|
             // <= |A|/tau — a theorem, so pruning is exact at any tau;
-            // ~3x fewer confirms measured on the testbed corpora)
-            val szL = Cast(Size(ta), DoubleType)
-            val szR = Cast(Size(tb), DoubleType)
+            // ~3x fewer confirms measured on the testbed corpora).
+            // szL/szR are per-ROW projected attributes: inlining
+            // Size(ta) here would re-run the full set construction
+            // (regex split / ngram byte scan) once per candidate PAIR
+            // for the raw-text and shingle forms
             val lenFilter = And(
               GreaterThanOrEqual(szL, Multiply(Literal(tau), szR)),
               GreaterThanOrEqual(szR, Multiply(Literal(tau), szL)))
@@ -140,9 +142,12 @@ case class LshBandRewrite(session: SparkSession)
     * hand-built pipeline bucket identically. Constructed resolved
     * because no analyzer runs after this batch. */
   private def withBandKeys(child: LogicalPlan, sets: Expression,
-      leftSide: Boolean): (LogicalPlan, Attribute) = {
+      leftSide: Boolean): (LogicalPlan, Attribute, Attribute) = {
+    val side = if (leftSide) "l" else "r"
     val sigAlias = Alias(MinhashSig(sets, NumHashes),
-      BandColPrefix + (if (leftSide) "sig_l" else "sig_r"))()
+      BandColPrefix + s"sig_$side")()
+    val szAlias = Alias(Cast(Size(sets), DoubleType),
+      BandColPrefix + s"sz_$side")()
     // lossless prune (caller guarantees tau > 0, under which an empty
     // or null set can never satisfy the confirm): null/empty sets all
     // hash to the SAME 8 band keys, so without this filter they pile
@@ -150,17 +155,17 @@ case class LshBandRewrite(session: SparkSession)
     // all rejected — a self-inflicted skew key at corpus scale
     val pruned = Filter(And(IsNotNull(sets),
       GreaterThan(Size(sets), Literal(0))), child)
-    val proj = Project(child.output :+ sigAlias, pruned)
+    val proj = Project(child.output :+ sigAlias :+ szAlias, pruned)
     val sig = sigAlias.toAttribute
     val bandKeys = CreateArray((0 until Bands).map { b =>
       new Murmur3Hash(Seq(Literal(b),
         Slice(sig, Literal(b * RowsPerBand + 1), Literal(RowsPerBand))))
     })
     val bkey = AttributeReference(
-      BandColPrefix + (if (leftSide) "bkey_l" else "bkey_r"), IntegerType,
-      nullable = true)()
+      BandColPrefix + s"bkey_$side", IntegerType, nullable = true)()
     (Generate(Explode(bandKeys), unrequiredChildIndex = Nil, outer = false,
-      qualifier = None, generatorOutput = Seq(bkey), child = proj), bkey)
+      qualifier = None, generatorOutput = Seq(bkey), child = proj),
+      bkey, szAlias.toAttribute)
   }
 }
 
