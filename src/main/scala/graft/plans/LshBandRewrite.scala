@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{MinhashSig, SortedJaccardMin, TokenJaccard}
+import graft.functions.{MinhashSig, NgramSet, SortedJaccardMin, TokenJaccard}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
@@ -113,12 +113,13 @@ case class LshBandRewrite(session: SparkSession)
       case _ => 0.0 // unknown literal shape -> tau guard skips the rewrite
     }
     // the raw-text form banded over the SAME token-set definition the
-    // kernel uses (split on \s+, empties dropped): the length filter's
-    // losslessness proof is about the CONFIRM's set sizes, so the
-    // banding sets must match them exactly
-    def tokSet(e: Expression): Expression =
-      ArrayRemove(ArrayDistinct(
-        StringSplit(e, Literal("\\s+"), Literal(-1))), Literal(""))
+    // confirm kernel uses (split on \s+, empties dropped): the length
+    // filter's losslessness proof is about the CONFIRM's set sizes, so
+    // the banding sets must match them exactly. ngram_set(e, 1) IS
+    // that set (bit-identity to the split/distinct/remove form is
+    // asserted in ExtensibilitySpec), built in one codegen'd byte
+    // scan instead of a regex split + interpreted dedup per row
+    def tokSet(e: Expression): Expression = NgramSet(e, 1)
     splitConjunctivePredicates(cond).iterator.map {
       case GreaterThanOrEqual(SortedJaccardMin(l, r, _), Literal(t, _)) =>
         sides(l, r, tauOf(t))
