@@ -44,6 +44,8 @@ object Graft {
     if (!reg.functionExists(FunctionIdentifier("sorted_jaccard_min"))) {
       reg.createOrReplaceTempFunction("token_jaccard",
         exprs => TokenJaccard(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("token_set",
+        exprs => TokenSet(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction("ngrams",
         exprs => NGrams(exprs(0),
           exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
@@ -62,6 +64,15 @@ object Graft {
         exprs => VecDot(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("sorted_jaccard",
         exprs => SortedJaccard(exprs(0), exprs(1)), "built-in")
+      spark.udf.register("wmean",
+        udaf(WeightedMean, Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)))
+      spark.udf.register("tier", (bal: Double) =>
+        if (bal > 7500) "platinum" else if (bal > 2500) "gold"
+        else if (bal >= 0) "standard" else "delinquent")
+      // the sentinel registers LAST: if anything above throws, the
+      // functionExists probe stays false and the next registerAll call
+      // retries the whole block instead of permanently skipping the
+      // functions after the throw point
       reg.createOrReplaceTempFunction("sorted_jaccard_min",
         exprs => SortedJaccardMin(exprs(0), exprs(1),
           exprs(2).asInstanceOf[Literal].value match {
@@ -69,11 +80,6 @@ object Graft {
             case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
             case other => other.toString.toDouble
           }), "built-in")
-      spark.udf.register("wmean",
-        udaf(WeightedMean, Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)))
-      spark.udf.register("tier", (bal: Double) =>
-        if (bal > 7500) "platinum" else if (bal > 2500) "gold"
-        else if (bal >= 0) "standard" else "delinquent")
     }
   }
 }

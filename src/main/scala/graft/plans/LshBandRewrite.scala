@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{MinhashSig, NgramSet, SortedJaccardMin, TokenJaccard}
+import graft.functions.{MinhashSig, SortedJaccardMin, TokenJaccard, TokenSet}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
@@ -115,11 +115,14 @@ case class LshBandRewrite(session: SparkSession)
     // the raw-text form banded over the SAME token-set definition the
     // confirm kernel uses (split on \s+, empties dropped): the length
     // filter's losslessness proof is about the CONFIRM's set sizes, so
-    // the banding sets must match them exactly. ngram_set(e, 1) IS
-    // that set (bit-identity to the split/distinct/remove form is
-    // asserted in ExtensibilitySpec), built in one codegen'd byte
-    // scan instead of a regex split + interpreted dedup per row
-    def tokSet(e: Expression): Expression = NgramSet(e, 1)
+    // the banding sets must match them exactly. token_set IS that set
+    // (bit-identity to the split/remove/distinct form asserted in
+    // ExtensibilitySpec), built in one codegen'd byte scan. NOT
+    // ngram_set(e, 1): that kernel splits on single 0x20 only and
+    // KEEPS empty tokens, so on "a  b" vs "a b" (token_jaccard J = 1)
+    // its sizes 3 vs 2 would flunk the tau-length filter at tau=0.95
+    // and silently drop a true pair
+    def tokSet(e: Expression): Expression = TokenSet(e)
     splitConjunctivePredicates(cond).iterator.map {
       case GreaterThanOrEqual(SortedJaccardMin(l, r, _), Literal(t, _)) =>
         sides(l, r, tauOf(t))
@@ -171,6 +174,13 @@ case class LshBandRewrite(session: SparkSession)
 }
 
 object LshBandRewrite {
+  /** Opt-in flag. Enabling accepts two documented semantic deltas vs
+    * the brute-force plan: (1) the (1−J^b)^r band-miss probability
+    * (≈2e-6 at J=0.95 under 32×8, exactly 0 at J=1); (2) the final
+    * de-duplicating Aggregate collapses duplicate INPUT rows — a pair
+    * the brute-force join emits once per duplicate row appears once.
+    * Both match the graft.api banded pipeline's contract, where join
+    * sides carry unique doc ids and multiplicity is moot. */
   val EnabledKey = "spark.graft.lsh.rewrite.enabled"
   private val BandColPrefix = "_lsh_"
   private val NumHashes = 32

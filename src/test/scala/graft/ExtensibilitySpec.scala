@@ -83,6 +83,46 @@ class ExtensibilitySpec extends SparkSpec {
       .selectExpr("ngram_set(txt, 2) AS x").where("x IS NULL").count() === 1)
   }
 
+  test("token_set matches token_jaccard's own tokenization (\\s+ split, empties dropped)") {
+    Graft.registerAll(spark)
+    val s = spark
+    import s.implicits._
+    // adversarial whitespace: tabs, newlines, \x0B, \f, \r, runs of
+    // mixed whitespace, leading/trailing — exactly the texts where
+    // ngram_set(·, 1)'s single-0x20/keep-empties definition diverges.
+    // token_set bands the LSH rewrite's raw-text form, so a divergence
+    // from token_jaccard's sets makes the tau-length filter drop true
+    // pairs (the ADVICE r12 high finding).
+    val rnd = new scala.util.Random(19)
+    val alphabet = Vector("a", "bb", "ccc", "é", "漢字", " ", "\t", "\n",
+      "\r", "", "\f", "  ", "\t ", "")
+    val rows: Seq[(Long, String)] = (0 until 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString)
+    } ++ Seq(
+      (1000L, ""), (1001L, " "), (1002L, "\t\n\f\r "), (1003L, "a"),
+      (1004L, "a  b"), (1005L, "a\tb"), (1006L, " a \n b\tc "),
+      (1007L, "x y x\ry"), (1008L, "é\t漢字  emoji😀")
+    )
+    val df = rows.toDF("id", "txt")
+    val mismatch = df.select(col("id"), expr("token_set(txt)").as("fast"),
+      array_sort(array_distinct(array_remove(split(col("txt"), "\\s+"), lit("")))).as("ref"))
+      .where("NOT (fast <=> ref)")
+    assert(mismatch.count() === 0,
+      s"token_set diverges from split/remove/distinct reference: ${mismatch.take(3).mkString(", ")}")
+    assert(Seq((1L, null: String)).toDF("id", "txt")
+      .selectExpr("token_set(txt) AS x").where("x IS NULL").count() === 1)
+    // the property the LSH rewrite's raw-text form rests on: jaccard
+    // over token_set equals token_jaccard on the raw strings, so
+    // banding/length-filtering with token_set is confirm-consistent
+    val t = df.select(col("id"), col("txt"))
+    val cross = t.as("x").crossJoin(t.limit(40).as("y"))
+      .select(expr("sorted_jaccard(token_set(x.txt), token_set(y.txt))").as("via_set"),
+        expr("token_jaccard(x.txt, y.txt)").as("via_text"))
+      .where("NOT (via_set <=> via_text)")
+    assert(cross.count() === 0,
+      s"token_set jaccard diverges from token_jaccard: ${cross.take(3).mkString(", ")}")
+  }
+
   test("simhash_sig is bit-identical to the nested-HOF formulation it replaced") {
     Graft.registerAll(spark)
     val s = spark

@@ -80,6 +80,34 @@ class PlanRuleSpec extends SparkSpec {
     } finally spark.conf.set(LshBandRewrite.EnabledKey, "false")
   }
 
+  test("raw-text rewrite keeps token_jaccard pairs across messy whitespace") {
+    Graft.registerAll(spark)
+    LshBandRewrite.install(spark)
+    val s = spark
+    import s.implicits._
+    // docs 1-3 all have token set {a,b,c} under \s+/nonEmpty (J = 1
+    // pairwise) but DIFFERENT single-0x20 splits: banding with
+    // ngram_set(·,1) would size them 4/2/5 and the tau-length filter
+    // would drop every pair at tau=0.95 (the ADVICE r12 high finding);
+    // banding with token_set keeps them all
+    val base = Seq((1L, "a  b c"), (2L, "a b\tc"), (3L, "\nc  b a "),
+      (4L, "x y z")).toDF("id", "txt")
+    val l = base.select(col("id").as("ida"), col("txt").as("sa"))
+    val r = base.select(col("id").as("idb"), col("txt").as("sb"))
+    def q = l.join(r, expr("token_jaccard(sa, sb) >= 0.95") &&
+      col("ida") < col("idb")).select(col("ida"), col("idb"))
+    val brute = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(brute === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    spark.conf.set(LshBandRewrite.EnabledKey, "true")
+    try {
+      val on = q
+      val opt = on.queryExecution.optimizedPlan.toString
+      assert(opt.contains("_lsh_bkey_l") && opt.contains("token_set"),
+        s"rule did not band with token_set:\n$opt")
+      assert(on.collect().map(x => (x.getLong(0), x.getLong(1))).toSet === brute)
+    } finally spark.conf.set(LshBandRewrite.EnabledKey, "false")
+  }
+
   test("property: banded results are a subset of brute force and miss no J=1 pair") {
     Graft.registerAll(spark)
     LshBandRewrite.install(spark)
