@@ -50,6 +50,18 @@ object Bench {
     // value_cal_norm ≈ value; in the observed ~10x-slow phase the
     // probe reads ~3-5 s and that query counts ~1/10 its raw reading.
     val calHealthyQuick = 0.40
+    // Cumulative JVM GC milliseconds: a stall INSIDE a measured query
+    // (GC pause, or a host phase shorter than the probe spacing) is
+    // invisible to the probe brackets by construction — both probes
+    // read healthy around a 10x reading (observed r12:
+    // llm_dedup_exact_text 16.0 s in-suite vs 0.4 s isolated, brackets
+    // 0.32-0.78 s). Attributing per-query GC time separates "the plan
+    // is slow" from "the JVM stopped the world" in the artifact itself.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
     calFull(); calQuick() // compile/JIT both probe plans outside the readings
     val calStart = calFull()
     // SORTED iteration: Map order is hash-bucket order, so first-touch
@@ -57,18 +69,34 @@ object Bench {
     // different key each build — r7→r8 showed ±6 s single-query swings
     // on byte-identical code. Alphabetical order pins attribution so
     // per-query numbers are comparable round over round.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    case class R(name: String, sec: Double, cal: Double, gcSec: Double)
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): R = {
       val cal = calQuick()
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (name, (System.nanoTime() - t0) / 1e9, cal)
+      R(name, (System.nanoTime() - t0) / 1e9, cal, (gcMillis() - gc0) / 1e3)
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      timed(name, fn)
     }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def mapJson(entries: Iterable[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // Stall-free retry pass: a query whose reading is both large and
+    // far above its own GC-free work is re-run ONCE. The retry is
+    // WARM (the dedup caches are materialized), so min(first, retry)
+    // is a lower bound on cold suite time — value_stallfree is the
+    // "no transient stall" reading, emitted ALONGSIDE the raw total
+    // (never replacing it) for exactly the audit the r12 artifact
+    // needed: exact_text read 16.0 s in-suite with healthy brackets
+    // and 0.4 s isolated. Cap the pass at 5 queries so a genuinely
+    // slow engine can't buy itself a long warm second chance.
+    val retried = results.filter(r => r.sec >= 3.0).sortBy(-_.sec).take(5)
+      .map(r => r.name -> timed(r.name, SparkEntry.queries(r.name)).sec).toMap
     val calQuickFinal = calQuick()
     val calEnd = calFull()
-    val total = results.map(_._2).sum
+    val total = results.map(_.sec).sum
     // per-query host-normalized time: scale by the query's own probe
     // BRACKET vs the healthy constant, never upward. Each query is
     // bracketed by its pre-probe and the NEXT query's pre-probe (the
@@ -84,27 +112,31 @@ object Bench {
     // emitted alongside for exactly this audit.
     def norm(raw: Double, cal: Double): Double =
       raw * math.min(1.0, calHealthyQuick / math.max(cal, 1e-9))
-    val totalNorm = results.zipWithIndex.map { case ((_, raw, cal), i) =>
-      val calClose = if (i + 1 < results.length) results(i + 1)._3 else calQuickFinal
-      norm(raw, math.max(cal, calClose))
+    val totalNorm = results.zipWithIndex.map { case (r, i) =>
+      val calClose = if (i + 1 < results.length) results(i + 1).cal else calQuickFinal
+      norm(r.sec, math.max(r.cal, calClose))
     }.sum
-    val cals = results.map { case (n, _, c) => (n, c) }
+    val totalStallfree = results
+      .map(r => math.min(r.sec, retried.getOrElse(r.name, r.sec))).sum
+    val gcTotal = results.map(_.gcSec).sum
+    val cals = results.map(r => (r.name, r.cal))
     // The driver keeps only the LAST ~2000 chars of stdout and parses
     // the final JSON line. Emit the full per-query map FIRST, then the
     // full per-query probe map (humans / manual recovery), then a
     // contract line LAST whose embedded queries map is capped to the
     // slowest entries so the whole line always fits inside the tail
     // window untruncated.
-    println(s"""{"metric":"queries","queries":${mapJson(results.map(r => (r._1, r._2)))},"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries","queries":${mapJson(results.map(r => (r.name, r.sec)))},"sf":"$sfDir"}""")
     println(s"""{"metric":"query_cals","cal_healthy_quick_sec":$calHealthyQuick,"cal_quick_final_sec":${fmt(calQuickFinal)},"cals":${mapJson(cals)},"sf":"$sfDir"}""")
-    val bySlowest = results.map(r => (r._1, r._2)).sortBy(-_._2)
+    println(s"""{"metric":"query_gc","gc_total_sec":${fmt(gcTotal)},"gc":${mapJson(results.filter(_.gcSec >= 0.05).map(r => (r.name, r.gcSec)))},"retries":${mapJson(retried)},"sf":"$sfDir"}""")
+    val bySlowest = results.map(r => (r.name, r.sec)).sortBy(-_._2)
     val budget = 1700 // chars for the final line, < tail window minus sbt epilogue
     var keep = bySlowest.length
     def finalLine(k: Int): String = {
       val kept = bySlowest.take(k)
       val rest = bySlowest.drop(k).map(_._2).sum
       val entries = if (k < bySlowest.length) kept :+ ("_other" -> rest) else kept
-      s"""{"metric":"graft_bench","value":${fmt(total)},"value_cal_norm":${fmt(totalNorm)},"unit":"sec","n":${results.size},"cal_start_sec":${fmt(calStart)},"cal_end_sec":${fmt(calEnd)},"cal_quick_min_sec":${fmt(cals.map(_._2).min)},"cal_quick_max_sec":${fmt(cals.map(_._2).max)},"cal_healthy_quick_sec":$calHealthyQuick,"queries":${mapJson(entries)},"sf":"$sfDir"}"""
+      s"""{"metric":"graft_bench","value":${fmt(total)},"value_cal_norm":${fmt(totalNorm)},"value_stallfree":${fmt(totalStallfree)},"gc_total_sec":${fmt(gcTotal)},"unit":"sec","n":${results.size},"cal_start_sec":${fmt(calStart)},"cal_end_sec":${fmt(calEnd)},"cal_quick_min_sec":${fmt(cals.map(_._2).min)},"cal_quick_max_sec":${fmt(cals.map(_._2).max)},"cal_healthy_quick_sec":$calHealthyQuick,"queries":${mapJson(entries)},"sf":"$sfDir"}"""
     }
     while (keep > 1 && finalLine(keep).length > budget) keep -= 1
     println(finalLine(keep))
