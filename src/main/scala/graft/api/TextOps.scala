@@ -362,18 +362,83 @@ object TextOps {
       numHashes: Int = 30, bands: Int = 10): DataFrame =
     setNearDupPairs(df, idCol, ngramSet(col(textCol), n), tau, numHashes, bands)
 
+  /** Driver union-find fast path for the CC fixpoint: when the
+    * confirmed REP-pair graph is small enough, collect it and solve
+    * exactly on the driver instead of paying supersteps × fixed job
+    * overhead in the distributed loop (measured at sf0.1: 8
+    * supersteps ≈ 3.6 s warm for a ~3k-edge graph a single thread
+    * solves in microseconds). This is the IVF-training class of
+    * bounded driver work — the gate caps driver memory (1M edges ⇒
+    * ≤2M parent-map entries, ~100 MB worst case), and the graph
+    * collected is the COLLAPSED rep graph, already orders smaller
+    * than the corpus; past the gate the distributed loop below is the
+    * 100 TB path. Union-by-min keeps every root the minimum of its
+    * set, so labels are exactly the loop's fixpoint. Returns None
+    * (caller falls through to the loop) when the id type is not
+    * atomic-Comparable, a null id appears (the loop's join semantics
+    * own that pathology), or the graph exceeds the gate. */
+  private def driverComponents(repPairs: DataFrame, maxEdges: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val aType = repPairs.schema("a").dataType
+    // the external row values must be java.lang.Comparable for the
+    // union-by-min ordering (rules out binary/array/struct ids)
+    val comparableId = aType match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           DoubleType | FloatType | BooleanType | DateType | TimestampType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    if (!comparableId) return None
+    if (repPairs.count() > maxEdges) return None // repPairs is cached; count reads the cache
+    val edges = repPairs.select(col("a"), col("b")).collect()
+    if (edges.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    // Spark's min() on strings compares UTF-8 bytes (UTF8String),
+    // which diverges from String.compareTo's UTF-16 order on
+    // supplementary characters — compare bytes to match the loop
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: String, b: String) =>
+        val (ba, bb) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        java.util.Arrays.compareUnsigned(ba, bb) < 0
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    }
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      var p = parent.getOrDefault(r, r)
+      while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+      var c = x // path compression
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { row =>
+      val ra = find(row.get(0)); val rb = find(row.get(1))
+      if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val nodes = new java.util.LinkedHashSet[Any]()
+    edges.foreach { r => nodes.add(r.get(0)); nodes.add(r.get(1)) }
+    val rows = nodes.asScala.toSeq.map(n => Row(n, find(n))).asJava
+    val schema = StructType(Seq(StructField("node", aType), StructField("lab", aType)))
+    Some(repPairs.sparkSession.createDataFrame(rows, schema))
+  }
+
   /** Near-duplicate CLUSTER assignment (doc_id → rep): the output a
     * 100 TB dedup actually ships. Pair lists grow quadratically with
     * duplicate-cluster size (190,925 pairs from 5,000 docs at sf0.1);
     * cluster assignments stay linear and pairs can be derived on
-    * demand. Connected components by iterated min-label propagation
-    * over the confirmed pair graph — cluster diameters are tiny
-    * (near-dup clusters are near-cliques), so the loop converges in a
-    * few supersteps; each iterate is localCheckpoint'ed to cut
-    * lineage. Every input doc appears, singletons as their own rep. */
+    * demand. Connected components over the confirmed REP-pair graph:
+    * a size-gated exact driver union-find when the graph fits
+    * `maxDriverEdges` (see [[driverComponents]]), else iterated
+    * min-label propagation — cluster diameters are tiny (near-dup
+    * clusters are near-cliques), so the loop converges in a few
+    * supersteps; each iterate is localCheckpoint'ed to cut lineage.
+    * Both paths produce identical labels (asserted in ApiSpec).
+    * Every input doc appears, singletons as their own rep. */
   def minhashNearDupClusters(
       df: DataFrame, idCol: String, textCol: String, tau: Double,
-      numHashes: Int = 32, bands: Int = 8, maxIters: Int = 20): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8, maxIters: Int = 20,
+      maxDriverEdges: Long = 1000000L): DataFrame = {
     Graft.registerAll(df.sparkSession)
     val c = collapse(df, idCol, tokenSet(col(textCol)))
     // propagate on the REP graph (one node per distinct token set) —
@@ -381,6 +446,23 @@ object TextOps {
     // magnitude smaller than the fanned-out pair list and the member
     // expansion happens exactly once, after the fixpoint
     val repPairs = confirmedRepPairs(c, tau, numHashes, bands)
+    val labels = driverComponents(repPairs, maxDriverEdges)
+      .getOrElse(loopComponents(repPairs, maxIters))
+    // fan the rep labels out through the membership relation — an
+    // equi-join, no member arrays (singleton reps, absent from the
+    // CC solve, keep their own id); docs dropped by collapse (empty
+    // sets) come back as singletons via the second left join
+    val assigned = c.membership
+      .join(labels.withColumnRenamed("node", "rep"), Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("rep")).as("lab"))
+    df.select(col(idCol).as("doc_id"))
+      .join(assigned, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("rep"))
+  }
+
+  /** Distributed CC fixpoint (the past-the-gate scale path): min-label
+    * propagation + pointer jumping over the rep graph. */
+  private def loopComponents(repPairs: DataFrame, maxIters: Int): DataFrame = {
     val edges = repPairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(repPairs.select(col("b").as("src"), col("a").as("dst")))
       .cache()
@@ -431,16 +513,7 @@ object TextOps {
         println(s"GRAFT_CC superstep=$i converged=$converged")
     }
     edges.unpersist()
-    // fan the rep labels out through the membership relation — an
-    // equi-join, no member arrays (singleton reps, absent from the
-    // loop, keep their own id); docs dropped by collapse (empty
-    // sets) come back as singletons via the second left join
-    val assigned = c.membership
-      .join(labels.withColumnRenamed("node", "rep"), Seq("rep"), "left")
-      .select(col("doc_id"), coalesce(col("lab"), col("rep")).as("lab"))
-    df.select(col(idCol).as("doc_id"))
-      .join(assigned, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("rep"))
+    labels
   }
 
   /** Count of the most frequent element in a string array, computed

@@ -205,6 +205,31 @@ class ApiSpec extends SparkSpec {
     assert(sameLabel === pairs)
   }
 
+  test("driver union-find and distributed CC loop produce identical labels") {
+    // real graph: the sf testbed documents corpus (many multi-node
+    // components). maxDriverEdges=0 forces the distributed loop;
+    // the default gate takes the driver union-find.
+    val d = Tables.t(spark, sf, "documents")
+    def labels(gate: Long) = TextOps
+      .minhashNearDupClusters(d, "doc_id", "text", tau = 0.9, maxDriverEdges = gate)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = labels(1000000L)
+    val loop = labels(0L)
+    assert(driver === loop)
+    // string ids with a supplementary character: Spark's min() orders
+    // by UTF-8 bytes, so the driver path must too (U+10000 sorts
+    // AFTER U+FFFD in UTF-8 but BEFORE it in UTF-16)
+    import spark.implicits._
+    val uni = Seq(("�", "x y z w"), ("𐀀", "x y z w"))
+      .toDF("sid", "body")
+    def uniLabels(gate: Long) = TextOps
+      .minhashNearDupClusters(uni, "sid", "body", tau = 0.9, maxDriverEdges = gate)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val uDriver = uniLabels(1000000L)
+    assert(uDriver === uniLabels(0L))
+    assert(uDriver.values.toSet === Set("�")) // the UTF-8 min labels both
+  }
+
   test("fingerprint: identical docs share fingerprints; reordered docs differ") {
     val fps = TextOps.fingerprint(docs, "my_id", "my_text")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
