@@ -377,7 +377,7 @@ object TextOps {
     * (caller falls through to the loop) when the id type is not
     * atomic-Comparable, a null id appears (the loop's join semantics
     * own that pathology), or the graph exceeds the gate. */
-  private def driverComponents(repPairs: DataFrame, maxEdges: Long): Option[DataFrame] = {
+  private[graft] def driverComponents(repPairs: DataFrame, maxEdges: Long): Option[DataFrame] = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
@@ -462,7 +462,7 @@ object TextOps {
 
   /** Distributed CC fixpoint (the past-the-gate scale path): min-label
     * propagation + pointer jumping over the rep graph. */
-  private def loopComponents(repPairs: DataFrame, maxIters: Int): DataFrame = {
+  private[graft] def loopComponents(repPairs: DataFrame, maxIters: Int): DataFrame = {
     val edges = repPairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(repPairs.select(col("b").as("src"), col("a").as("dst")))
       .cache()

@@ -230,6 +230,28 @@ class ApiSpec extends SparkSpec {
     assert(uDriver.values.toSet === Set("�")) // the UTF-8 min labels both
   }
 
+  test("CC solvers agree on randomized graph shapes (chains, cliques, random)") {
+    import spark.implicits._
+    // adversarial shapes the corpus test can't produce: long chains
+    // (diameter stress for the loop's pointer jumping), dense
+    // cliques, and seeded sparse random graphs with duplicate edges
+    val rnd = new scala.util.Random(13)
+    val chain = (0L until 400L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val clique = for (a <- 500L until 520L; b <- (a + 1) until 520L) yield (a, b)
+    val sparse = Seq.fill(300)((rnd.nextInt(200).toLong + 1000L,
+      rnd.nextInt(200).toLong + 1000L)).filter(p => p._1 != p._2)
+    for (edges <- Seq(chain, clique, sparse, chain ++ clique ++ sparse)) {
+      val pairs = edges.toDF("a", "b")
+      val driver = TextOps.driverComponents(pairs, Long.MaxValue).get
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val loop = TextOps.loopComponents(pairs, maxIters = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(driver === loop, s"label mismatch on ${edges.size}-edge graph")
+      // every node labeled by a component minimum that is a member node
+      assert(driver.values.toSet.subsetOf(driver.keySet))
+    }
+  }
+
   test("fingerprint: identical docs share fingerprints; reordered docs differ") {
     val fps = TextOps.fingerprint(docs, "my_id", "my_text")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
