@@ -226,6 +226,41 @@ object VectorOps {
       .dropDuplicates("ida", "idb")
   }
 
+  /** Cluster assignment (id → rep) from any confirmed pair relation
+    * with columns (a, b) — the linear output form a 100 TB
+    * dedup-by-similarity ships, mirroring
+    * [[TextOps.minhashNearDupClusters]]. Connected components via the
+    * shared solvers: size-gated exact driver union-find under
+    * `maxDriverEdges`, distributed min-label propagation past it.
+    * Every id in `df` appears; singletons (and ids absent from the
+    * pair graph) keep their own id. */
+  def clustersFromPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxDriverEdges: Long = 1000000L, maxIters: Int = 20): DataFrame = {
+    val rp = pairs.select(col("a"), col("b")).cache()
+    val labels = TextOps.driverComponents(rp, maxDriverEdges)
+      .getOrElse(TextOps.loopComponents(rp, maxIters))
+    // both solver outputs are materialized (local relation /
+    // localCheckpoint), so the pair cache can be released now
+    rp.unpersist(blocking = false)
+    df.select(col(idCol))
+      .join(labels.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("lab"), col(idCol)).as("rep"))
+  }
+
+  /** Embedding-cosine near-duplicate CLUSTERS: exact block-grid
+    * threshold pairs at `tau` → connected components → (id, rep).
+    * This convenience keeps the EXACT pair stage so the output is
+    * oracle-checkable; the 100 TB serving path feeds the IVF pair
+    * form instead:
+    * `clustersFromPairs(df, id, ivfThresholdPairs(idx, tau))`. */
+  def cosineNearDupClusters(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, numBlocks: Int = 8,
+      maxDriverEdges: Long = 1000000L, maxIters: Int = 20): DataFrame =
+    clustersFromPairs(df, idCol,
+      cosineThresholdPairs(df, idCol, vecCol, tau, numBlocks)
+        .select(col("ida").as("a"), col("idb").as("b")),
+      maxDriverEdges, maxIters)
+
   /** Approximate cosine top-k through a sampled-k-means IVF index —
     * one-shot convenience over [[buildIvfIndex]] + [[ivfProbe]]. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame,

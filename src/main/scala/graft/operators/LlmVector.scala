@@ -88,6 +88,18 @@ object LlmVector {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // Embedding-cosine near-dup CLUSTER assignment — the linear
+    // output form of dedup-by-similarity (mirrors llm_dedup_clusters
+    // for text). Exact block-grid pairs at tau=0.4 feed the shared CC
+    // solvers (driver union-find under the gate, min-label loop past
+    // it); oracle = recursive-CTE components over the brute-force
+    // pair set. The 100 TB serving path swaps in ivfThresholdPairs
+    // via VectorOps.clustersFromPairs.
+    "llm_dedup_embedding" -> ((s, d) =>
+      graft.api.VectorOps.cosineNearDupClusters(
+        Tables.t(s, d, "embeddings"), "vec_id", "embedding", tau = 0.4)
+        .orderBy(col("vec_id"))),
+
     "llm_embed_centroids" -> ((s, d) =>
       graft.api.VectorOps.centroidDistances(
         Tables.t(s, d, "embeddings"), "vec_id", "embedding", "label")
@@ -160,6 +172,19 @@ object LlmVector {
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT ida, idb, CAST(score AS REAL) AS score
          |FROM p WHERE score >= 0.4 ORDER BY ida, idb""".stripMargin,
+    "llm_dedup_embedding" ->
+      s"""WITH RECURSIVE e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |e AS (SELECT vec_id, v, ${dNorm("v")} AS nrm FROM e0),
+         |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+         |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |      WHERE ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4),
+         |ed AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+         |walk(node, lab) AS (
+         |  SELECT vec_id, vec_id FROM e
+         |  UNION
+         |  SELECT ed.src, walk.lab FROM ed JOIN walk ON ed.dst = walk.node
+         |)
+         |SELECT node AS vec_id, min(lab) AS rep FROM walk GROUP BY node ORDER BY vec_id""".stripMargin,
     "llm_embed_centroids" ->
       """WITH x AS (SELECT vec_id, label,
         |    generate_subscripts(embedding, 1) AS pos,

@@ -230,6 +230,20 @@ class ApiSpec extends SparkSpec {
     assert(uDriver.values.toSet === Set("�")) // the UTF-8 min labels both
   }
 
+  test("cosineNearDupClusters: near groups collapse to min id, orthogonal vectors stay singletons") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f)), // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.01f, 0.99f, 0.0f)), // near-dup of 3
+      (5L, Array(0.0f, 0.0f, 1.0f))    // singleton
+    ).toDF("vid", "emb")
+    val reps = VectorOps.cosineNearDupClusters(vecs, "vid", "emb", tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+  }
+
   test("CC solvers agree on randomized graph shapes (chains, cliques, random)") {
     import spark.implicits._
     // adversarial shapes the corpus test can't produce: long chains
