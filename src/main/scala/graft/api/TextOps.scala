@@ -438,9 +438,19 @@ object TextOps {
   def minhashNearDupClusters(
       df: DataFrame, idCol: String, textCol: String, tau: Double,
       numHashes: Int = 32, bands: Int = 8, maxIters: Int = 20,
+      maxDriverEdges: Long = 1000000L): DataFrame =
+    setNearDupClusters(df, idCol, tokenSet(col(textCol)), tau,
+      numHashes, bands, maxIters, maxDriverEdges)
+
+  /** [[minhashNearDupClusters]] over an arbitrary set-valued column
+    * (the cluster-output counterpart of [[setNearDupPairs]] — e.g.
+    * shingle sets via [[ngramSet]]). */
+  def setNearDupClusters(
+      df: DataFrame, idCol: String, setCol: Column, tau: Double,
+      numHashes: Int = 32, bands: Int = 8, maxIters: Int = 20,
       maxDriverEdges: Long = 1000000L): DataFrame = {
     Graft.registerAll(df.sparkSession)
-    val c = collapse(df, idCol, tokenSet(col(textCol)))
+    val c = collapse(df, idCol, setCol)
     // propagate on the REP graph (one node per distinct token set) —
     // exact-dup cliques are a single node, so the graph is orders of
     // magnitude smaller than the fanned-out pair list and the member
