@@ -230,6 +230,25 @@ class ApiSpec extends SparkSpec {
     assert(uDriver.values.toSet === Set("�")) // the UTF-8 min labels both
   }
 
+  test("setNearDupClusters over shingles: reordered text clusters under token sets, not bigram sets") {
+    import spark.implicits._
+    // 20/21 share the token SET but reverse the word order, so every
+    // bigram shingle differs: token-set clustering must merge them,
+    // bigram-shingle clustering must keep them apart
+    val d = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta"),
+      (21L, "zeta epsilon delta gamma beta alpha"),
+      (22L, "one two three four five six")
+    ).toDF("my_id", "my_text")
+    def reps(setCol: org.apache.spark.sql.Column) = TextOps
+      .setNearDupClusters(d, "my_id", setCol, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps(TextOps.tokenSet(col("my_text"))) ===
+      Map(20L -> 20L, 21L -> 20L, 22L -> 22L))
+    assert(reps(TextOps.ngramSet(col("my_text"), 2)) ===
+      Map(20L -> 20L, 21L -> 21L, 22L -> 22L))
+  }
+
   test("cosineNearDupClusters: near groups collapse to min id, orthogonal vectors stay singletons") {
     import spark.implicits._
     val vecs = Seq(
