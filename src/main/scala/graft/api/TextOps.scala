@@ -375,13 +375,16 @@ object TextOps {
     * 100 TB path. Union-by-min keeps every root the minimum of its
     * set, so labels are exactly the loop's fixpoint. Returns None
     * (caller falls through to the loop) when the id type is not
-    * atomic-Comparable, a null id appears (the loop's join semantics
-    * own that pathology), or the graph exceeds the gate. */
+    * atomic-Comparable or the two columns' types differ (boxed
+    * equality would split components across e.g. Integer/Long), a
+    * null id appears (the loop's join semantics own that pathology),
+    * or the graph exceeds the gate. */
   private[graft] def driverComponents(repPairs: DataFrame, maxEdges: Long): Option[DataFrame] = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
     val aType = repPairs.schema("a").dataType
+    if (repPairs.schema("b").dataType != aType) return None
     // the external row values must be java.lang.Comparable for the
     // union-by-min ordering (rules out binary/array/struct ids)
     val comparableId = aType match {
@@ -391,8 +394,15 @@ object TextOps {
       case _ => false
     }
     if (!comparableId) return None
-    if (repPairs.count() > maxEdges) return None // repPairs is cached; count reads the cache
-    val edges = repPairs.select(col("a"), col("b")).collect()
+    if (maxEdges < 0) return None
+    // ONE bounded action — no caching contract on the input: collect
+    // at most gate+1 rows and bail on overflow (a count-then-collect
+    // pair would run an uncached confirm pipeline twice)
+    val sel = repPairs.select(col("a"), col("b"))
+    val edges =
+      if (maxEdges >= Int.MaxValue - 1) sel.collect()
+      else sel.limit(maxEdges.toInt + 1).collect()
+    if (edges.length > maxEdges) return None
     if (edges.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
     // Spark's min() on strings compares UTF-8 bytes (UTF8String),
     // which diverges from String.compareTo's UTF-16 order on

@@ -242,9 +242,11 @@ object VectorOps {
     // both solver outputs are materialized (local relation /
     // localCheckpoint), so the pair cache can be released now
     rp.unpersist(blocking = false)
-    df.select(col(idCol))
-      .join(labels.withColumnRenamed("node", idCol), Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("lab"), col(idCol)).as("rep"))
+    // join under a fixed internal alias so an id column named "lab"
+    // (or "node") can never collide with the solver output's columns
+    df.select(col(idCol).as("_cfp_id"))
+      .join(labels.withColumnRenamed("node", "_cfp_id"), Seq("_cfp_id"), "left")
+      .select(col("_cfp_id").as(idCol), coalesce(col("lab"), col("_cfp_id")).as("rep"))
   }
 
   /** Embedding-cosine near-duplicate CLUSTERS: exact block-grid

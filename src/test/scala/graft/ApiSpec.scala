@@ -218,15 +218,23 @@ class ApiSpec extends SparkSpec {
     assert(driver === loop)
     // string ids with a supplementary character: Spark's min() orders
     // by UTF-8 bytes, so the driver path must too (U+10000 sorts
-    // AFTER U+FFFD in UTF-8 but BEFORE it in UTF-16)
+    // AFTER U+FFFD in UTF-8 but BEFORE it in UTF-16). The two texts
+    // must be near-dup but NOT identical — identical texts collapse to
+    // one rep and the solvers would see an empty graph (the ordering
+    // under test would never run); distinct 10-vs-9-token subsets give
+    // J = 0.9 ≥ tau, a real confirmed rep pair with string-typed ids.
     import spark.implicits._
-    val uni = Seq(("�", "x y z w"), ("𐀀", "x y z w"))
-      .toDF("sid", "body")
+    val t10 = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val t9 = (1 to 9).map(i => s"tok$i").mkString(" ")
+    val uni = Seq(("�", t10), ("𐀀", t9)).toDF("sid", "body")
     def uniLabels(gate: Long) = TextOps
-      .minhashNearDupClusters(uni, "sid", "body", tau = 0.9, maxDriverEdges = gate)
+      .minhashNearDupClusters(uni, "sid", "body", tau = 0.85, maxDriverEdges = gate)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val uDriver = uniLabels(1000000L)
-    assert(uDriver === uniLabels(0L))
+    assert(uDriver === uniLabels(0L)) // gate 0 forces the loop path
+    // vacuity guard: the pair must actually confirm (both ids share
+    // one label) or the ordering assertion below tests nothing
+    assert(uDriver.values.toSet.size === 1)
     assert(uDriver.values.toSet === Set("�")) // the UTF-8 min labels both
   }
 
