@@ -165,11 +165,14 @@ object TextOps {
     * groups-plan: a same-plan call reuses the registered entry (the
     * cross-key reuse the bench relies on — minhash/simhash/clusters
     * share one token-set collapse), and the registry evicts
-    * least-recently-used entries beyond 2 (token-set + shingle-set of
-    * the current corpus; a new corpus/SF evicts the old one). */
+    * least-recently-used entries beyond 4 (token-set + shingle-set of
+    * the current corpus, plus the two sides of a cross-corpus
+    * decontamination call — sized so one [[crossNearDupPairs]] cannot
+    * evict the full-corpus collapse the dedup flavors share; a new
+    * corpus/SF evicts the old one). */
   private val liveCollapsed =
     new java.util.LinkedHashMap[String, Collapsed](8, 0.75f, true)
-  private val maxLiveCollapsed = 2
+  private val maxLiveCollapsed = 4
 
   /** Eviction is best-effort cleanup: an entry may be bound to a
     * SparkSession that has since been stopped, and its unpersist can
@@ -316,6 +319,56 @@ object TextOps {
     val c = collapse(df, idCol, setCol)
     fanOut(c, confirmedRepPairs(c, tau, numHashes, bands))
   }
+
+  /** Cross-corpus near-duplicate pairs — the DECONTAMINATION shape: a
+    * training pipeline checks a candidate train corpus against a held
+    * eval/benchmark set. Same machinery as the self-join dedup, but
+    * the band equi-join runs BETWEEN the two corpora: each side is
+    * exact-set collapsed and banded independently (both relations
+    * cached on the registry, so repeated probes against the same
+    * train corpus reuse its signatures), candidates share a band key
+    * and pass the lossless τ-length filter, the codegen'd early-
+    * abandon kernel confirms, and both memberships fan out. Identical
+    * cross-corpus sets share every band key, so exact overlaps are
+    * always candidates. Output: (left_id, right_id, j) — no
+    * within-side pairs, no ordering constraint across the two id
+    * spaces. Scale shape is the self-join's: no corpus broadcast, no
+    * all-pairs stage; the probe side is typically tiny (an eval set),
+    * so AQE broadcasts its banded signatures from measured stats. */
+  def crossNearDupPairs(
+      left: DataFrame, leftId: String, leftSet: Column,
+      right: DataFrame, rightId: String, rightSet: Column,
+      tau: Double, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    Graft.registerAll(left.sparkSession)
+    val cl = collapse(left, leftId, leftSet)
+    val cr = collapse(right, rightId, rightSet)
+    val cands = cl.bandedSignatures(numHashes, bands).as("x")
+      .join(cr.bandedSignatures(numHashes, bands).as("y"),
+        col("x.bkey") === col("y.bkey") &&
+          col("x.sz") >= lit(tau) * col("y.sz") &&
+          col("y.sz") >= lit(tau) * col("x.sz"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val reps = cands
+      .join(cl.groups.select(col("rep").as("a"), col("toks").as("ta")), "a")
+      .join(cr.groups.select(col("rep").as("b"), col("toks").as("tb")), "b")
+      .withColumn("j", expr(s"sorted_jaccard_min(ta, tb, ${tau}D)"))
+      .filter(col("j") >= tau)
+      .select(col("a"), col("b"), col("j"))
+    reps
+      .join(cl.membership.select(col("rep").as("a"), col("doc_id").as("lid")), "a")
+      .join(cr.membership.select(col("rep").as("b"), col("doc_id").as("rid")), "b")
+      .select(col("lid").as("left_id"), col("rid").as("right_id"), col("j"))
+  }
+
+  /** [[crossNearDupPairs]] over whitespace token sets of two text
+    * columns — the one-call decontamination form. */
+  def crossTextNearDupPairs(
+      left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      tau: Double, numHashes: Int = 32, bands: Int = 8): DataFrame =
+    crossNearDupPairs(left, leftId, tokenSet(col(leftText)),
+      right, rightId, tokenSet(col(rightText)), tau, numHashes, bands)
 
   /** SimHash near-duplicate pairs: 32-bit simhash from per-token
     * murmur bits, hamming ≤ maxHamming prefilter, exact-Jaccard ≥ tau

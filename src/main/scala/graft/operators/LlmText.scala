@@ -131,7 +131,22 @@ object LlmText {
     "llm_dedup_clusters" -> ((s, d) =>
       graft.api.TextOps.minhashNearDupClusters(
         Tables.t(s, d, "documents"), "doc_id", "text", tau = 0.95)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Decontamination: a 5% "eval" split (doc_id % 20 = 0) probed
+    // against the remaining "train" split for cross-corpus near-dups
+    // at tau=0.95 — the leakage check every training pipeline runs
+    // before shipping a corpus. Banded cross-join between the two
+    // collapses; oracle = brute-force cross Jaccard.
+    "llm_decontam" -> { (s, d) =>
+      val docs = Tables.t(s, d, "documents")
+      graft.api.TextOps.crossTextNearDupPairs(
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        tau = 0.95)
+        .select(col("left_id").as("eval_id"), col("right_id").as("train_id"), col("j"))
+        .orderBy(col("eval_id"), col("train_id"))
+    }
   )
 
   val oracle: Map[String, String] = Map(
@@ -202,6 +217,16 @@ object LlmText {
         |          / len(list_distinct(list_concat(x.bg, y.bg))) AS j
         |      FROM g x JOIN g y ON x.doc_id < y.doc_id)
         |SELECT a, b, j FROM p WHERE j >= 0.5 ORDER BY a, b""".stripMargin,
+    "llm_decontam" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |e AS (SELECT doc_id, toks FROM t WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, toks FROM t WHERE doc_id % 20 <> 0),
+        |p AS (SELECT e.doc_id AS eval_id, tr.doc_id AS train_id,
+        |        CAST(len(list_intersect(e.toks, tr.toks)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(e.toks, tr.toks))) AS j
+        |      FROM e CROSS JOIN tr)
+        |SELECT eval_id, train_id, j FROM p WHERE j >= 0.95
+        |ORDER BY eval_id, train_id""".stripMargin,
     // connected components of the brute-force near-dup graph via a
     // recursive CTE: walk enumerates (node, reachable-label) pairs,
     // min per node = component representative

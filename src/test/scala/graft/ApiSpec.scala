@@ -238,6 +238,30 @@ class ApiSpec extends SparkSpec {
     assert(uDriver.values.toSet === Set("�")) // the UTF-8 min labels both
   }
 
+  test("crossNearDupPairs: finds exact and near cross-corpus overlaps, never within-side pairs") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "unrelated words nothing shared here at all today folks"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("eid", "etxt")
+    val train = Seq(
+      // exact token-set overlap with eval 1
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // near-dup of eval 3 (9 of 10 tokens, J = 0.9)
+      (101L, "one two three four five six seven eight nine"),
+      // near-dup of ANOTHER train doc — must NOT appear (same side)
+      (102L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (103L, "totally disjoint vocabulary rows keep to themselves always")
+    ).toDF("tid", "ttxt")
+    val pairs = TextOps.crossTextNearDupPairs(
+      evalSet, "eid", "etxt", train, "tid", "ttxt", tau = 0.85)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // eval1 x train100 exact (j=1), eval1 x train102 (J=9/10), eval3 x
+    // train101 (J=9/10); no (100,102)-style within-train pair
+    assert(pairs === Set((1L, 100L), (1L, 102L), (3L, 101L)))
+  }
+
   test("setNearDupClusters over shingles: reordered text clusters under token sets, not bigram sets") {
     import spark.implicits._
     // 20/21 share the token SET but reverse the word order, so every
