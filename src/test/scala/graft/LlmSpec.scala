@@ -67,11 +67,11 @@ class LlmSpec extends SparkSpec {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       for (key <- Seq("llm_dedup_minhash", "llm_dedup_simhash",
-          "llm_dedup_ngram_jaccard", "llm_sim_threshold_pairs",
-          "llm_sim_threshold_ivf")) {
-        val df =
-          if (key.startsWith("llm_dedup")) graft.operators.LlmText.queries(key)(spark, sf)
-          else graft.operators.LlmVector.queries(key)(spark, sf)
+          "llm_dedup_ngram_jaccard", "llm_decontam",
+          "llm_sim_threshold_pairs", "llm_sim_threshold_ivf")) {
+        val df = graft.operators.LlmText.queries.get(key)
+          .orElse(graft.operators.LlmVector.queries.get(key))
+          .get.apply(spark, sf)
         // walk the tree programmatically, NOT the treeString: the
         // string renders cached relations' frozen internal plans,
         // whose size-based broadcasts (taken when the cache was built,
