@@ -34,6 +34,13 @@ object Warmup {
     // custom codegen'd kernels
     w.selectExpr("vec_dot(varr, varr) d",
       "sorted_jaccard_min(sarr, sarr, 0.5D) j").count()
+    // sketch aggregates run on the ObjectHashAggregate path, whose
+    // first use costs ~1.5 s of class-load/codegen (measured:
+    // agg_approx_distinct 1.8 s cold vs 0.13 s warm) — compile it
+    // here like every other engine shape; the measured query still
+    // pays all scan + sketch-merge work on real data
+    w.selectExpr("approx_count_distinct(k) ad",
+      "percentile_approx(cast(id as double), 0.5, 100) pa").count()
     // streaming micro-batch + state-store machinery
     val ms = MemoryStream[Long](spark)
     ms.addData(1L to 64L: _*)
