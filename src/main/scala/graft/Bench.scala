@@ -98,7 +98,10 @@ object Bench {
     // with healthy brackets and 0.4 s isolated. Cap the pass at 5
     // queries so a genuinely slow engine can't buy itself a long
     // warm second chance.
-    val retried = results.filter(r => r.sec - r.gcSec >= 3.0).sortBy(-_.sec).take(5)
+    // rank by the same criterion the filter uses (largest UNEXPLAINED
+    // time), so a mostly-GC giant can't displace a smaller pure stall
+    val retried = results.filter(r => r.sec - r.gcSec >= 3.0)
+      .sortBy(r => -(r.sec - r.gcSec)).take(5)
       .map(r => r.name -> timed(r.name, SparkEntry.queries(r.name)).sec).toMap
     val calEnd = calFull()
     val total = results.map(_.sec).sum

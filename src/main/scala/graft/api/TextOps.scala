@@ -247,6 +247,33 @@ object TextOps {
     * shuffles the whole exploded corpus once per dedup call. Hash
     * collisions only ADD candidates; the exact confirm downstream
     * filters them. Returns (a, b), a < b. */
+  /** Band equi-join between two banded-signature relations with the
+    * lossless τ-length filter folded in — the ONE encoding of the
+    * candidate stage, shared by the self-join ([[bandCandidates]],
+    * which adds the a &lt; b ordering) and the cross-corpus form
+    * ([[crossNearDupPairs]], which passes none). */
+  private def bandJoinCandidates(bx: DataFrame, by: DataFrame,
+      tau: Double, extraPred: Column): DataFrame =
+    bx.as("x").join(by.as("y"),
+        col("x.bkey") === col("y.bkey") && extraPred &&
+          col("x.sz") >= lit(tau) * col("y.sz") &&
+          col("y.sz") >= lit(tau) * col("x.sz"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+
+  /** Exact confirm of candidate rep pairs against the two sides'
+    * groups relations: codegen'd early-abandon Jaccard ≥ tau. */
+  private def confirmPairs(cands: DataFrame, groupsA: DataFrame,
+      groupsB: DataFrame, tau: Double): DataFrame =
+    cands
+      .join(groupsA.select(col("rep").as("a"), col("toks").as("ta")), "a")
+      .join(groupsB.select(col("rep").as("b"), col("toks").as("tb")), "b")
+      // threshold-aware kernel: exact j for every surviving pair,
+      // early abandon (-1) the moment a pair provably misses tau
+      .withColumn("j", expr(s"sorted_jaccard_min(ta, tb, ${tau}D)"))
+      .filter(col("j") >= tau)
+      .select(col("a"), col("b"), col("j"))
+
   private def bandCandidates(c: Collapsed, numHashes: Int, bands: Int,
       tau: Double): DataFrame = {
     // the banded-signature relation is cached on the Collapsed (see
@@ -254,11 +281,7 @@ object TextOps {
     // materialization instead of re-running the interpreted signature
     // pass per side, and same-parameter dedup flavors share it
     val bandsDf = c.bandedSignatures(numHashes, bands)
-    bandsDf.as("x").join(bandsDf.as("y"),
-        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id") &&
-          col("x.sz") >= lit(tau) * col("y.sz") && col("y.sz") >= lit(tau) * col("x.sz"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+    bandJoinCandidates(bandsDf, bandsDf, tau, col("x.doc_id") < col("y.doc_id"))
   }
 
   /** Expand confirmed rep pairs (a, b, j) back to member pairs, plus
@@ -298,16 +321,8 @@ object TextOps {
   private def confirmedRepPairs(c: Collapsed, tau: Double,
       numHashes: Int, bands: Int): DataFrame =
     c.cachedConfirmedPairs(tau, numHashes, bands) {
-      val cands = bandCandidates(c, numHashes, bands, tau)
-      val reps = c.groups.select(col("rep"), col("toks"))
-      cands
-        .join(reps.select(col("rep").as("a"), col("toks").as("ta")), "a")
-        .join(reps.select(col("rep").as("b"), col("toks").as("tb")), "b")
-        // threshold-aware kernel: exact j for every surviving pair,
-        // early abandon (-1) the moment a pair provably misses tau
-        .withColumn("j", expr(s"sorted_jaccard_min(ta, tb, ${tau}D)"))
-        .filter(col("j") >= tau)
-        .select(col("a"), col("b"), col("j"))
+      confirmPairs(bandCandidates(c, numHashes, bands, tau),
+        c.groups, c.groups, tau)
     }
 
   /** [[minhashNearDupPairs]] over an arbitrary set-valued column —
@@ -342,19 +357,10 @@ object TextOps {
     Graft.registerAll(left.sparkSession)
     val cl = collapse(left, leftId, leftSet)
     val cr = collapse(right, rightId, rightSet)
-    val cands = cl.bandedSignatures(numHashes, bands).as("x")
-      .join(cr.bandedSignatures(numHashes, bands).as("y"),
-        col("x.bkey") === col("y.bkey") &&
-          col("x.sz") >= lit(tau) * col("y.sz") &&
-          col("y.sz") >= lit(tau) * col("x.sz"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    val reps = cands
-      .join(cl.groups.select(col("rep").as("a"), col("toks").as("ta")), "a")
-      .join(cr.groups.select(col("rep").as("b"), col("toks").as("tb")), "b")
-      .withColumn("j", expr(s"sorted_jaccard_min(ta, tb, ${tau}D)"))
-      .filter(col("j") >= tau)
-      .select(col("a"), col("b"), col("j"))
+    val cands = bandJoinCandidates(
+      cl.bandedSignatures(numHashes, bands),
+      cr.bandedSignatures(numHashes, bands), tau, lit(true))
+    val reps = confirmPairs(cands, cl.groups, cr.groups, tau)
     reps
       .join(cl.membership.select(col("rep").as("a"), col("doc_id").as("lid")), "a")
       .join(cr.membership.select(col("rep").as("b"), col("doc_id").as("rid")), "b")
@@ -450,12 +456,12 @@ object TextOps {
     if (maxEdges < 0) return None
     // ONE bounded action — no caching contract on the input: collect
     // at most gate+1 rows and bail on overflow (a count-then-collect
-    // pair would run an uncached confirm pipeline twice)
-    val sel = repPairs.select(col("a"), col("b"))
-    val edges =
-      if (maxEdges >= Int.MaxValue - 1) sel.collect()
-      else sel.limit(maxEdges.toInt + 1).collect()
-    if (edges.length > maxEdges) return None
+    // pair would run an uncached confirm pipeline twice). Gates above
+    // the JVM array bound clamp to it, so an over-gate graph always
+    // falls back to the distributed loop instead of a driver OOM.
+    val gate = math.min(maxEdges, (Int.MaxValue - 2).toLong).toInt
+    val edges = repPairs.select(col("a"), col("b")).limit(gate + 1).collect()
+    if (edges.length > gate) return None
     if (edges.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
     // Spark's min() on strings compares UTF-8 bytes (UTF8String),
     // which diverges from String.compareTo's UTF-16 order on
