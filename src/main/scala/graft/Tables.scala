@@ -72,22 +72,42 @@ object Tables {
   def raw(spark: SparkSession, dir: String, name: String): DataFrame =
     read(spark, dir, name)
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the
-    * legacy long path and truncate to µs naive timestamps — exactly
-    * what DuckDB does when it reads the same file, so oracles agree
-    * (SURVEY.md §5.4 ns-alignment rule). */
+  /** events.ts parquet encoding is NOT part of the testbed contract:
+    * the generator shipped TIMESTAMP(NANOS) through round 12 and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) from round 13 — a real
+    * 100 TB pipeline reads whatever footer it finds. Normalize to the
+    * µs TimestampNTZType every oracle compares against, branching on
+    * the INFERRED type rather than assuming either encoding:
+    *  - timestamp footer (µs/ms) → plain cast, no arithmetic;
+    *  - LongType (a TIMESTAMP(NANOS) footer surfaced through the
+    *    legacy nanosAsLong flag — Spark 4 otherwise rejects ns files
+    *    with [PARQUET_TYPE_ILLEGAL]) → integer-truncate ns→µs, which
+    *    is byte-identical to DuckDB's own ns read (SURVEY.md §5.4). */
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      // harmless for µs files: the flag only rewrites NANOS columns
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000"))
-            .cast(org.apache.spark.sql.types.TimestampNTZType))
+      val df = spark.read.parquet(s"$dir/events.parquet")
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+        case _ =>
+          df.withColumn("ts", col("ts").cast(TimestampNTZType))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Register all base tables as temp views (for spark.sql queries). */
+  /** Register all base tables as temp views (for spark.sql queries).
+    * Fault-isolated per table: one unreadable file must not take down
+    * queries over the other nine (round 13: a single events-encoding
+    * change crashed nine SQL-form keys that never touch events). */
   def views(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      try t(spark, dir, n).createOrReplaceTempView(n)
+      catch { case e: Throwable =>
+        System.err.println(s"[graft] view '$n' unavailable ($dir): ${e.getMessage}")
+      }
+    }
 }

@@ -26,15 +26,18 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events.parquet carries TIMESTAMP(NANOS) — illegal for Spark's
-    * reader. Stream it with an explicit nanos-as-long schema and
-    * truncate to µs naive timestamps (same convention as Tables). */
-  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+  /** events.parquet's ts encoding is not fixed (TIMESTAMP(NANOS)
+    * through round 12, TIMESTAMP(MICROS) since round 13 — see
+    * Tables.read). A file stream needs an EXPLICIT schema, so probe
+    * the staged file's footer with a one-off batch read and build the
+    * schema + conversion to match:
+    *  - ns footer → nanos-as-long LongType column, truncate to µs;
+    *  - µs footer → the footer's own timestamp type, no arithmetic.
+    * Guessing instead of probing is exactly how round 13's silent
+    * wrong answers happened: a LongType schema over a µs file reads
+    * the raw int64 and a later ÷1000 compresses the timeline 1000×. */
+  private[graft] def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     // the file source wants a directory: stage the single events file
     // into a tmp dir keyed by sf (testdata itself is read-only)
     val dir = new java.io.File(
@@ -53,11 +56,19 @@ object Streams {
         tmp.delete() // a concurrent run staged it first — theirs wins
       }
     }
-    // watermarks require instant TimestampType; under the pinned UTC
+    val fileTsType = s.read.parquet(dir.getAbsolutePath).schema("ts").dataType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", fileTsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // watermarks use instant TimestampType; under the pinned UTC
     // session it carries the same wall clock as the NTZ convention —
     // output boundaries cast back to NTZ (dateOut)
-    s.readStream.schema(schema).parquet(dir.getAbsolutePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    fileTsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Run to completion on the memory sink, return the sink table.
