@@ -43,13 +43,21 @@ object Streams {
     val dir = new java.io.File(
       s"${sys.props("java.io.tmpdir")}/graft_stream/${Q.pathKey(d)}")
     val staged = new java.io.File(dir, "events.parquet")
+    val src = new java.io.File(s"$d/events.parquet")
+    // a staged copy survives across runs; if the source was regenerated
+    // in between (round 13 did exactly that, changing both content and
+    // encoding) the stale copy would silently answer for the new data —
+    // copyFile preserves lastModified, so length+mtime detect drift
+    if (staged.exists() &&
+        (staged.length() != src.length() || staged.lastModified() != src.lastModified())) {
+      staged.delete()
+    }
     if (!staged.exists()) {
       dir.mkdirs()
       // copy to a temp name + atomic rename so a crashed partial copy
       // can never be mistaken for the staged input by a later run
       val tmp = java.io.File.createTempFile("events", ".tmp", dir)
-      org.apache.commons.io.FileUtils.copyFile(
-        new java.io.File(s"$d/events.parquet"), tmp)
+      org.apache.commons.io.FileUtils.copyFile(src, tmp)
       try java.nio.file.Files.move(tmp.toPath, staged.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileAlreadyExistsException =>
