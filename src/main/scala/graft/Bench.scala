@@ -7,6 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same pinned-UTC convention as Verify/SparkSpec: the stream
+      // path's NTZ→instant cast depends on it
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -69,13 +72,25 @@ object Bench {
     // different key each build — r7→r8 showed ±6 s single-query swings
     // on byte-identical code. Alphabetical order pins attribution so
     // per-query numbers are comparable round over round.
-    case class R(name: String, sec: Double, cal: Double, gcSec: Double)
+    // A crashed query is NOT a timing: BENCH_r13 recorded 15
+    // time-to-exception readings as if the queries ran (the events
+    // encoding regression), poisoning the round total. Per
+    // BASELINE.md's contract a failure is reported as the -1 marker,
+    // excluded from every total, and named in a "failed" list.
+    case class R(name: String, sec: Double, cal: Double, gcSec: Double,
+                 failed: Boolean)
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): R = {
       val cal = calQuick()
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      R(name, (System.nanoTime() - t0) / 1e9, cal, (gcMillis() - gc0) / 1e3)
+      val failed =
+        try { fn(spark, sfDir).count(); false }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          true
+        }
+      val sec = if (failed) -1.0 else (System.nanoTime() - t0) / 1e9
+      R(name, sec, cal, (gcMillis() - gc0) / 1e3, failed)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       timed(name, fn)
@@ -99,12 +114,17 @@ object Bench {
     // queries so a genuinely slow engine can't buy itself a long
     // warm second chance.
     // rank by the same criterion the filter uses (largest UNEXPLAINED
-    // time), so a mostly-GC giant can't displace a smaller pure stall
-    val retried = results.filter(r => r.sec - r.gcSec >= 3.0)
+    // time), so a mostly-GC giant can't displace a smaller pure stall;
+    // failed queries are never retried (their -1 is a marker, not a
+    // reading) and a retry that itself fails is discarded
+    val retried = results.filter(r => !r.failed && r.sec - r.gcSec >= 3.0)
       .sortBy(r => -(r.sec - r.gcSec)).take(5)
-      .map(r => r.name -> timed(r.name, SparkEntry.queries(r.name)).sec).toMap
+      .map(r => r.name -> timed(r.name, SparkEntry.queries(r.name)))
+      .collect { case (n, r) if !r.failed => n -> r.sec }.toMap
     val calEnd = calFull()
-    val total = results.map(_.sec).sum
+    val ok = results.filter(!_.failed)
+    val failedNames = results.filter(_.failed).map(_.name)
+    val total = ok.map(_.sec).sum
     // per-query host-normalized time: scale by the query's own probe
     // BRACKET vs the healthy constant, never upward. Each query is
     // bracketed by its pre-probe and the NEXT query's pre-probe (the
@@ -122,9 +142,9 @@ object Bench {
       raw * math.min(1.0, calHealthyQuick / math.max(cal, 1e-9))
     val totalNorm = results.zipWithIndex.map { case (r, i) =>
       val calClose = if (i + 1 < results.length) results(i + 1).cal else calQuickFinal
-      norm(r.sec, math.max(r.cal, calClose))
+      if (r.failed) 0.0 else norm(r.sec, math.max(r.cal, calClose))
     }.sum
-    val totalStallfree = results
+    val totalStallfree = ok
       .map(r => math.min(r.sec, retried.getOrElse(r.name, r.sec))).sum
     val gcTotal = results.map(_.gcSec).sum
     val cals = results.map(r => (r.name, r.cal))
@@ -137,14 +157,18 @@ object Bench {
     println(s"""{"metric":"queries","queries":${mapJson(results.map(r => (r.name, r.sec)))},"sf":"$sfDir"}""")
     println(s"""{"metric":"query_cals","cal_healthy_quick_sec":$calHealthyQuick,"cal_quick_final_sec":${fmt(calQuickFinal)},"cals":${mapJson(cals)},"sf":"$sfDir"}""")
     println(s"""{"metric":"query_gc","gc_total_sec":${fmt(gcTotal)},"gc":${mapJson(results.filter(_.gcSec >= 0.05).map(r => (r.name, r.gcSec)))},"retries":${mapJson(retried)},"sf":"$sfDir"}""")
+    // failed queries keep their -1 marker in the map; the "_other"
+    // remainder sums only real readings (a -1 must never shrink it)
     val bySlowest = results.map(r => (r.name, r.sec)).sortBy(-_._2)
+    val failedJson = failedNames.take(20).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val budget = 1700 // chars for the final line, < tail window minus sbt epilogue
     var keep = bySlowest.length
     def finalLine(k: Int): String = {
       val kept = bySlowest.take(k)
-      val rest = bySlowest.drop(k).map(_._2).sum
+      val rest = bySlowest.drop(k).map(_._2).filter(_ >= 0).sum
       val entries = if (k < bySlowest.length) kept :+ ("_other" -> rest) else kept
-      s"""{"metric":"graft_bench","value":${fmt(total)},"value_cal_norm":${fmt(totalNorm)},"value_stallfree":${fmt(totalStallfree)},"gc_total_sec":${fmt(gcTotal)},"unit":"sec","n":${results.size},"cal_start_sec":${fmt(calStart)},"cal_end_sec":${fmt(calEnd)},"cal_quick_min_sec":${fmt(cals.map(_._2).min)},"cal_quick_max_sec":${fmt(cals.map(_._2).max)},"cal_healthy_quick_sec":$calHealthyQuick,"queries":${mapJson(entries)},"sf":"$sfDir"}"""
+      s"""{"metric":"graft_bench","value":${fmt(total)},"value_cal_norm":${fmt(totalNorm)},"value_stallfree":${fmt(totalStallfree)},"gc_total_sec":${fmt(gcTotal)},"unit":"sec","n":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"cal_start_sec":${fmt(calStart)},"cal_end_sec":${fmt(calEnd)},"cal_quick_min_sec":${fmt(cals.map(_._2).min)},"cal_quick_max_sec":${fmt(cals.map(_._2).max)},"cal_healthy_quick_sec":$calHealthyQuick,"queries":${mapJson(entries)},"sf":"$sfDir"}"""
     }
     while (keep > 1 && finalLine(keep).length > budget) keep -= 1
     println(finalLine(keep))
