@@ -22,18 +22,22 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType}
   * hashes × 8 bands, one narrow map each), the join becomes an
   * equi-join on the band key (shuffle-partitionable, AQE-skew-
   * splittable), and the ORIGINAL predicate is kept as the exact
-  * confirm, so no false positives are introduced. A distinct over the
-  * join's output collapses the one-row-per-shared-band multiplicity.
+  * confirm, so no false positives are introduced. A candidate pair
+  * surfaces once per SHARED band; a first-shared-band filter (band
+  * index = the pair's minimum colliding band) keeps exactly one of
+  * those rows, so the rewrite preserves the brute-force join's row
+  * multiplicity EXACTLY — duplicate input rows each pair up just as
+  * they would under the cross-product plan, with no de-duplicating
+  * aggregate in the rewritten plan (r12 ADVICE finding: the earlier
+  * distinct-based form collapsed duplicate input rows).
   *
   * OPT-IN, off by default (`spark.graft.lsh.rewrite.enabled`): LSH
   * banding is probabilistic — a true pair whose signatures collide in
   * no band is missed (at 32×8, P(miss) = (1−J⁴)⁸: ≈2e-6 at J=0.95,
-  * exactly 0 at J=1) — and the distinct assumes the joined outputs
-  * identify rows (true for the dedup pipelines this serves, where
-  * sides carry unique doc ids). Both caveats are the same contract
-  * the graft.api banded pipeline documents; the rule exists so a user
-  * who WROTE the brute-force form gets the banded plan by flipping a
-  * conf, with no query rewrite.
+  * exactly 0 at J=1). That is the same contract the graft.api banded
+  * pipeline documents; the rule exists so a user who WROTE the
+  * brute-force form gets the banded plan by flipping a conf, with no
+  * query rewrite.
   *
   * Registration: `LshBandRewrite.install(spark)` on a live session
   * (experimental optimizer rules), or
@@ -51,16 +55,11 @@ case class LshBandRewrite(session: SparkSession)
     if (conf.getConfString(EnabledKey, "false") != "true") plan
     else plan.transformUp {
       case j @ Join(left, right, Inner | Cross, Some(cond), hint)
-          if j.resolved && !alreadyBanded(left) && !alreadyBanded(right) &&
-            // the de-duplicating Aggregate groups by EVERY join output
-            // column: a non-groupable type there (MapType) would make
-            // the rewritten plan fail at execution, so decline and
-            // leave the user's working brute-force plan in place
-            j.output.forall(a => RowOrdering.isOrderable(a.dataType)) =>
+          if j.resolved && !alreadyBanded(left) && !alreadyBanded(right) =>
         jaccardPred(cond, left, right) match {
           case Some((ta, tb, tau)) =>
-            val (genL, bkeyL, szL) = withBandKeys(left, ta, leftSide = true)
-            val (genR, bkeyR, szR) = withBandKeys(right, tb, leftSide = false)
+            val (genL, posL, bkeyL, szL, sigL) = withBandKeys(left, ta, leftSide = true)
+            val (genR, posR, bkeyR, szR, sigR) = withBandKeys(right, tb, leftSide = false)
             // the lossless length filter the hand-built pipeline folds
             // into its candidate join (J >= tau implies tau*|A| <= |B|
             // <= |A|/tau — a theorem, so pruning is exact at any tau;
@@ -72,12 +71,25 @@ case class LshBandRewrite(session: SparkSession)
             val lenFilter = And(
               GreaterThanOrEqual(szL, Multiply(Literal(tau), szR)),
               GreaterThanOrEqual(szR, Multiply(Literal(tau), szL)))
+            // first-shared-band filter: a pair that collides in k bands
+            // would surface k times from the band equi-join; keep only
+            // the row whose band index has NO earlier colliding band,
+            // i.e. the pair's minimum shared band. Each band-colliding
+            // pair then appears exactly once, so the rewrite preserves
+            // the brute-force multiplicity with no dedup Aggregate.
+            // Cost: ≤ Bands−1 extra 4-element murmur folds per
+            // CANDIDATE row — same order as the confirm it gates
+            def bandHash(sig: Attribute, b: Int): Expression =
+              new Murmur3Hash(Seq(Literal(b),
+                Slice(sig, Literal(b * RowsPerBand + 1), Literal(RowsPerBand))))
+            val firstMatch: Expression = (0 until Bands - 1).map { b =>
+              Or(LessThanOrEqual(posL, Literal(b)), // band b not earlier than pos
+                Not(EqualTo(bandHash(sigL, b), bandHash(sigR, b))))
+            }.reduce[Expression](And)
+            val bandEq = And(EqualTo(bkeyL, bkeyR), EqualTo(posL, posR))
             val banded = Join(genL, genR, Inner,
-              Some(And(And(EqualTo(bkeyL, bkeyR), lenFilter), cond)), hint)
-            // one output row per shared band -> distinct back to the
-            // cross-join-filter multiplicity (canonical Aggregate form:
-            // the Distinct operator is already replaced by this point)
-            Aggregate(j.output, j.output, Project(j.output, banded))
+              Some(And(And(And(bandEq, lenFilter), firstMatch), cond)), hint)
+            Project(j.output, banded)
           case None => j
         }
     }
@@ -136,17 +148,20 @@ case class LshBandRewrite(session: SparkSession)
     }.collectFirst { case Some(p) => p }
   }
 
-  /** Append an exploded minhash band-key column to `child`:
-    * Project(+sig) → Generate(explode(bandKeys(sig))). The signature
-    * is the codegen'd [[MinhashSig]] kernel — the SAME expression the
-    * graft.api pipeline computes (bit-identity to the murmur-HOF
-    * formulation asserted in ExtensibilitySpec), and the band key
-    * `murmur(b, slice(sig, b·r+1, r))` folds element-by-element
-    * exactly like TextOps' bkey, so a rewrite-banded join and the
-    * hand-built pipeline bucket identically. Constructed resolved
-    * because no analyzer runs after this batch. */
+  /** Append exploded minhash (bandIndex, bandKey) columns to `child`:
+    * Project(+sig) → Generate(posexplode(bandKeys(sig))). The
+    * signature is the codegen'd [[MinhashSig]] kernel — the SAME
+    * expression the graft.api pipeline computes (bit-identity to the
+    * murmur-HOF formulation asserted in ExtensibilitySpec), and the
+    * band key `murmur(b, slice(sig, b·r+1, r))` folds
+    * element-by-element exactly like TextOps' bkey, so a
+    * rewrite-banded join and the hand-built pipeline bucket
+    * identically. The band INDEX (posexplode's pos) and the signature
+    * attribute are returned for the caller's first-shared-band filter.
+    * Constructed resolved because no analyzer runs after this batch.
+    */
   private def withBandKeys(child: LogicalPlan, sets: Expression,
-      leftSide: Boolean): (LogicalPlan, Attribute, Attribute) = {
+      leftSide: Boolean): (LogicalPlan, Attribute, Attribute, Attribute, Attribute) = {
     val side = if (leftSide) "l" else "r"
     val sigAlias = Alias(MinhashSig(sets, NumHashes),
       BandColPrefix + s"sig_$side")()
@@ -165,22 +180,23 @@ case class LshBandRewrite(session: SparkSession)
       new Murmur3Hash(Seq(Literal(b),
         Slice(sig, Literal(b * RowsPerBand + 1), Literal(RowsPerBand))))
     })
+    val pos = AttributeReference(
+      BandColPrefix + s"pos_$side", IntegerType, nullable = false)()
     val bkey = AttributeReference(
       BandColPrefix + s"bkey_$side", IntegerType, nullable = true)()
-    (Generate(Explode(bandKeys), unrequiredChildIndex = Nil, outer = false,
-      qualifier = None, generatorOutput = Seq(bkey), child = proj),
-      bkey, szAlias.toAttribute)
+    (Generate(PosExplode(bandKeys), unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(pos, bkey), child = proj),
+      pos, bkey, szAlias.toAttribute, sig)
   }
 }
 
 object LshBandRewrite {
-  /** Opt-in flag. Enabling accepts two documented semantic deltas vs
-    * the brute-force plan: (1) the (1−J^b)^r band-miss probability
-    * (≈2e-6 at J=0.95 under 32×8, exactly 0 at J=1); (2) the final
-    * de-duplicating Aggregate collapses duplicate INPUT rows — a pair
-    * the brute-force join emits once per duplicate row appears once.
-    * Both match the graft.api banded pipeline's contract, where join
-    * sides carry unique doc ids and multiplicity is moot. */
+  /** Opt-in flag. Enabling accepts ONE documented semantic delta vs
+    * the brute-force plan: the (1−J^b)^r band-miss probability
+    * (≈2e-6 at J=0.95 under 32×8, exactly 0 at J=1) — the same
+    * contract the graft.api banded pipeline documents. Row
+    * multiplicity is preserved exactly (first-shared-band filter;
+    * duplicate input rows pair up as under the cross-product plan). */
   val EnabledKey = "spark.graft.lsh.rewrite.enabled"
   private val BandColPrefix = "_lsh_"
   private val NumHashes = 32

@@ -12,6 +12,30 @@ class ExtensibilitySpec extends SparkSpec {
 
   private def u(s: String) = UTF8String.fromString(s)
 
+  test("a partial registration without the sentinel is retried to completion") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    // fresh SessionState → fresh FunctionRegistry, isolated from the
+    // shared fixture session
+    val s2 = spark.newSession()
+    val reg = s2.sessionState.functionRegistry
+    Graft.registerAll(s2)
+    // emulate exactly the state a mid-block throw leaves behind:
+    // functions before the throw point registered, everything after —
+    // including the LAST-registered sentinel — absent
+    reg.dropFunction(FunctionIdentifier("sorted_jaccard_min"))
+    reg.dropFunction(FunctionIdentifier("vec_dot"))
+    assert(!reg.functionExists(FunctionIdentifier("vec_dot")))
+    // the sentinel probe must read false and re-run the whole block
+    Graft.registerAll(s2)
+    assert(reg.functionExists(FunctionIdentifier("vec_dot")))
+    assert(reg.functionExists(FunctionIdentifier("sorted_jaccard_min")))
+    // and the analyzer resolves through the re-registered function
+    val got = s2.sql(
+      "SELECT vec_dot(array(double(1.0), double(2.0)), array(double(3.0), double(4.0))) AS d")
+      .head().getDouble(0)
+    assert(math.abs(got - 11.0) < 1e-9)
+  }
+
   test("token_jaccard kernel goldens") {
     assert(TokenJaccardUtil.compute(u("a b c"), u("a b c")) === 1.0)
     assert(TokenJaccardUtil.compute(u("a b"), u("c d")) === 0.0)

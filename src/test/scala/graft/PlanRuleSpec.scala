@@ -108,6 +108,40 @@ class PlanRuleSpec extends SparkSpec {
     } finally spark.conf.set(LshBandRewrite.EnabledKey, "false")
   }
 
+  test("rewrite preserves brute-force multiplicity under duplicate input rows") {
+    Graft.registerAll(spark)
+    LshBandRewrite.install(spark)
+    val s = spark
+    import s.implicits._
+    // id 1 appears TWICE on each side; the r12 distinct-based rewrite
+    // collapsed these, emitting one (1,2) row where brute force emits
+    // four (2 copies × 2 copies). The first-shared-band filter keeps
+    // per-ROW pairing, so counts — not just the pair set — must match
+    val base = Seq((1L, "a b c"), (1L, "a b c"), (2L, "c b a"), (3L, "x y z"))
+      .toDF("id", "txt")
+    val sets = base.select(col("id"),
+      array_sort(array_distinct(split(col("txt"), " "))).as("toks"))
+    val l = sets.select(col("id").as("ida"), col("toks").as("ta"))
+    val r = sets.select(col("id").as("idb"), col("toks").as("tb"))
+    def q = l.join(r, expr("sorted_jaccard_min(ta, tb, 0.95) >= 0.95") &&
+      col("ida") <= col("idb")).select(col("ida"), col("idb"))
+    def counts(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(x => (x.getLong(0), x.getLong(1))).groupBy(identity)
+        .view.mapValues(_.length).toMap
+    val brute = counts(q.collect())
+    // sanity on the fixture itself: (1,1) 2×2=4 self/cross copies,
+    // (1,2) 2 copies × 1, (2,2) and (3,3) once
+    assert(brute === Map((1L, 1L) -> 4, (1L, 2L) -> 2, (2L, 2L) -> 1, (3L, 3L) -> 1))
+    spark.conf.set(LshBandRewrite.EnabledKey, "true")
+    try {
+      val on = q
+      assert(on.queryExecution.optimizedPlan.toString.contains("_lsh_pos_l"),
+        "rewrite did not fire")
+      assert(counts(on.collect()) === brute,
+        "banded multiplicity diverged from brute force")
+    } finally spark.conf.set(LshBandRewrite.EnabledKey, "false")
+  }
+
   test("property: banded results are a subset of brute force and miss no J=1 pair") {
     Graft.registerAll(spark)
     LshBandRewrite.install(spark)
@@ -224,31 +258,30 @@ class PlanRuleSpec extends SparkSpec {
     } finally spark.conf.set(LshBandRewrite.EnabledKey, "false")
   }
 
-  test("a non-groupable (map) join output column declines the rewrite") {
+  test("a non-groupable (map) join output column no longer blocks the rewrite") {
     Graft.registerAll(spark)
     LshBandRewrite.install(spark)
     val s = spark
     import s.implicits._
-    // the rewrite dedups with an Aggregate over ALL join output
-    // columns; maps can't be grouping keys, so firing here would turn
-    // a working brute-force join into a runtime failure
+    // the r13 rewrite dedup'd with an Aggregate over ALL join output
+    // columns, so a map column forced it to decline; the
+    // first-shared-band filter has no grouping step, so the banded
+    // plan now fires and must carry the map through unchanged
     val base = Seq((1L, "a b c"), (2L, "c b a"), (3L, "x y")).toDF("id", "txt")
     val sets = base.select(col("id"),
       array_sort(array_distinct(split(col("txt"), " "))).as("toks"),
       map(lit("k"), col("id")).as("meta"))
     val l = sets.select(col("id").as("ida"), col("toks").as("ta"), col("meta"))
     val r = sets.select(col("id").as("idb"), col("toks").as("tb"))
-    // keep the map in the final projection — otherwise column pruning
-    // (an earlier batch) removes it from the join output and the
-    // rewrite may legitimately fire
     def q = l.join(r, expr("sorted_jaccard_min(ta, tb, 0.9) >= 0.9") &&
       col("ida") < col("idb")).select(col("ida"), col("idb"), col("meta"))
     spark.conf.set(LshBandRewrite.EnabledKey, "true")
     try {
-      assert(!q.queryExecution.optimizedPlan.toString.contains("_lsh_"),
-        "rule fired despite a map-typed join output column")
-      assert(q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet ===
-        Set((1L, 2L)))
+      assert(q.queryExecution.optimizedPlan.toString.contains("_lsh_"),
+        "rule declined despite having no grouping step")
+      val rows = q.collect()
+      assert(rows.map(x => (x.getLong(0), x.getLong(1))).toSet === Set((1L, 2L)))
+      assert(rows.head.getMap[String, Long](2) === Map("k" -> 1L))
     } finally spark.conf.set(LshBandRewrite.EnabledKey, "false")
   }
 
