@@ -63,6 +63,10 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    try:  # written by graft.Verify: key -> first line of the exception
+        verr = json.load(open(f"{outdir}/verify_errors.json"))
+    except Exception:
+        verr = {}
     n_pass = n_fail = 0
     fails = []
     for name, sql in sorted(oracles.items()):
@@ -70,7 +74,8 @@ def main():
             continue
         files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:
-            print(f"FAIL {name}: no result parquet"); n_fail += 1; fails.append(name); continue
+            why = f"crashed in Verify: {verr[name]}" if name in verr else "no result parquet"
+            print(f"FAIL {name}: {why}"); n_fail += 1; fails.append(name); continue
         try:
             mine = con.execute(f"SELECT * FROM read_parquet({files!r})")
             mcols = [d[0] for d in mine.description]
