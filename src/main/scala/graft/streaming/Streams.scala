@@ -26,6 +26,9 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
+  private val tsTypeCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.DataType]
+
   /** events.parquet's ts encoding is not fixed (TIMESTAMP(NANOS)
     * through round 12, TIMESTAMP(MICROS) since round 13 — see
     * Tables.read). A file stream needs an EXPLICIT schema, so probe
@@ -64,7 +67,13 @@ object Streams {
         tmp.delete() // a concurrent run staged it first — theirs wins
       }
     }
-    val fileTsType = s.read.parquet(dir.getAbsolutePath).schema("ts").dataType
+    // one footer probe per staged file VERSION (length+mtime key —
+    // the same drift signal the restage check uses): the probe is a
+    // batch read whose schema inference costs ~100-300 ms, and keys
+    // like stream_dedup_watermark build the stream twice per query
+    val fileTsType = tsTypeCache.getOrElseUpdate(
+      s"${dir.getAbsolutePath}|${staged.length()}|${staged.lastModified()}",
+      s.read.parquet(dir.getAbsolutePath).schema("ts").dataType)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", fileTsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
