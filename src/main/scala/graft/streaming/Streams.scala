@@ -26,8 +26,8 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  private val tsTypeCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.DataType]
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
 
   /** events.parquet's ts encoding is not fixed (TIMESTAMP(NANOS)
     * through round 12, TIMESTAMP(MICROS) since round 13 — see
@@ -70,14 +70,14 @@ object Streams {
     // one footer probe per staged file VERSION (length+mtime key —
     // the same drift signal the restage check uses): the probe is a
     // batch read whose schema inference costs ~100-300 ms, and keys
-    // like stream_dedup_watermark build the stream twice per query
-    val fileTsType = tsTypeCache.getOrElseUpdate(
+    // like stream_dedup_watermark build the stream twice per query.
+    // The stream adopts the probed schema WHOLESALE — declaring any
+    // column type by assumption is the r13 failure mode (a LongType
+    // ts over a µs file read the raw int64 silently)
+    val schema = schemaCache.getOrElseUpdate(
       s"${dir.getAbsolutePath}|${staged.length()}|${staged.lastModified()}",
-      s.read.parquet(dir.getAbsolutePath).schema("ts").dataType)
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", fileTsType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+      s.read.parquet(dir.getAbsolutePath).schema)
+    val fileTsType = schema("ts").dataType
     // watermarks use instant TimestampType; under the pinned UTC
     // session it carries the same wall clock as the NTZ convention —
     // output boundaries cast back to NTZ (dateOut)
