@@ -40,48 +40,63 @@ object Streams {
     * wrong answers happened: a LongType schema over a µs file reads
     * the raw int64 and a later ÷1000 compresses the timeline 1000×. */
   private[graft] def eventsStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file source wants a directory: stage the single events file
-    // into a tmp dir keyed by sf (testdata itself is read-only)
-    val dir = new java.io.File(
+    // into a scratch dir keyed by sf (testdata itself is read-only).
+    // Layout (ADVICE r14): <base>/data/ holds ONLY the staged parquet —
+    // the directory the stream lists — while the in-progress tmp copy
+    // and the provenance marker live in <base>/, so a crashed or
+    // concurrent partial copy can never be listed as a second input
+    // file (which would double every events row).
+    val base = new java.io.File(
       s"${sys.props("java.io.tmpdir")}/graft_stream/${Q.pathKey(d)}")
-    val staged = new java.io.File(dir, "events.parquet")
+    val dataDir = new java.io.File(base, "data")
+    val staged = new java.io.File(dataDir, "events.parquet")
+    val marker = new java.io.File(base, "staged_src")
     val src = new java.io.File(s"$d/events.parquet")
     // a staged copy survives across runs; if the source was regenerated
     // in between (round 13 did exactly that, changing both content and
-    // encoding) the stale copy would silently answer for the new data —
-    // copyFile preserves lastModified, so length+mtime detect drift
-    if (staged.exists() &&
-        (staged.length() != src.length() || staged.lastModified() != src.lastModified())) {
-      staged.delete()
-    }
-    if (!staged.exists()) {
-      dir.mkdirs()
-      // copy to a temp name + atomic rename so a crashed partial copy
-      // can never be mistaken for the staged input by a later run
-      val tmp = java.io.File.createTempFile("events", ".tmp", dir)
+    // encoding) the stale copy would silently answer for the new data.
+    // Drift is detected via a marker RECORDING the source's version —
+    // not by comparing the copy's own mtime, because copyFile's date
+    // preservation is best-effort/filesystem-granularity-dependent and
+    // a spurious mismatch would re-stage + re-probe on every call
+    // (ADVICE r14).
+    val srcStamp = s"${src.length()}|${src.lastModified()}"
+    val stagedStamp =
+      if (marker.exists() && staged.exists())
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      else ""
+    if (stagedStamp != srcStamp) {
+      marker.delete() // invalidate FIRST: a crash mid-copy must re-stage
+      dataDir.mkdirs()
+      val tmp = java.io.File.createTempFile("events", ".tmp", base)
       org.apache.commons.io.FileUtils.copyFile(src, tmp)
-      try java.nio.file.Files.move(tmp.toPath, staged.toPath,
+      // atomic REPLACE: a stream that already opened the old inode
+      // keeps reading it; there is no window where data/ is empty,
+      // half-written, or holds two files
+      java.nio.file.Files.move(tmp.toPath, staged.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        tmp.delete() // a concurrent run staged it first — theirs wins
-      }
+      java.nio.file.Files.write(marker.toPath, srcStamp.getBytes("UTF-8"))
     }
-    // one footer probe per staged file VERSION (length+mtime key —
-    // the same drift signal the restage check uses): the probe is a
-    // batch read whose schema inference costs ~100-300 ms, and keys
-    // like stream_dedup_watermark build the stream twice per query.
+    // legacy ns flag only when the staged footer actually needs it
+    // (Tables.footerHasNanos; no session conf touched on µs data)
+    Tables.ensureNanosFlagIfNeeded(s, staged.getAbsolutePath)
+    // one footer probe per staged file VERSION (the marker stamp — the
+    // same drift signal the restage check uses): the probe is a batch
+    // read whose schema inference costs ~100-300 ms, and keys like
+    // stream_dedup_watermark build the stream twice per query.
     // The stream adopts the probed schema WHOLESALE — declaring any
     // column type by assumption is the r13 failure mode (a LongType
     // ts over a µs file read the raw int64 silently)
     val schema = schemaCache.getOrElseUpdate(
-      s"${dir.getAbsolutePath}|${staged.length()}|${staged.lastModified()}",
-      s.read.parquet(dir.getAbsolutePath).schema)
+      s"${dataDir.getAbsolutePath}|$srcStamp",
+      s.read.parquet(dataDir.getAbsolutePath).schema)
     val fileTsType = schema("ts").dataType
     // watermarks use instant TimestampType; under the pinned UTC
     // session it carries the same wall clock as the NTZ convention —
     // output boundaries cast back to NTZ (dateOut)
-    val raw = s.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val raw = s.readStream.schema(schema).parquet(dataDir.getAbsolutePath)
     fileTsType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
