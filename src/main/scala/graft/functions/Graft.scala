@@ -52,6 +52,9 @@ object Graft {
       reg.createOrReplaceTempFunction("topk_keys",
         exprs => TopKKeys(exprs(0), exprs(1),
           exprs(2).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction("topk_pairs",
+        exprs => TopKPairs(exprs(0), exprs(1),
+          exprs(2).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")
       reg.createOrReplaceTempFunction("minhash_sig",
         exprs => MinhashSig(exprs(0),
           exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int]), "built-in")

@@ -412,4 +412,40 @@ class ApiSpec extends SparkSpec {
       .collect().head.getSeq[String](0)
     assert(grams === Seq("a c", "b a", "c b"))
   }
+
+  test("bounded topk_pairs aggregate ≡ window row_number form, with no Window in the plan") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random corpus WITH ties: vectors repeat
+    // every 16 ids, so several candidates score identically against a
+    // probe and the (score desc, cid asc) tie-break is load-bearing
+    val vecs = (0L until 64L).map { i =>
+      val r = i % 16
+      (i, Array((r % 4).toFloat + 1f, (r / 4).toFloat, (r % 3).toFloat))
+    }.toDF("vid", "emb")
+    val probes = vecs.filter(col("vid") < 4)
+    val got = VectorOps.cosineTopK(vecs, probes, "vid", "emb", k = 5)
+    // reference: the pre-r15 window formulation, computed inline
+    val e = vecs.select(col("vid").as("cid"),
+      transform(col("emb"), x => x.cast("double")).as("v"))
+    val p = vecs.filter(col("vid") < 4).select(col("vid").as("pid"),
+      transform(col("emb"), x => x.cast("double")).as("pv"))
+    graft.functions.Graft.registerAll(s)
+    val scored = p.crossJoin(e).filter(col("cid") =!= col("pid"))
+      .select(col("pid"), col("cid"),
+        (expr("vec_dot(pv, v)") /
+          (sqrt(expr("vec_dot(pv, pv)")) * sqrt(expr("vec_dot(v, v)")))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("score").desc, col("cid"))
+    val want = scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("pid"), col("rk"), col("cid"), col("score"))
+    val gotRows = got.orderBy("pid", "rk").collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), math.round(r.getDouble(3) * 1e12)))
+    val wantRows = want.orderBy("pid", "rk").collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), math.round(r.getDouble(3) * 1e12)))
+    assert(gotRows === wantRows)
+    // the scale property itself: no per-probe window sort anywhere
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "topk must not single-partition-sort per probe")
+  }
 }
