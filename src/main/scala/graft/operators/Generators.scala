@@ -9,11 +9,40 @@ import org.apache.spark.sql.types._
   * Hive origin: GenericUDTFExplode/PosExplode/JSONTuple/Stack/Inline +
   * UDTFOperator/LateralViewJoinOperator; TRANSFORM ... USING 'script'
   * (ScriptOperator). Spark: generator expressions in select();
-  * TRANSFORM's dataflow role is played by typed mapPartitions (no
-  * external process, same row-pipe shape), which stays fully
-  * distributed — each partition maps independently.
+  * TRANSFORM pipes rows through a REAL external process via RDD.pipe
+  * (one process per partition, rows streamed over stdin/stdout TSV —
+  * exactly Hive's ScriptOperator dataflow), with a typed
+  * mapPartitions fallback for hosts without the script binary.
   */
 object Generators {
+
+  /** The external TRANSFORM script: uppercase the first 20 chars and
+    * count space-separated tokens — awk is the kind of stock /bin
+    * row processor every Hive TRANSFORM corpus uses. `split(/ /)` (regex,
+    * not awk's magic single-space FS) matches java's split(" ") on
+    * this corpus (no consecutive/trailing spaces — verified). */
+  private[graft] val transformCmd: Seq[String] = Seq("/usr/bin/awk", "-F\t",
+    """{ n = split($2, a, / /); print $1 "\t" toupper(substr($2, 1, 20)) "\t" n }""")
+
+  /** TRANSFORM via a forked process per partition (RDD.pipe): fully
+    * distributed, no driver involvement, rows streamed as TSV. */
+  private[graft] def transformPiped(
+      src: org.apache.spark.sql.Dataset[(Long, String)]): org.apache.spark.rdd.RDD[(Long, String, Int)] =
+    src.rdd.map { case (id, text) => s"$id\t$text" }
+      .pipe(transformCmd)
+      .map { line =>
+        val f = line.split("\t", -1)
+        (f(0).toLong, f(1), f(2).toInt)
+      }
+
+  /** In-process stand-in with identical semantics — the fallback when
+    * the script binary is absent, and the unit cross-check's oracle
+    * for the piped form. */
+  private[graft] def transformLocal(
+      src: org.apache.spark.sql.Dataset[(Long, String)]): org.apache.spark.rdd.RDD[(Long, String, Int)] =
+    src.rdd.map { case (id, text) =>
+      (id, text.toUpperCase.take(20), text.split(" ").length)
+    }
 
   val queries: Map[String, Q.QueryFn] = Map(
     // the canonical Hive wordcount: LATERAL VIEW explode(split(text,' '))
@@ -52,16 +81,18 @@ object Generators {
           expr("inline(transform(split(text, ' '), x -> named_struct('tok', x, 'tlen', length(x))))"))
         .orderBy(col("doc_id"), col("tok"), col("tlen"))),
 
-    // TRANSFORM-role: typed per-partition map, no driver involvement
+    // TRANSFORM ... USING 'script': a real forked process when the
+    // script binary exists (Hive-faithful), in-process fallback else
     "transform_script" -> { (s, d) =>
       import org.apache.spark.sql.Encoders
       val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
       val out = Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaInt)
-      Tables.t(s, d, "documents").select(col("doc_id"), col("text"))
+      val src = Tables.t(s, d, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)](enc)
-        .mapPartitions(_.map { case (id, text) =>
-          (id, text.toUpperCase.take(20), text.split(" ").length)
-        })(out)
+      val rows =
+        if (new java.io.File(transformCmd.head).canExecute) transformPiped(src)
+        else transformLocal(src)
+      s.createDataset(rows)(out)
         .toDF("doc_id", "head_uc", "n_toks")
         .orderBy(col("doc_id"))
     }
