@@ -134,6 +134,33 @@ object Joins {
         .orderBy(col("p_id"))
     },
 
+    // UNBOUNDED as-of (VERDICT r14 "What's missing" #2: the banded
+    // join_asof silently loses matches older than its 1-day window).
+    // Not a join at all: purchases and clicks interleave into ONE
+    // per-user stream and a running `last(click_ts)` window answers
+    // "latest click at-or-before" — one shuffle on user_id, one sort,
+    // LINEAR in events (the unbounded join form would be quadratic in
+    // events-per-user). Clicks sort before purchases at equal ts so
+    // the at-or-before bound stays inclusive. Output is the matched
+    // VALUE (c_ts), not the click id: DuckDB's native ASOF JOIN (the
+    // oracle) is value-deterministic but id-nondeterministic under
+    // same-(user,ts) click ties.
+    "join_asof_unbounded" -> { (s, d) =>
+      val tagged = Tables.t(s, d, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("event_type") === "purchase").cast("int").as("kind"),
+          when(col("event_type") === "click", col("ts")).as("click_ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged.withColumn("c_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1 && col("c_ts").isNotNull)
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"), col("c_ts"))
+        .orderBy(col("p_id"))
+    },
+
     // TPC-H-Q5-shaped 6-table star: dims broadcast, one agg at the top
     "join_multiway_star" -> { (s, d) =>
       Tables.t(s, d, "region").filter(col("r_name") === "ASIA")
@@ -248,6 +275,13 @@ object Joins {
         |      FROM p JOIN c ON user_id = c_user
         |        AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 DAY)
         |SELECT p_id, user_id, p_ts, c_id, c_ts FROM j WHERE rn = 1
+        |ORDER BY p_id""".stripMargin,
+    // native ASOF JOIN — the cross-check SURVEY §2.3 declared
+    "join_asof_unbounded" ->
+      """SELECT p.event_id AS p_id, p.user_id AS user_id, p.ts AS p_ts, c.ts AS c_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p_id""".stripMargin,
     "join_multiway_star" ->
       """SELECT n_name,
