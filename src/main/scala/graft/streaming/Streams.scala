@@ -5,7 +5,7 @@ import graft.Q._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** §2.10 Structured Streaming (SURVEY.md:289-299), driven by the
@@ -127,6 +127,54 @@ object Streams {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast(LongType)
 
+  /** Per-user running (count, cent-sum) as a Spark 4 StatefulProcessor:
+    * one ValueState row per user in the RocksDB StateStore, keyed by
+    * shuffle partition — the transformWithState analogue of the legacy
+    * flatMapGroupsWithState fold below. No TTL: the aggregate is
+    * all-time by contract (a production unbounded run would bound
+    * state with TTLConfig, which this API — unlike the legacy one —
+    * supports natively). */
+  private[graft] class RunningUserAgg
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var agg: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Long)]("agg",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      val (n0, c0) = if (agg.exists()) agg.get() else (0L, 0L)
+      var n = n0; var c = c0
+      rows.foreach { r => n += 1; c += r._2 }
+      agg.update((n, c))
+      Iterator((user, n, c))
+    }
+  }
+
+  /** The legacy arbitrary-state form (flatMapGroupsWithState), kept as
+    * the unit cross-check oracle for [[RunningUserAgg]]. */
+  private[graft] def statefulCountLegacy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = eventsStream(s, d)
+      .select(col("user_id"), cents(col("value")).as("cents"))
+      .as[(Long, Long)]
+    val updated = ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0; var c = c0
+          rows.foreach { r => n += 1; c += r._2 }
+          state.update((n, c))
+          Iterator((user, n, c))
+      }
+    drain(updated.toDF("user_id", "n_events", "sum_cents"), "update", "g_stateful_legacy")
+      .select(col("user_id"), col("n_events"),
+        (col("sum_cents").cast(DoubleType) / 100).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q.QueryFn] = Map(
     "stream_tumbling" -> { (s, d) =>
       val agg = eventsStream(s, d)
@@ -171,21 +219,30 @@ object Streams {
       drain(dedup, "append", "g_dedup").orderBy(col("event_id"))
     },
 
+    // Spark 4's current arbitrary-state surface (transformWithState +
+    // StatefulProcessor over a RocksDB StateStore — the API
+    // flatMapGroupsWithState is the legacy form of; VERDICT r14 #8).
+    // The legacy form is kept as `statefulCountLegacy` and a unit
+    // cross-check asserts both produce identical rows.
     "stream_stateful_count" -> { (s, d) =>
       import s.implicits._
       val ds = eventsStream(s, d)
         .select(col("user_id"), cents(col("value")).as("cents"))
         .as[(Long, Long)]
       val updated = ds.groupByKey(_._1)
-        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-          (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
-            val (n0, c0) = state.getOption.getOrElse((0L, 0L))
-            var n = n0; var c = c0
-            rows.foreach { r => n += 1; c += r._2 }
-            state.update((n, c))
-            Iterator((user, n, c))
+        .transformWithState(new RunningUserAgg, TimeMode.None(), OutputMode.Update())
+      // transformWithState requires the RocksDB state store provider
+      val prev = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val drained =
+        try drain(updated.toDF("user_id", "n_events", "sum_cents"), "update", "g_stateful")
+        finally prev match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
         }
-      drain(updated.toDF("user_id", "n_events", "sum_cents"), "update", "g_stateful")
+      drained
         .select(col("user_id"), col("n_events"),
           (col("sum_cents").cast(DoubleType) / 100).as("sum_value"))
         .orderBy(col("user_id"))

@@ -93,6 +93,18 @@ class AdaptiveReadSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
 
+  test("transformWithState stateful count ≡ legacy flatMapGroupsWithState form") {
+    // the registered key runs on Spark 4's current arbitrary-state
+    // API (StatefulProcessor over RocksDB); the retired legacy form
+    // stays as its oracle — identical per-user (n, sum) rows
+    val modern = graft.streaming.Streams.queries("stream_stateful_count")(spark, sf)
+      .collect().toSeq
+    val legacy = graft.streaming.Streams.statefulCountLegacy(spark, sf)
+      .collect().toSeq
+    assert(modern.nonEmpty && modern == legacy,
+      s"state API migration drifted: modern=${modern.take(3)} legacy=${legacy.take(3)}")
+  }
+
   test("legacy nanos-as-long events files still read (encoding branch, not swap)") {
     // synthesize a TIMESTAMP(NANOS)-shaped events file the way the
     // pre-r13 generator did: the legacy flag surfaces it as LongType,
