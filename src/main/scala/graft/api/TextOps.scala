@@ -2,8 +2,12 @@ package graft.api
 
 import graft.functions.{Graft, NgramSet}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.{BloomFilter => SketchBloom}
 
 /** Public text-pipeline API over arbitrary DataFrames — the
   * library surface a training-data pipeline calls; the SparkEntry
@@ -375,6 +379,64 @@ object TextOps {
       tau: Double, numHashes: Int = 32, bands: Int = 8): DataFrame =
     crossNearDupPairs(left, leftId, tokenSet(col(leftText)),
       right, rightId, tokenSet(col(rightText)), tau, numHashes, bands)
+
+  /** EXACT n-gram cross-corpus contamination report — the other
+    * standard decontamination flavor next to the near-dup form
+    * ([[crossNearDupPairs]]): an eval doc is contaminated to the
+    * degree its distinct word n-gram shingles appear VERBATIM
+    * anywhere in the train corpus (the overlap check run on held-out
+    * benchmarks before a training corpus ships). Output one row per
+    * contaminated eval doc: (eval_id, n_grams, n_hit_grams, frac).
+    *
+    * Scale shape — the explicit form of Spark's own runtime bloom
+    * filter (`InjectRuntimeFilter`): the train side's distinct gram
+    * hashes are folded into ONE fixed-size bloom filter (a
+    * distributed `BloomFilterAggregate` over `xxhash64(gram)`; its
+    * size is set by (expectedTrainGrams, fpp), NOT by the data — the
+    * single-row collect is bounded driver work of the same class as
+    * the IVF training sample), and the bloom prunes the exploded
+    * eval-gram stream MAP-SIDE before anything shuffles. Only
+    * surviving grams (true hits + the fpp false-positive mass) enter
+    * the exact equi-join confirm, so false positives cost work, never
+    * wrong rows, and bloom false negatives do not exist — the output
+    * is exactly the plain join's. At 100 TB the probe side never
+    * ships non-matching grams into the shuffle; the train side's
+    * distinct-gram relation shuffles once (and is scanned twice —
+    * bloom build + confirm; persist it when the gram set is large
+    * relative to recompute cost). */
+  def exactNgramContamination(
+      evalDf: DataFrame, evalId: String, evalText: String,
+      train: DataFrame, trainText: String,
+      n: Int = 5,
+      expectedTrainGrams: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val gram = col("gram")
+    val trainGrams = train
+      .select(explode(ngramSet(col(trainText), n)).as("gram")).distinct()
+    val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(gram)),
+      Literal(expectedTrainGrams),
+      Literal(SketchBloom.optimalNumOfBits(expectedTrainGrams, fpp)),
+      0, 0).toAggregateExpression())
+    val bytes = trainGrams.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    // empty train corpus → BloomFilterAggregate yields null → nothing
+    // can be contaminated (and MightContain over a null bloom is null)
+    val mightHit =
+      if (bytes == null) lit(false)
+      else ColumnBridge.column(BloomFilterMightContain(
+        Literal.create(bytes, BinaryType),
+        ColumnBridge.expression(xxhash64(gram))))
+    val evalGrams = evalDf
+      .select(col(evalId).as("eval_id"), ngramSet(col(evalText), n).as("gs"))
+      .select(col("eval_id"), size(col("gs")).cast("long").as("n_grams"),
+        explode(col("gs")).as("gram"))
+    evalGrams.filter(mightHit).join(trainGrams, "gram")
+      .groupBy(col("eval_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_hit_grams"))
+      .select(col("eval_id"), col("n_grams"), col("n_hit_grams"),
+        (col("n_hit_grams").cast("double") / col("n_grams").cast("double"))
+          .as("frac"))
+  }
 
   /** SimHash near-duplicate pairs: 32-bit simhash from per-token
     * murmur bits, hamming ≤ maxHamming prefilter, exact-Jaccard ≥ tau

@@ -146,6 +146,20 @@ object LlmText {
         tau = 0.95)
         .select(col("left_id").as("eval_id"), col("right_id").as("train_id"), col("j"))
         .orderBy(col("eval_id"), col("train_id"))
+    },
+
+    // Exact-overlap decontamination flavor: verbatim 5-gram shingle
+    // containment of the eval split in the train split, bloom-
+    // prefiltered map-side before the confirm join (the explicit form
+    // of Spark's runtime bloom filter — see TextOps scaladoc). The
+    // bloom is a lossless prefilter, so the result is oracle-exact.
+    "llm_decontam_exact" -> { (s, d) =>
+      val docs = Tables.t(s, d, "documents")
+      graft.api.TextOps.exactNgramContamination(
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 20 =!= 0), "text",
+        n = 5)
+        .orderBy(col("eval_id"))
     }
   )
 
@@ -227,6 +241,20 @@ object LlmText {
         |      FROM e CROSS JOIN tr)
         |SELECT eval_id, train_id, j FROM p WHERE j >= 0.95
         |ORDER BY eval_id, train_id""".stripMargin,
+    "llm_decontam_exact" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |        list_transform(generate_series(1, greatest(len(tk) - 4, 0)),
+        |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS gram
+        |      FROM t),
+        |e AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 20 = 0),
+        |tr AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 <> 0),
+        |n AS (SELECT eval_id, count(*) AS n_grams FROM e GROUP BY eval_id),
+        |h AS (SELECT e.eval_id, count(*) AS n_hit_grams
+        |      FROM e JOIN tr USING (gram) GROUP BY e.eval_id)
+        |SELECT h.eval_id, n.n_grams, h.n_hit_grams,
+        |       CAST(h.n_hit_grams AS DOUBLE) / CAST(n.n_grams AS DOUBLE) AS frac
+        |FROM h JOIN n ON h.eval_id = n.eval_id ORDER BY h.eval_id""".stripMargin,
     // connected components of the brute-force near-dup graph via a
     // recursive CTE: walk enumerates (node, reachable-label) pairs,
     // min per node = component representative

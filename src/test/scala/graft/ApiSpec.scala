@@ -448,4 +448,38 @@ class ApiSpec extends SparkSpec {
     assert(!got.queryExecution.executedPlan.toString.contains("Window"),
       "topk must not single-partition-sort per probe")
   }
+
+  test("exactNgramContamination: bloom prefilter is lossless vs the plain join; plan carries might_contain") {
+    val s = spark
+    import s.implicits._
+    // bigrams so the 4-6 word docs overlap; 13 shares nothing
+    val evalDf = docs.filter(col("my_id") % 2 === 0)
+    val train = docs.filter(col("my_id") % 2 =!= 0)
+    val got = TextOps.exactNgramContamination(
+      evalDf, "my_id", "my_text", train, "my_text", n = 2)
+    // reference: same semantics with NO bloom stage
+    val g = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("my_id"), explode(TextOps.ngramSet(col("my_text"), 2)).as("gram"))
+    val tr = g(train).select("gram").distinct()
+    val tot = g(evalDf).groupBy(col("my_id").as("eval_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val want = g(evalDf).withColumnRenamed("my_id", "eval_id")
+      .join(tr, "gram").groupBy("eval_id")
+      .agg(count(lit(1)).as("n_hit_grams"))
+      .join(tot, "eval_id")
+      .select(col("eval_id"), col("n_grams"), col("n_hit_grams"),
+        (col("n_hit_grams").cast("double") / col("n_grams").cast("double")).as("frac"))
+    val key = (df: org.apache.spark.sql.DataFrame) => df.orderBy("eval_id").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), math.round(r.getDouble(3) * 1e12)))
+    assert(key(got) === key(want))
+    assert(got.count() > 0, "fixture must exercise real hits")
+    // the scale property: the bloom prunes BEFORE the join (a
+    // might_contain predicate over the eval gram stream)
+    assert(got.queryExecution.executedPlan.toString.contains("might_contain"),
+      "bloom prefilter missing from the physical plan")
+    // empty train corpus → no contamination, not a crash
+    assert(TextOps.exactNgramContamination(
+      evalDf, "my_id", "my_text", train.filter(lit(false)), "my_text", n = 2)
+      .count() === 0)
+  }
 }
