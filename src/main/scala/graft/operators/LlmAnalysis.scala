@@ -80,7 +80,38 @@ object LlmAnalysis {
       graft.api.TextOps.repetitionStats(Tables.t(s, d, "documents"), "doc_id", "text")
         .withColumn("keep",
           col("top_tok_ratio") < 0.12 && col("top_bigram_ratio") < 0.06)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // PII scrubbing — the redaction pass a corpus runs before
+    // training: emails and phone-shaped strings replaced with typed
+    // placeholder tokens, counts reported per doc. The synthetic
+    // corpus carries no PII, so a deterministic doc_id-derived
+    // injection (docs ≡0 mod 3 get an email, ≡0 mod 5 a phone; the
+    // oracle performs the identical construction) makes the redaction
+    // path non-vacuous: both scrub and pass-through outcomes occur.
+    // Whole pipeline is codegen'd builtins (concat/lpad/regexp_*) —
+    // per-row, shuffle-free, linear at any scale.
+    "llm_pii_scrub" -> { (s, d) =>
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val aug = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" tel 415-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0))).as("n_phones"),
+          regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }
   )
 
   private val markerSql = Markers.map { case (l, ms) =>
@@ -154,6 +185,21 @@ object LlmAnalysis {
         |    + (length(tk[i+3]) * 961 + ord(left(tk[i+3], 1)) * 31 + ord(right(tk[i+3], 1))) * 4),
         |    'min') AS fp
         |  FROM t WHERE len(tk) >= 4)
-        |SELECT doc_id, CAST(fp AS INTEGER) AS fp FROM f ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, CAST(fp AS INTEGER) AS fp FROM f ORDER BY doc_id""".stripMargin,
+    "llm_pii_scrub" ->
+      """WITH a AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |            THEN ' tel 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |            ELSE '' END AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+        |  regexp_replace(regexp_replace(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        |FROM a ORDER BY doc_id""".stripMargin
   )
 }

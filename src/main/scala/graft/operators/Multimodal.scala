@@ -26,6 +26,10 @@ object Multimodal {
       doc_id: Long, mime: String, n_bytes: Int,
       width: Int, height: Int, mean_byte: Double, max_byte: Int)
 
+  final case class Frame(
+      doc_id: Long, frame_idx: Int, n_bytes: Int,
+      mean_byte: Double, max_byte: Int)
+
   /** THE STUB: a real implementation would decode pixels/samples
     * here; this fake is deterministic and cheap. */
   private def decodeStub(id: Long, blob: Array[Byte]): Decoded = {
@@ -51,6 +55,36 @@ object Multimodal {
           Encoders.product[Decoded])
         .toDF()
         .orderBy(col("doc_id"))
+    },
+
+    // Frame sampling — the one-to-MANY kernel shape (video → every
+    // Nth frame): the blob is treated as a fixed-stride frame
+    // sequence (32-byte "frames", sample every 4th, ragged tail
+    // kept), each sampled frame emitted as its own row with per-frame
+    // features. Same stub contract as the decode key: the arithmetic
+    // is a stand-in for a codec, the flatMap-per-partition plumbing
+    // (no driver involvement, partitioning preserved, output fan-out
+    // bounded by blob size / stride) is the real pipeline shape.
+    "llm_multimodal_frames" -> { (s, d) =>
+      val frameLen = 32
+      val stride = 4
+      val media = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
+      val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+      media.as[(Long, Array[Byte])](inEnc)
+        .mapPartitions(_.flatMap { case (id, blob) =>
+          val nFrames = (blob.length + frameLen - 1) / frameLen
+          (0 until nFrames by stride).iterator.map { fi =>
+            val from = fi * frameLen
+            val until = math.min(from + frameLen, blob.length)
+            var sum = 0L; var mx = 0; var i = from
+            while (i < until) { val b = blob(i) & 0xff; sum += b; if (b > mx) mx = b; i += 1 }
+            val n = until - from
+            Frame(id, fi, n, if (n == 0) 0.0 else sum.toDouble / n, mx)
+          }
+        })(Encoders.product[Frame])
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
     }
   )
 
@@ -67,6 +101,23 @@ object Multimodal {
         |  CAST((n + 31) // 32 AS INTEGER) AS height,
         |  CAST(list_sum(bytes) AS DOUBLE) / n AS mean_byte,
         |  CAST(list_aggregate(bytes, 'max') AS INTEGER) AS max_byte
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // the frame sampler's arithmetic re-stated in SQL: frame i covers
+    // bytes [i*32, min(i*32+32, n)), sampled at i % 4 = 0
+    "llm_multimodal_frames" ->
+      """WITH b AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+        |fr AS (SELECT doc_id, text, n,
+        |         unnest(generate_series(0, CAST((n + 31) // 32 AS INTEGER) - 1, 4)) AS frame_idx
+        |       FROM b WHERE n > 0),
+        |f AS (SELECT doc_id, frame_idx,
+        |        least(32, n - frame_idx * 32) AS fn,
+        |        list_transform(generate_series(1, least(32, n - frame_idx * 32)),
+        |                       i -> ord(substring(text, frame_idx * 32 + i, 1))) AS bytes
+        |      FROM fr)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(fn AS INTEGER) AS n_bytes,
+        |  CAST(list_sum(bytes) AS DOUBLE) / CAST(fn AS DOUBLE) AS mean_byte,
+        |  CAST(list_aggregate(bytes, 'max') AS INTEGER) AS max_byte
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
