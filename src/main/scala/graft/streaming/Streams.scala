@@ -153,6 +153,73 @@ object Streams {
     }
   }
 
+  /** Event-time SESSIONIZATION on the transformWithState TIMER
+    * surface — the pattern the timer API exists for. Per user:
+    * rows of a batch are sorted and folded gaps-and-islands style;
+    * sessions closed BY THE DATA (a following event ≥ gap later)
+    * emit immediately, and the trailing open session is held in a
+    * ValueState with an event-time timer at (end + gap) — when the
+    * watermark passes it, [[handleExpiredTimer]] emits the session
+    * and clears state. Timers are ms-granular while event time is µs,
+    * so the expiry rounds UP (never early); the declared key's SQL
+    * oracle reproduces exactly this ms arithmetic for the per-user
+    * final session. State per key is one (start, end, n) triple —
+    * bounded, watermark-reclaimed; at 100 TB this scales with
+    * concurrently-open sessions (= keys), not with history. */
+  private[graft] class SessionTimers(gapUs: Long)
+      extends StatefulProcessor[
+        Long, (Long, java.sql.Timestamp),
+        (Long, java.sql.Timestamp, java.sql.Timestamp, Long)] {
+    @transient private var open: ValueState[(Long, Long, Long)] = _
+    private def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000
+    }
+    private def ts(us: Long): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000))
+    private def expiryMs(endUs: Long): Long =
+      Math.floorDiv(endUs + gapUs + 999L, 1000L) // round UP: never fire early
+    private def emit(user: Long, st: (Long, Long, Long)) =
+      (user, ts(st._1), ts(st._2 + gapUs), st._3)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[(Long, Long, Long)]("open",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)] = {
+      val sorted = rows.map(r => micros(r._2)).toArray.sorted
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      var cur = if (open.exists()) { // resume the held session
+        val st = open.get(); getHandle.deleteTimer(expiryMs(st._2)); st
+      } else null
+      sorted.foreach { t =>
+        cur match {
+          case null => cur = (t, t, 1L)
+          case (st, en, n) =>
+            if (t - en >= gapUs) { out += emit(user, cur); cur = (t, t, 1L) }
+            else cur = (st, math.max(en, t), n + 1)
+        }
+      }
+      if (cur != null) {
+        open.update(cur)
+        getHandle.registerTimer(expiryMs(cur._2))
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)] = {
+      if (open.exists()) {
+        val st = open.get(); open.clear(); Iterator(emit(user, st))
+      } else Iterator.empty
+    }
+  }
+
   /** The legacy arbitrary-state form (flatMapGroupsWithState), kept as
     * the unit cross-check oracle for [[RunningUserAgg]]. */
   private[graft] def statefulCountLegacy(s: SparkSession, d: String): DataFrame = {
@@ -206,6 +273,40 @@ object Streams {
       drain(agg, "complete", "g_session")
         .select(col("user_id"), dateOut(col("session_window.start")).as("sstart"),
           dateOut(col("session_window.end")).as("send"), col("n"))
+        .orderBy(col("user_id"), col("sstart"))
+    },
+
+    // Sessionization driven by event-time TIMERS (SessionTimers): the
+    // arbitrary-state formulation of stream_session's built-in
+    // session_window, exercising registerTimer/handleExpiredTimer.
+    // Data-closed sessions emit in the data batch; each user's
+    // trailing session emits from its timer when the final watermark
+    // (max ts − 1 h) passes end + gap — the oracle reproduces that
+    // cutoff, ms arithmetic included, so the key is hash-exact.
+    "stream_session_timers" -> { (s, d) =>
+      import s.implicits._
+      val gapUs = 30L * 60 * 1000000L
+      val ds = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)]
+      val sessions = ds.groupByKey(_._1)
+        .transformWithState(new SessionTimers(gapUs),
+          TimeMode.EventTime(), OutputMode.Append())
+      val prev = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val drained =
+        try drain(sessions.toDF("user_id", "sstart", "send", "n"),
+          "append", "g_session_timers")
+        finally prev match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      drained
+        .select(col("user_id"), dateOut(col("sstart")).as("sstart"),
+          dateOut(col("send")).as("send"), col("n"))
         .orderBy(col("user_id"), col("sstart"))
     },
 
@@ -341,6 +442,28 @@ object Streams {
         |  FROM o)
         |SELECT user_id, min(ts) AS sstart, max(ts) + INTERVAL '30 minutes' AS send, count(*) AS n
         |FROM f GROUP BY user_id, sid ORDER BY user_id, sstart""".stripMargin,
+    // same gaps-and-islands sessionization as stream_session, but the
+    // per-user FINAL session only appears if its (end + gap) timer
+    // would fire under the final watermark (max ts − 1 h), with the
+    // engine's ms-granular timer arithmetic mirrored exactly:
+    // expiry = ceil(µs/1000), watermark = floor(µs/1000)
+    "stream_session_timers" ->
+      """WITH o AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |f AS (SELECT user_id, ts,
+        |    sum(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM o),
+        |sess AS (SELECT user_id, sid, min(ts) AS sstart, max(ts) AS send_raw, count(*) AS n
+        |         FROM f GROUP BY user_id, sid),
+        |wm AS (SELECT (epoch_us(max(ts)) - 3600000000) // 1000 AS wm_ms FROM events),
+        |lasts AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY user_id)
+        |SELECT s.user_id, s.sstart, s.send_raw + INTERVAL '30 minutes' AS send, s.n
+        |FROM sess s JOIN lasts l ON s.user_id = l.user_id, wm
+        |WHERE s.sid < l.last_sid
+        |   OR (epoch_us(s.send_raw) + 1800000000 + 999) // 1000 <= wm.wm_ms
+        |ORDER BY s.user_id, s.sstart""".stripMargin,
     "stream_dedup_watermark" ->
       """SELECT event_id, ts, user_id, event_type FROM events ORDER BY event_id""".stripMargin,
     "stream_stateful_count" ->
