@@ -706,4 +706,65 @@ object TextOps {
       .filter(size(tk) >= 4)
       .select(col("doc_id"), array_min(windowHashes).as("fp"))
   }
+
+  /** Concat-and-chunk sequence-packing spans: documents are laid end
+    * to end in ascending id order and the token stream is cut every
+    * `chunkTokens` tokens (the GPT-style packing a pre-training run
+    * performs before batching); per document, the global start offset
+    * and the chunk indices it lands in.
+    *
+    * The global prefix sum is a two-phase distributed scan, NOT a
+    * single-partition Window: ids are bucketed by a PURE id-range
+    * function (so the assignment is deterministic — no sampled
+    * RangePartitioner bounds), each bucket's token subtotal is a
+    * partial-aggregable groupBy, and only the O(numParts) subtotal
+    * rows reach the driver to be turned into cumulative base offsets
+    * that broadcast-join back. Within a bucket the running sum is an
+    * ordinary `Window.partitionBy(bucket)` — parallel across buckets.
+    * This is the shape that survives 100 TB, where
+    * `Window.orderBy(id)` with no partitionBy funnels the whole
+    * corpus through one task; output equality with that
+    * single-partition form is asserted in ApiSpec.
+    *
+    * Requires an integral id column (cast to long). Null text counts
+    * as zero tokens and still receives a (zero-width) span. Bucket
+    * sizes follow the id distribution; dense ids (the common
+    * sequential case) balance evenly. */
+  def packedSpans(df: DataFrame, idCol: String, textCol: String,
+                  chunkTokens: Int, numParts: Int = 32): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counted = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        when(col(textCol).isNull, 0L)
+          .otherwise(size(split(col(textCol), " ")).cast("long")).as("n_toks"))
+    // driver phase: two bounded actions — one MAX row, numParts
+    // subtotal rows — independent of corpus size
+    val maxId = counted.agg(max(col("doc_id"))).as[Option[Long]].head() match {
+      case Some(m) => m
+      case None    => return counted
+        .select(col("doc_id"), col("n_toks"), lit(0L).as("start_tok"),
+          lit(0L).as("first_chunk"), lit(0L).as("last_chunk"), lit(0L).as("n_chunks"))
+    }
+    val span = math.max(1L, (maxId + numParts) / numParts) // ceil((maxId+1)/numParts)
+    def bucketOf(id: Column): Column = (id / span).cast("int")
+    val subtotals = counted.groupBy(bucketOf(col("doc_id")).as("bucket"))
+      .agg(sum(col("n_toks")).as("sub")).as[(Int, Long)].collect().sortBy(_._1)
+    val bases = subtotals.scanLeft((0, 0L)) { case ((_, acc), (b, s)) => (b, acc + s) }
+    // bases(i)._2 pairs with subtotals(i)._1: sum of all EARLIER buckets
+    val baseDf = subtotals.map(_._1).zip(bases.map(_._2))
+      .toSeq.toDF("bucket", "base")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    counted.withColumn("bucket", bucketOf(col("doc_id")))
+      .join(broadcast(baseDf), "bucket")
+      .withColumn("start_tok", col("base") + coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_toks"), col("start_tok"),
+        expr(s"start_tok DIV $chunkTokens").as("first_chunk"),
+        expr(s"(start_tok + GREATEST(n_toks - 1, CAST(0 AS BIGINT))) DIV $chunkTokens")
+          .as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+  }
 }

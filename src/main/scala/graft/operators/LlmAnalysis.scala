@@ -25,7 +25,41 @@ object LlmAnalysis {
     "fr" -> Seq("query", "filter", "sort"),
     "zh" -> Seq("hash", "scan", "stream"))
 
+  /** Per-source keep rates for the deterministic mixture sampler:
+    * src_i keeps 20% + 4%/step (src0 20% … src19 96%) — the
+    * "upweight the better sources" shape of a training-mixture spec.
+    * Rendered as a hex threshold against the first 4 md5 hex digits
+    * of the doc id, so membership is a pure function of the row (no
+    * RNG, no partition sensitivity) and the oracle can evaluate the
+    * IDENTICAL CASE text. */
+  private val srcThresholds: Seq[(String, String)] = (0 until 20).map { i =>
+    val rate = math.min(1.0, 0.2 + 0.04 * i)
+    (s"src$i", f"${(rate * 65536).toInt}%04x")
+  }
+
+  private val thrSql = "CASE source " +
+    srcThresholds.map { case (s, h) => s"WHEN '$s' THEN '$h'" }.mkString(" ") +
+    " ELSE '0000' END"
+
   val queries: Map[String, Q.QueryFn] = Map(
+    // Deterministic weighted mixture sampling — the corpus-curation
+    // step that assembles a training mix from sources at different
+    // rates. Hash-gated (md5 prefix vs per-source threshold): exactly
+    // reproducible across runs/engines, no sampled RNG state, and at
+    // 100 TB it is a per-row predicate + partial-aggregable count
+    // rollup (zero extra shuffles beyond the final per-source agg).
+    "llm_mixture_sample" -> { (s, d) =>
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+      Tables.t(s, d, "documents")
+        .withColumn("keep", h < expr(thrSql))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("keep"), 1)).as("n_kept"),
+          coalesce(min(when(col("keep"), col("doc_id"))), lit(-1L)).as("first_kept"),
+          coalesce(max(when(col("keep"), col("doc_id"))), lit(-1L)).as("last_kept"))
+        .withColumn("kept_frac", col("n_kept").cast("double") / col("n_total"))
+        .orderBy(col("source"))
+    },
     "llm_lang_id" -> { (s, d) =>
       val toks = split(col("text"), " ")
       val scored = Tables.t(s, d, "documents").select(
@@ -133,6 +167,16 @@ object LlmAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "llm_mixture_sample" ->
+      s"""WITH k AS (SELECT source, doc_id,
+         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < ($thrSql) AS keep
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+         |  coalesce(min(CASE WHEN keep THEN doc_id END), -1) AS first_kept,
+         |  coalesce(max(CASE WHEN keep THEN doc_id END), -1) AS last_kept,
+         |  CAST(count(CASE WHEN keep THEN 1 END) AS DOUBLE) / count(*) AS kept_frac
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "llm_lang_id" ->
       s"""WITH sc AS (SELECT lang,
          |    $markerSql

@@ -160,6 +160,35 @@ object LlmText {
         docs.filter(col("doc_id") % 20 =!= 0), "text",
         n = 5)
         .orderBy(col("eval_id"))
+    },
+
+    // Concat-and-chunk sequence packing (256-token chunks): per doc,
+    // its global token offset and the training-chunk span it lands
+    // in. The global prefix sum is the two-phase distributed scan in
+    // TextOps.packedSpans — O(numParts) driver rows, per-bucket
+    // windows — NOT a single-partition Window; ApiSpec asserts
+    // equality with the window form.
+    "llm_seq_pack" -> ((s, d) =>
+      graft.api.TextOps.packedSpans(
+        Tables.t(s, d, "documents"), "doc_id", "text", chunkTokens = 256)
+        .orderBy(col("doc_id"))),
+
+    // Boilerplate detection: the 50 globally most frequent trigrams
+    // (ties broken by gram text — deterministic) form the boilerplate
+    // set; per doc, the share of its trigram occurrences that are
+    // boilerplate. Counts are partial-aggregable, the top-50 is a
+    // TakeOrdered (never a full sort), and the 50-row set joins back
+    // via an explicit broadcast — linear at any corpus size.
+    "llm_boilerplate" -> { (s, d) =>
+      val grams = Tables.t(s, d, "documents").select(col("doc_id"),
+        explode(graft.api.TextOps.wordNgrams(split(col("text"), " "), 3)).as("g"))
+      val top = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("g")).limit(50)
+      grams.join(broadcast(top.select(col("g"), lit(1).as("bp"))), Seq("g"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), count(col("bp")).as("n_bp"))
+        .withColumn("bp_frac", col("n_bp").cast("double") / col("n_grams"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -255,6 +284,29 @@ object LlmText {
         |SELECT h.eval_id, n.n_grams, h.n_hit_grams,
         |       CAST(h.n_hit_grams AS DOUBLE) / CAST(n.n_grams AS DOUBLE) AS frac
         |FROM h JOIN n ON h.eval_id = n.eval_id ORDER BY h.eval_id""".stripMargin,
+    "llm_seq_pack" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_toks,
+        |        CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |      FROM t)
+        |SELECT doc_id, n_toks, start_tok,
+        |  CAST(start_tok // 256 AS BIGINT) AS first_chunk,
+        |  CAST((start_tok + greatest(n_toks - 1, 0)) // 256 AS BIGINT) AS last_chunk,
+        |  CAST((start_tok + greatest(n_toks - 1, 0)) // 256
+        |       - start_tok // 256 + 1 AS BIGINT) AS n_chunks
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "llm_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |gr AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+        |         i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g FROM t),
+        |top AS (SELECT g, count(*) AS cnt FROM gr GROUP BY g ORDER BY cnt DESC, g LIMIT 50)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(top.g) AS BIGINT) AS n_bp,
+        |  CAST(count(top.g) AS DOUBLE) / count(*) AS bp_frac
+        |FROM gr LEFT JOIN top ON gr.g = top.g
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // connected components of the brute-force near-dup graph via a
     // recursive CTE: walk enumerates (node, reachable-label) pairs,
     // min per node = component representative

@@ -100,6 +100,18 @@ object LlmVector {
         Tables.t(s, d, "embeddings"), "vec_id", "embedding", tau = 0.4)
         .orderBy(col("vec_id"))),
 
+    // Symmetric int8 scalar quantization — the storage/serving form a
+    // 100 TB embedding corpus ships (4× smaller, SIMD dot products).
+    // Per-row fold in index order, shuffle-free, codegen'd builtins;
+    // floor(x+0.5) rounding instead of round() so both engines agree
+    // bit-for-bit (see VectorOps.quantizeInt8). Error summaries are
+    // order-independent (max / count), so DOUBLE is hash-safe here —
+    // no float-sum folds cross the output boundary.
+    "llm_embed_quantize" -> ((s, d) =>
+      graft.api.VectorOps.quantizeInt8(
+        Tables.t(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("vec_id"))),
+
     "llm_embed_centroids" -> ((s, d) =>
       graft.api.VectorOps.centroidDistances(
         Tables.t(s, d, "embeddings"), "vec_id", "embedding", "label")
@@ -185,6 +197,28 @@ object LlmVector {
          |  SELECT ed.src, walk.lab FROM ed JOIN walk ON ed.dst = walk.node
          |)
          |SELECT node AS vec_id, min(lab) AS rep FROM walk GROUP BY node ORDER BY vec_id""".stripMargin,
+    "llm_embed_quantize" ->
+      """WITH t AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx FROM t),
+        |f AS (SELECT vec_id, v, mx FROM m WHERE mx IS NOT NULL AND mx > 0),
+        |q AS (SELECT vec_id, v, mx,
+        |        list_transform(v, x -> CAST(floor(x * 127.0 / mx + 0.5) AS INTEGER)) AS q
+        |      FROM f),
+        |e AS (SELECT vec_id, mx, q,
+        |        list_transform(generate_series(1, len(v)),
+        |          i -> abs(v[i] - q[i] * (mx / 127.0))) AS err
+        |      FROM q)
+        |SELECT vec_id,
+        |  mx / 127.0 AS scale,
+        |  array_to_string(q, ',') AS q_csv,
+        |  CAST(list_aggregate(q, 'min') AS INTEGER) AS q_min,
+        |  CAST(list_aggregate(q, 'max') AS INTEGER) AS q_max,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  list_aggregate(err, 'max') AS max_abs_err,
+        |  CAST(len(list_filter(err, x -> x < 0.001)) AS INTEGER) AS n_within_tol
+        |FROM e ORDER BY vec_id""".stripMargin,
     "llm_embed_centroids" ->
       """WITH x AS (SELECT vec_id, label,
         |    generate_subscripts(embedding, 1) AS pos,

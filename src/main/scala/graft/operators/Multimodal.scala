@@ -30,6 +30,9 @@ object Multimodal {
       doc_id: Long, frame_idx: Int, n_bytes: Int,
       mean_byte: Double, max_byte: Int)
 
+  final case class Resized(
+      doc_id: Long, out_h: Int, out_w: Int, pool_csv: String, total_sum: Long)
+
   /** THE STUB: a real implementation would decode pixels/samples
     * here; this fake is deterministic and cheap. */
   private def decodeStub(id: Long, blob: Array[Byte]): Decoded = {
@@ -85,6 +88,45 @@ object Multimodal {
         })(Encoders.product[Frame])
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // Resize/downsample — the spatial-pooling kernel shape (image →
+    // thumbnail / feature map): the width-32 stub image is 4×4
+    // average-pooled to width 8, ragged edges kept as partial cells.
+    // Pooled values ship as INTEGER SUMS (exact — a mean is one
+    // division away for the consumer) so the output stays bit-exact
+    // cross-engine; CSV rendering per the representation contract.
+    // Same stub contract as decode/frames: the pooling arithmetic
+    // stands in for a real resampler, the per-partition plumbing is
+    // the real pipeline shape.
+    "llm_multimodal_resize" -> { (s, d) =>
+      val width = 32
+      val pool = 4
+      val outW = width / pool
+      val media = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
+      val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+      media.as[(Long, Array[Byte])](inEnc)
+        .mapPartitions(_.flatMap { case (id, blob) =>
+          val n = blob.length
+          if (n == 0) Iterator.empty
+          else {
+            val h = (n + width - 1) / width
+            val outH = (h + pool - 1) / pool
+            val sums = Array.ofDim[Long](outH * outW)
+            var i = 0
+            while (i < n) {
+              val r = (i / width) / pool
+              val c = (i % width) / pool
+              sums(r * outW + c) += blob(i) & 0xff
+              i += 1
+            }
+            Iterator.single(Resized(id, outH, outW,
+              sums.mkString(","), sums.sum))
+          }
+        })(Encoders.product[Resized])
+        .toDF()
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -118,6 +160,33 @@ object Multimodal {
         |  CAST(fn AS INTEGER) AS n_bytes,
         |  CAST(list_sum(bytes) AS DOUBLE) / CAST(fn AS DOUBLE) AS mean_byte,
         |  CAST(list_aggregate(bytes, 'max') AS INTEGER) AS max_byte
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // the pooling kernel re-stated byte-wise: byte idx lands in pooled
+    // cell ((idx//32)//4, (idx%32)//4); cells that receive no byte
+    // (ragged edge cells fully past the end) do not exist in the
+    // kernel either ONLY when an entire pooled ROW is absent — within
+    // a started row every cell gets at least a zero from the kernel's
+    // dense array, so the SQL right-pads missing cells with 0
+    "llm_multimodal_resize" ->
+      """WITH b AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+        |by_byte AS (SELECT doc_id, i - 1 AS idx, ord(substring(text, i, 1)) AS v
+        |            FROM b, unnest(generate_series(1, n)) AS t(i) WHERE n > 0),
+        |cell AS (SELECT doc_id, (idx // 32) // 4 AS r_out, (idx % 32) // 4 AS c_out,
+        |           CAST(sum(v) AS BIGINT) AS s
+        |         FROM by_byte GROUP BY 1, 2, 3),
+        |dims AS (SELECT doc_id, max(r_out) + 1 AS out_h FROM cell GROUP BY doc_id),
+        |grid AS (SELECT dims.doc_id, out_h, r, c
+        |         FROM dims,
+        |              unnest(generate_series(0, CAST(out_h AS INTEGER) - 1)) AS tr(r),
+        |              unnest(generate_series(0, 7)) AS tc(c)),
+        |dense AS (SELECT grid.doc_id, grid.out_h, grid.r, grid.c, coalesce(cell.s, 0) AS s
+        |          FROM grid LEFT JOIN cell ON cell.doc_id = grid.doc_id
+        |                        AND cell.r_out = grid.r AND cell.c_out = grid.c)
+        |SELECT doc_id,
+        |  CAST(out_h AS INTEGER) AS out_h,
+        |  CAST(8 AS INTEGER) AS out_w,
+        |  string_agg(CAST(s AS VARCHAR), ',' ORDER BY r, c) AS pool_csv,
+        |  CAST(sum(s) AS BIGINT) AS total_sum
+        |FROM dense GROUP BY doc_id, out_h ORDER BY doc_id""".stripMargin
   )
 }

@@ -482,4 +482,74 @@ class ApiSpec extends SparkSpec {
       evalDf, "my_id", "my_text", train.filter(lit(false)), "my_text", n = 2)
       .count() === 0)
   }
+
+  test("packedSpans ≡ single-partition window prefix sum, with no global Window in the plan") {
+    val s = spark
+    import s.implicits._
+    // sparse, shuffled ids + varied lengths + a null text: the bucket
+    // function must follow id ranges, not row order or density
+    val rows = new scala.util.Random(42).shuffle((0 until 200).toList).map { i =>
+      val id = i.toLong * 7 + (i % 3) // sparse, non-contiguous
+      val text = if (i % 17 == 0) null
+      else Seq.fill(1 + (i * 31) % 40)("w" + (i % 5)).mkString(" ")
+      (id, text)
+    }
+    val df = rows.toDF("the_id", "the_text").repartition(7)
+    val got = TextOps.packedSpans(df, "the_id", "the_text", chunkTokens = 64, numParts = 8)
+    // reference: the naive global-window form
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = df.select(col("the_id").cast("long").as("doc_id"),
+        when(col("the_text").isNull, 0L)
+          .otherwise(size(split(col("the_text"), " ")).cast("long")).as("n_toks"))
+      .withColumn("start_tok", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_toks"), col("start_tok"),
+        expr("start_tok DIV 64").as("first_chunk"),
+        expr("(start_tok + GREATEST(n_toks - 1, CAST(0 AS BIGINT))) DIV 64").as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+    val key = (d: org.apache.spark.sql.DataFrame) => d.orderBy("doc_id").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(key(got) === key(want))
+    // invariants: spans tile the token stream exactly, in id order
+    val tiled = key(got).sortBy(_._1).foldLeft(0L) { case (expectStart, (_, n, start, _, _, _)) =>
+      assert(start === expectStart); start + n
+    }
+    assert(tiled === key(got).map(_._2).sum)
+    // the scale property: every Window in the plan is bucket-partitioned
+    // (a global-order window would shuffle everything to one task)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "packedSpans must not funnel the corpus through one partition")
+    // empty input → empty output, not a crash
+    assert(TextOps.packedSpans(df.filter(lit(false)), "the_id", "the_text", 64).count() === 0)
+  }
+
+  test("quantizeInt8: bounded codes, reconstruction within half-step, extremes hit ±127") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(-2.0f, 2.0f, 1.0f, -1.0f)),
+      (3L, Array(0.001f, 0.0005f, -0.001f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // all-zero: dropped (no scale)
+      (5L, null.asInstanceOf[Array[Float]])  // null vector: dropped
+    ).toDF("vid", "emb")
+    val q = VectorOps.quantizeInt8(vecs, "vid", "emb").orderBy("vec_id").collect()
+    assert(q.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    q.foreach { r =>
+      val scale = r.getDouble(1)
+      val codes = r.getString(2).split(",").map(_.toInt)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(codes.max === r.getInt(4) && codes.min === r.getInt(3))
+      // the max element must quantize to ±127 exactly (symmetric scheme)
+      assert(codes.map(math.abs).max === 127)
+      // reconstruction error is bounded by half a quantization step
+      assert(r.getDouble(6) <= scale / 2 + 1e-12,
+        s"max_abs_err ${r.getDouble(6)} exceeds half-step ${scale / 2}")
+    }
+    // shuffle-free scale check: no Exchange in the plan
+    val plan = VectorOps.quantizeInt8(vecs, "vid", "emb")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "quantization must stay per-row")
+  }
 }

@@ -145,4 +145,33 @@ class LlmSpec extends SparkSpec {
     val total = df.agg(sum("n_copies")).head.getLong(0)
     assert(total === Tables.t(spark, sf, "documents").count())
   }
+
+  test("llm_boilerplate: top-50 plans as TakeOrdered, set joins back broadcast; hits non-vacuous") {
+    val df = graft.operators.LlmText.queries("llm_boilerplate")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-50 must be a TakeOrdered, not a global sort")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 50-row boilerplate set must join back as a broadcast")
+    val rows = df.collect()
+    assert(rows.forall { r =>
+      val frac = r.getDouble(3)
+      frac >= 0.0 && frac <= 1.0 && r.getLong(2) <= r.getLong(1)
+    })
+    assert(rows.exists(_.getLong(2) > 0), "corpus must exercise real boilerplate hits")
+  }
+
+  test("llm_mixture_sample: per-source rollup is complete, bounded, and reproducible") {
+    val run = () => graft.operators.LlmAnalysis.queries("llm_mixture_sample")(spark, sf).collect()
+    val a = run()
+    assert(a.length === 20, "every source present")
+    assert(a.forall(r => r.getLong(2) <= r.getLong(1)), "kept <= total")
+    val totKept = a.map(_.getLong(2)).sum
+    val tot = a.map(_.getLong(1)).sum
+    // configured rates average 58%; the hash gate should land near it
+    val frac = totKept.toDouble / tot
+    assert(frac > 0.35 && frac < 0.8, s"global kept fraction $frac implausible for the configured mix")
+    // determinism: a second evaluation is row-identical (no RNG state)
+    assert(a.map(_.toString).toSeq === run().map(_.toString).toSeq)
+  }
 }
