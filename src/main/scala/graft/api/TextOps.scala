@@ -695,16 +695,45 @@ object TextOps {
           .as("top_bigram_ratio"))
   }
 
-  /** Winnowing-lite rolling-hash fingerprint over 4-token windows. */
-  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def tokhash(c: Column) =
-      length(c) * 961 + ascii(substring(c, 1, 1)) * 31 + ascii(substring(c, -1, 1))
-    val tk = col("tk")
-    val windowHashes = transform(sequence(lit(1), size(tk) - 3),
+  private def tokhash(c: Column) =
+    length(c) * 961 + ascii(substring(c, 1, 1)) * 31 + ascii(substring(c, -1, 1))
+
+  /** Positional rolling hash per 4-token window (shared by
+    * [[fingerprint]] and [[winnow]]). */
+  private def windowHashes(tk: Column): Column =
+    transform(sequence(lit(1), size(tk) - 3),
       i => (0 until 4).map(k => tokhash(element_at(tk, i + k)) * (k + 1)).reduce(_ + _))
+
+  /** Winnowing-lite rolling-hash fingerprint over 4-token windows. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
-      .filter(size(tk) >= 4)
-      .select(col("doc_id"), array_min(windowHashes).as("fp"))
+      .filter(size(col("tk")) >= 4)
+      .select(col("doc_id"), array_min(windowHashes(col("tk"))).as("fp"))
+
+  /** Full winnowing (the MOSS fingerprint-selection algorithm,
+    * Schleimer/Wilkerson/Aiken 2003): over the per-position 4-token
+    * rolling hashes, slide a guarantee window of `w` hashes and keep
+    * each window's MINIMUM; the distinct selected minima are the
+    * document's fingerprint set. Any shared token run of length
+    * ≥ w + 3 between two documents is guaranteed to share a selected
+    * fingerprint — so docs bucket by fingerprint for near-dup
+    * candidate generation with NO pairwise work, the groupable scale
+    * path [[fingerprint]] only approximates with its single global
+    * min. Per-row O(tokens × w) fold, shuffle-free, linear.
+    * Docs shorter than w + 3 tokens (no full window) are dropped. */
+  def winnow(df: DataFrame, idCol: String, textCol: String, w: Int = 5): DataFrame = {
+    require(w > 0, "guarantee window must be positive")
+    val tk = col("tk")
+    val hs = col("hs")
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
+      .filter(size(tk) >= w + 3)
+      .select(col("doc_id"), windowHashes(tk).as("hs"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(
+          transform(sequence(lit(1), size(hs) - (w - 1)),
+            i => array_min(slice(hs, i, lit(w)))))).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fps"),
+        concat_ws(",", transform(col("fps"), x => x.cast("string"))).as("fps_csv"))
   }
 
   /** Concat-and-chunk sequence-packing spans: documents are laid end

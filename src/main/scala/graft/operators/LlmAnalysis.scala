@@ -103,6 +103,36 @@ object LlmAnalysis {
       graft.api.TextOps.fingerprint(Tables.t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // FULL winnowing (MOSS selection, guarantee window 5): every
+    // 5-hash window's minimum kept, distinct minima = the doc's
+    // fingerprint set — any shared run of ≥ 8 tokens between docs is
+    // GUARANTEED to share a fingerprint (the property the single-min
+    // lite form above only approximates). Per-row fold, shuffle-free;
+    // fingerprints bucket docs for candidate generation at scale.
+    "llm_winnow" -> ((s, d) =>
+      graft.api.TextOps.winnow(Tables.t(s, d, "documents"), "doc_id", "text", w = 5)
+        .orderBy(col("doc_id"))),
+
+    // Per-source token/char-length distribution report — the corpus
+    // dashboard a curation run reads before setting mixture weights.
+    // Percentiles are EXACT (both engines interpolate identically);
+    // chars-per-token is a ratio of exact integer sums, never an avg
+    // of per-row doubles (float-sum order would break hash parity).
+    "llm_length_stats" -> { (s, d) =>
+      val toks = size(split(col("text"), " "))
+      Tables.t(s, d, "documents")
+        .select(col("source"), toks.as("n_toks"), col("n_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_toks")).as("min_toks"),
+          max(col("n_toks")).as("max_toks"),
+          percentile(col("n_toks"), lit(0.5)).as("p50_toks"),
+          percentile(col("n_toks"), lit(0.9)).as("p90_toks"),
+          (sum(col("n_chars")).cast("double") / sum(col("n_toks")).cast("double"))
+            .as("chars_per_tok"))
+        .orderBy(col("source"))
+    },
+
     // Gopher-style repetition filter: drop documents whose most
     // frequent unigram/bigram claims too large a token share.
     // Thresholds sized to the corpus (measured at sf0.01: ratio
@@ -219,6 +249,32 @@ object LlmAnalysis {
         |FROM t JOIN um ON t.doc_id = um.doc_id
         |       LEFT JOIN bm ON t.doc_id = bm.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "llm_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |h AS (SELECT doc_id,
+        |    list_transform(generate_series(1, len(tk) - 3), i ->
+        |      (length(tk[i]) * 961 + ord(left(tk[i], 1)) * 31 + ord(right(tk[i], 1))) * 1
+        |    + (length(tk[i+1]) * 961 + ord(left(tk[i+1], 1)) * 31 + ord(right(tk[i+1], 1))) * 2
+        |    + (length(tk[i+2]) * 961 + ord(left(tk[i+2], 1)) * 31 + ord(right(tk[i+2], 1))) * 3
+        |    + (length(tk[i+3]) * 961 + ord(left(tk[i+3], 1)) * 31 + ord(right(tk[i+3], 1))) * 4) AS hs
+        |  FROM t WHERE len(tk) >= 8),
+        |f AS (SELECT doc_id, list_sort(list_distinct(
+        |        list_transform(generate_series(1, len(hs) - 4), i ->
+        |          list_aggregate(list_slice(hs, i, i + 4), 'min')))) AS fps
+        |      FROM h)
+        |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps,
+        |  coalesce(array_to_string(fps, ','), '') AS fps_csv
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "llm_length_stats" ->
+      """WITH t AS (SELECT source, len(string_split(text, ' ')) AS n_toks, n_chars
+        |           FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n_toks) AS INTEGER) AS min_toks,
+        |  CAST(max(n_toks) AS INTEGER) AS max_toks,
+        |  quantile_cont(n_toks, 0.5) AS p50_toks,
+        |  quantile_cont(n_toks, 0.9) AS p90_toks,
+        |  CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_toks) AS DOUBLE) AS chars_per_tok
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "llm_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |f AS (SELECT doc_id,

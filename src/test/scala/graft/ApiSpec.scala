@@ -524,6 +524,30 @@ class ApiSpec extends SparkSpec {
     assert(TextOps.packedSpans(df.filter(lit(false)), "the_id", "the_text", 64).count() === 0)
   }
 
+  test("winnow: docs sharing a ≥ w+3 token run share a fingerprint; disjoint docs don't") {
+    val s = spark
+    import s.implicits._
+    val shared = "one two three four five six seven eight" // 8 tokens = w+3 at w=5
+    val d = Seq(
+      (1L, s"prefix alpha beta $shared"),
+      (2L, s"$shared gamma delta suffix tail"),
+      (3L, "zz yy xx ww vv uu tt ss rr qq")    // disjoint vocabulary
+    ).toDF("id", "txt")
+    val fps = TextOps.winnow(d, "id", "txt", w = 5).collect()
+      .map(r => r.getLong(0) -> r.getString(2).split(",").map(_.toInt).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "winnowing guarantee: a shared 8-token run must yield a shared fingerprint")
+    assert((fps(1L) intersect fps(3L)).isEmpty && (fps(2L) intersect fps(3L)).isEmpty,
+      "disjoint-vocabulary docs should not collide on this fixture")
+    // n_fps matches the set size and the csv is sorted ascending
+    TextOps.winnow(d, "id", "txt", w = 5).collect().foreach { r =>
+      val v = r.getString(2).split(",").map(_.toInt).toSeq
+      assert(v.size === r.getInt(1) && v === v.sorted && v.distinct === v)
+    }
+    // too-short docs are dropped, not crashed
+    assert(TextOps.winnow(Seq((9L, "a b c")).toDF("id", "txt"), "id", "txt", 5).count() === 0)
+  }
+
   test("quantizeInt8: bounded codes, reconstruction within half-step, extremes hit ±127") {
     val s = spark
     import s.implicits._
