@@ -37,7 +37,7 @@ object LlmAnalysis {
     (s"src$i", f"${(rate * 65536).toInt}%04x")
   }
 
-  private val thrSql = "CASE source " +
+  private[operators] val thrSql = "CASE source " +
     srcThresholds.map { case (s, h) => s"WHEN '$s' THEN '$h'" }.mkString(" ") +
     " ELSE '0000' END"
 

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.Q._
 import graft.functions.Graft
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -189,6 +190,48 @@ object LlmText {
         .agg(count(lit(1)).as("n_grams"), count(col("bp")).as("n_bp"))
         .withColumn("bp_frac", col("n_bp").cast("double") / col("n_grams"))
         .orderBy(col("doc_id"))
+    },
+
+    // THE CAPSTONE: the whole curation pipeline composed end-to-end —
+    // quality gate → repetition filter → exact dedup → near-dup
+    // cluster dedup → weighted mixture sample — reporting the doc and
+    // token funnel after each stage (raw 500 → … → sampled; every
+    // stage non-vacuous on this corpus EXCEPT exact_dedup, whose
+    // "no exact dups here" count equality is itself oracle-checked).
+    // Each stage is an already-proven scale-safe operator; at 100 TB
+    // a real run MATERIALIZES each surviving corpus to parquet
+    // between stages (this declared form recomputes the chain per
+    // funnel row, which is free at test scale and irrelevant to the
+    // per-stage plans the scale story rests on).
+    "llm_pipeline_e2e" -> { (s, d) =>
+      val raw = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source"),
+          size(split(col("text"), " ")).as("n_toks"))
+      val q = raw.filter(col("n_toks") >= 20)
+      val rkeep = graft.api.TextOps.repetitionStats(q, "doc_id", "text")
+        .filter(col("top_tok_ratio") < 0.12 && col("top_bigram_ratio") < 0.06)
+        .select(col("doc_id"))
+      val s1 = q.join(rkeep, "doc_id")
+      val ex = s1.groupBy(sha2(lower(trim(col("text"))).cast("binary"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val s2 = s1.join(ex, "doc_id")
+      val reps = graft.api.TextOps.minhashNearDupClusters(s2, "doc_id", "text", tau = 0.95)
+        .filter(col("doc_id") === col("rep")).select("doc_id")
+      val s3 = s2.join(reps, "doc_id")
+      val s4 = s3.filter(
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+          < expr(LlmAnalysis.thrSql))
+      def stage(n: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks_total"))
+          .select(lit(n).as("stage"), lit(name).as("name"),
+            col("n_docs"), col("n_toks_total"))
+      stage(0, "raw", raw)
+        .unionAll(stage(1, "quality", q))
+        .unionAll(stage(2, "repetition", s1))
+        .unionAll(stage(3, "exact_dedup", s2))
+        .unionAll(stage(4, "near_dedup", s3))
+        .unionAll(stage(5, "mixture_sample", s4))
+        .orderBy(col("stage"))
     }
   )
 
@@ -284,6 +327,46 @@ object LlmText {
         |SELECT h.eval_id, n.n_grams, h.n_hit_grams,
         |       CAST(h.n_hit_grams AS DOUBLE) / CAST(n.n_grams AS DOUBLE) AS frac
         |FROM h JOIN n ON h.eval_id = n.eval_id ORDER BY h.eval_id""".stripMargin,
+    "llm_pipeline_e2e" ->
+      s"""WITH RECURSIVE raw AS (SELECT doc_id, text, source,
+         |        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks FROM documents),
+         |q AS (SELECT * FROM raw WHERE n_toks >= 20),
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM q),
+         |u AS (SELECT doc_id, count(*) AS c
+         |      FROM (SELECT doc_id, unnest(tk) AS tok FROM tk) GROUP BY doc_id, tok),
+         |um AS (SELECT doc_id, max(c) AS mx FROM u GROUP BY doc_id),
+         |bg AS (SELECT doc_id, count(*) AS c
+         |      FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+         |              i -> tk[i] || ' ' || tk[i + 1])) AS g FROM tk) GROUP BY doc_id, g),
+         |bm AS (SELECT doc_id, max(c) AS mx FROM bg GROUP BY doc_id),
+         |rkeep AS (SELECT tk.doc_id FROM tk JOIN um ON tk.doc_id = um.doc_id
+         |          LEFT JOIN bm ON tk.doc_id = bm.doc_id
+         |          WHERE CAST(um.mx AS DOUBLE) / len(tk.tk) < 0.12
+         |            AND CAST(coalesce(bm.mx, 0) AS DOUBLE) / greatest(len(tk.tk) - 1, 1) < 0.06),
+         |s1 AS (SELECT q.* FROM q JOIN rkeep USING (doc_id)),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY sha256(lower(trim(text)))),
+         |s2 AS (SELECT s1.* FROM s1 JOIN ex USING (doc_id)),
+         |tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM s2),
+         |p AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |      FROM tok x JOIN tok y ON x.doc_id < y.doc_id
+         |      WHERE CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+         |            / len(list_distinct(list_concat(x.toks, y.toks))) >= 0.95),
+         |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+         |walk(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM s2
+         |  UNION
+         |  SELECT e.src, walk.lab FROM e JOIN walk ON e.dst = walk.node),
+         |rep AS (SELECT node AS doc_id, min(lab) AS rep FROM walk GROUP BY node),
+         |s3 AS (SELECT s2.* FROM s2 JOIN rep ON s2.doc_id = rep.doc_id WHERE rep.rep = s2.doc_id),
+         |s4 AS (SELECT * FROM s3
+         |       WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < (${graft.operators.LlmAnalysis.thrSql}))
+         |SELECT 0 AS stage, 'raw' AS name, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_toks_total FROM raw
+         |UNION ALL SELECT 1, 'quality', CAST(count(*) AS BIGINT), CAST(sum(n_toks) AS BIGINT) FROM q
+         |UNION ALL SELECT 2, 'repetition', CAST(count(*) AS BIGINT), CAST(sum(n_toks) AS BIGINT) FROM s1
+         |UNION ALL SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT), CAST(sum(n_toks) AS BIGINT) FROM s2
+         |UNION ALL SELECT 4, 'near_dedup', CAST(count(*) AS BIGINT), CAST(sum(n_toks) AS BIGINT) FROM s3
+         |UNION ALL SELECT 5, 'mixture_sample', CAST(count(*) AS BIGINT), CAST(sum(n_toks) AS BIGINT) FROM s4
+         |ORDER BY stage""".stripMargin,
     "llm_seq_pack" ->
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
         |           FROM documents),

@@ -39,28 +39,28 @@ object Streams {
     * Guessing instead of probing is exactly how round 13's silent
     * wrong answers happened: a LongType schema over a µs file reads
     * the raw int64 and a later ÷1000 compresses the timeline 1000×. */
-  private[graft] def eventsStream(s: SparkSession, d: String): DataFrame = {
-    // the file source wants a directory: stage the single events file
-    // into a scratch dir keyed by sf (testdata itself is read-only).
-    // Layout (ADVICE r14): <base>/data/ holds ONLY the staged parquet —
-    // the directory the stream lists — while the in-progress tmp copy
-    // and the provenance marker live in <base>/, so a crashed or
-    // concurrent partial copy can never be listed as a second input
-    // file (which would double every events row).
+  /** Stage `$d/$table.parquet` into a scratch dir a file-source
+    * stream can list, with drift detection. Layout (ADVICE r14):
+    * <base>/data/ holds ONLY the staged parquet — the directory the
+    * stream lists — while the in-progress tmp copy and the provenance
+    * marker live in <base>/, so a crashed or concurrent partial copy
+    * can never be listed as a second input file (which would double
+    * every row). A staged copy survives across runs; if the source
+    * was regenerated in between (round 13 did exactly that, changing
+    * both content and encoding) the stale copy would silently answer
+    * for the new data. Drift is detected via a marker RECORDING the
+    * source's version — not by comparing the copy's own mtime,
+    * because copyFile's date preservation is best-effort/filesystem-
+    * granularity-dependent and a spurious mismatch would re-stage +
+    * re-probe on every call (ADVICE r14).
+    * Returns (dataDir, staged file, source version stamp). */
+  private def stagedTable(d: String, table: String): (java.io.File, java.io.File, String) = {
     val base = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_stream/${Q.pathKey(d)}")
+      s"${sys.props("java.io.tmpdir")}/graft_stream/${Q.pathKey(d)}/$table")
     val dataDir = new java.io.File(base, "data")
-    val staged = new java.io.File(dataDir, "events.parquet")
+    val staged = new java.io.File(dataDir, s"$table.parquet")
     val marker = new java.io.File(base, "staged_src")
-    val src = new java.io.File(s"$d/events.parquet")
-    // a staged copy survives across runs; if the source was regenerated
-    // in between (round 13 did exactly that, changing both content and
-    // encoding) the stale copy would silently answer for the new data.
-    // Drift is detected via a marker RECORDING the source's version —
-    // not by comparing the copy's own mtime, because copyFile's date
-    // preservation is best-effort/filesystem-granularity-dependent and
-    // a spurious mismatch would re-stage + re-probe on every call
-    // (ADVICE r14).
+    val src = new java.io.File(s"$d/$table.parquet")
     val srcStamp = s"${src.length()}|${src.lastModified()}"
     val stagedStamp =
       if (marker.exists() && staged.exists())
@@ -69,7 +69,7 @@ object Streams {
     if (stagedStamp != srcStamp) {
       marker.delete() // invalidate FIRST: a crash mid-copy must re-stage
       dataDir.mkdirs()
-      val tmp = java.io.File.createTempFile("events", ".tmp", base)
+      val tmp = java.io.File.createTempFile(table, ".tmp", base)
       org.apache.commons.io.FileUtils.copyFile(src, tmp)
       // atomic REPLACE: a stream that already opened the old inode
       // keeps reading it; there is no window where data/ is empty,
@@ -79,19 +79,28 @@ object Streams {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       java.nio.file.Files.write(marker.toPath, srcStamp.getBytes("UTF-8"))
     }
+    (dataDir, staged, srcStamp)
+  }
+
+  /** One footer probe per staged file VERSION (the marker stamp — the
+    * same drift signal the restage check uses): the probe is a batch
+    * read whose schema inference costs ~100-300 ms, and keys like
+    * stream_dedup_watermark build the stream twice per query.
+    * The stream adopts the probed schema WHOLESALE — declaring any
+    * column type by assumption is the r13 failure mode (a LongType
+    * ts over a µs file read the raw int64 silently). */
+  private def probedSchema(s: SparkSession, dataDir: java.io.File,
+      srcStamp: String): StructType =
+    schemaCache.getOrElseUpdate(
+      s"${dataDir.getAbsolutePath}|$srcStamp",
+      s.read.parquet(dataDir.getAbsolutePath).schema)
+
+  private[graft] def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val (dataDir, staged, srcStamp) = stagedTable(d, "events")
     // legacy ns flag only when the staged footer actually needs it
     // (Tables.footerHasNanos; no session conf touched on µs data)
     Tables.ensureNanosFlagIfNeeded(s, staged.getAbsolutePath)
-    // one footer probe per staged file VERSION (the marker stamp — the
-    // same drift signal the restage check uses): the probe is a batch
-    // read whose schema inference costs ~100-300 ms, and keys like
-    // stream_dedup_watermark build the stream twice per query.
-    // The stream adopts the probed schema WHOLESALE — declaring any
-    // column type by assumption is the r13 failure mode (a LongType
-    // ts over a µs file read the raw int64 silently)
-    val schema = schemaCache.getOrElseUpdate(
-      s"${dataDir.getAbsolutePath}|$srcStamp",
-      s.read.parquet(dataDir.getAbsolutePath).schema)
+    val schema = probedSchema(s, dataDir, srcStamp)
     val fileTsType = schema("ts").dataType
     // watermarks use instant TimestampType; under the pinned UTC
     // session it carries the same wall clock as the NTZ convention —
@@ -101,6 +110,16 @@ object Streams {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
     }
+  }
+
+  /** The documents corpus as a file-source stream (the continuous-
+    * ingest form of the §2.12 pipeline inputs). Same staging + probed
+    * schema discipline as [[eventsStream]]; no timestamp column, so
+    * no encoding branch. */
+  private[graft] def documentsStream(s: SparkSession, d: String): DataFrame = {
+    val (dataDir, _, srcStamp) = stagedTable(d, "documents")
+    s.readStream.schema(probedSchema(s, dataDir, srcStamp))
+      .parquet(dataDir.getAbsolutePath)
   }
 
   /** Run to completion on the memory sink, return the sink table.
@@ -310,6 +329,29 @@ object Streams {
         .orderBy(col("user_id"), col("sstart"))
     },
 
+    // The §2.12 corpus-ingest pipeline AS A STREAM: documents arrive
+    // continuously, a per-row quality gate drops short docs, and
+    // exact content dedup runs incrementally as a streaming
+    // groupBy(content hash) — the shape a production corpus ingest
+    // actually runs (state = one (keeper, count) row per DISTINCT
+    // content hash, partial-aggregable; a production unbounded run
+    // bounds it by watermarked arrival time + TTL, here the corpus is
+    // finite). Complete-mode output = the batch exactDedupGroups over
+    // the gated corpus, so the key is oracle-exact. Winner is
+    // min(doc_id) — an AGGREGATE, never dropDuplicates' first-row-
+    // per-batch, whose winner is partition-order-dependent.
+    "stream_llm_ingest" -> { (s, d) =>
+      val gated = documentsStream(s, d)
+        .withColumn("n_toks", size(split(col("text"), " ")))
+        .filter(col("n_toks") >= 20)
+        .withColumn("h", sha2(lower(trim(col("text"))).cast("binary"), 256))
+      val dedup = gated.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_copies"),
+          sum(col("n_toks")).as("sum_toks"))
+      drain(dedup, "complete", "g_llm_ingest").orderBy(col("h"))
+    },
+
     "stream_dedup_watermark" -> { (s, d) =>
       // duplicate injection: the same file read as two source streams
       val doubled = eventsStream(s, d).union(eventsStream(s, d))
@@ -466,6 +508,13 @@ object Streams {
         |ORDER BY s.user_id, s.sstart""".stripMargin,
     "stream_dedup_watermark" ->
       """SELECT event_id, ts, user_id, event_type FROM events ORDER BY event_id""".stripMargin,
+    "stream_llm_ingest" ->
+      """WITH g AS (SELECT doc_id, text, len(string_split(text, ' ')) AS n_toks
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 20)
+        |SELECT sha256(lower(trim(text))) AS h, min(doc_id) AS keeper,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(sum(n_toks) AS BIGINT) AS sum_toks
+        |FROM g GROUP BY 1 ORDER BY h""".stripMargin,
     "stream_stateful_count" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
