@@ -226,6 +226,26 @@ object Functions {
         sha2(col("c_name").cast(BinaryType), 256).as("h_sha256"))
         .orderBy(col("c_custkey"))),
 
+    // Hive's URL/masking function family: parse_url (HOST/PATH/QUERY
+    // + per-key query extraction) over URLs constructed from customer
+    // attributes, and mask() (upper→X, lower→x, digit→n). The oracle
+    // restates both as RE2 regexes — deterministic per row.
+    "fn_url_mask" -> { (s, d) =>
+      val url = concat(lit("https://shop.example.org/c/"),
+        col("c_custkey").cast(StringType),
+        lit("?seg="), lower(col("c_mktsegment")),
+        lit("&nat="), col("c_nationkey").cast(StringType))
+      Tables.t(s, d, "customer").select(
+        col("c_custkey"),
+        url.as("url"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY")).as("query"),
+        parse_url(url, lit("QUERY"), lit("seg")).as("seg"),
+        mask(col("c_name")).as("masked_name"))
+        .orderBy(col("c_custkey"))
+    },
+
     // inherently engine-specific: properties asserted, no oracle
     "fn_misc" -> { (s, d) =>
       val base = Tables.raw(s, d, "nation").select(
@@ -403,6 +423,20 @@ object Functions {
         |  CAST(to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INTEGER))) AS VARCHAR) AS tj,
         |  'STRUCT<k: BIGINT>' AS sof
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_url_mask" ->
+      """WITH u AS (SELECT c_custkey, c_name,
+        |    'https://shop.example.org/c/' || CAST(c_custkey AS VARCHAR)
+        |      || '?seg=' || lower(c_mktsegment)
+        |      || '&nat=' || CAST(c_nationkey AS VARCHAR) AS url
+        |  FROM customer)
+        |SELECT c_custkey, url,
+        |  regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |  regexp_extract(url, 'seg=([^&#]*)', 1) AS seg,
+        |  regexp_replace(regexp_replace(regexp_replace(c_name,
+        |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked_name
+        |FROM u ORDER BY c_custkey""".stripMargin,
     "fn_hash" ->
       """SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256
         |FROM customer ORDER BY c_custkey""".stripMargin
