@@ -220,8 +220,16 @@ object LlmText {
       val exKeep = sig.filter(col("f2")).groupBy(col("h"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"), lit(true).as("exk"))
+      // localCheckpoint: the signal chain (tokenize + repetition fold
+      // + hash + joins) is evaluated ONCE and both downstream
+      // consumers — the eager clusters run and the final aggregation
+      // — read the materialized rows instead of re-deriving the chain
+      // (one row per doc: tiny at any corpus the driver CC gate
+      // admits; the distributed-CC path past the gate would checkpoint
+      // per stage the same way)
       val withEx = sig.join(exKeep, Seq("doc_id"), "left_outer")
         .withColumn("f3", col("f2") && coalesce(col("exk"), lit(false)))
+        .localCheckpoint()
       // near-dup cluster reps among the f3 survivors (one clusters run)
       val reps = graft.api.TextOps.minhashNearDupClusters(
           withEx.filter(col("f3")), "doc_id", "text", tau = 0.95)

