@@ -226,6 +226,21 @@ object Functions {
         sha2(col("c_name").cast(BinaryType), 256).as("h_sha256"))
         .orderBy(col("c_custkey"))),
 
+    // The remaining HiveQL string builtins with clean cross-engine
+    // mirrors: levenshtein, translate, repeat, reverse, ascii, chr,
+    // overlay (restated in the oracle as left||repl||substring).
+    "fn_string_extra" -> ((s, d) =>
+      Tables.t(s, d, "customer").select(
+        col("c_custkey"),
+        levenshtein(col("c_name"), reverse(col("c_name"))).as("lev_rev"),
+        translate(col("c_name"), "Cust", "Kvst").as("trans"),
+        repeat(lower(col("c_mktsegment")), 2).as("rep2"),
+        reverse(col("c_name")).as("revd"),
+        ascii(col("c_name")).as("first_code"),
+        chr(lit(65) + (col("c_custkey") % 26)).as("letter"),
+        overlay(col("c_name"), lit("XX"), lit(2), lit(3)).as("ovl"))
+        .orderBy(col("c_custkey"))),
+
     // Hive's URL/masking function family: parse_url (HOST/PATH/QUERY
     // + per-key query extraction) over URLs constructed from customer
     // attributes, and mask() (upper→X, lower→x, digit→n). The oracle
@@ -423,6 +438,16 @@ object Functions {
         |  CAST(to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INTEGER))) AS VARCHAR) AS tj,
         |  'STRUCT<k: BIGINT>' AS sof
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_string_extra" ->
+      """SELECT c_custkey,
+        |  CAST(levenshtein(c_name, reverse(c_name)) AS INTEGER) AS lev_rev,
+        |  translate(c_name, 'Cust', 'Kvst') AS trans,
+        |  repeat(lower(c_mktsegment), 2) AS rep2,
+        |  reverse(c_name) AS revd,
+        |  CAST(ascii(c_name) AS INTEGER) AS first_code,
+        |  chr(CAST(65 + c_custkey % 26 AS INTEGER)) AS letter,
+        |  left(c_name, 1) || 'XX' || substring(c_name, 5) AS ovl
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "fn_url_mask" ->
       """WITH u AS (SELECT c_custkey, c_name,
         |    'https://shop.example.org/c/' || CAST(c_custkey AS VARCHAR)
