@@ -176,6 +176,32 @@ object Joins {
         .orderBy(col("n_name"))
     },
 
+    // Explicit salted skew join — the manual form of the skew
+    // mitigation a 100 TB shuffle join needs when one key carries a
+    // disproportionate row share (AQE's skewedJoin handles the
+    // runtime case; the salt is the plan-level guarantee). The build
+    // side replicates each row across SALT buckets, the probe side
+    // tags each row with a DETERMINISTIC data-derived salt (never
+    // rand() — retries/speculative tasks must agree), and the join
+    // key becomes (key, salt): a hot orderkey's rows now spread over
+    // SALT reducers instead of one. Results are provably identical
+    // to the unsalted join (the oracle IS the plain join), and
+    // JoinSpec asserts the salted shuffle keys and row identity.
+    "join_skew_salted" -> { (s, d) =>
+      val SALT = 8
+      val probe = Tables.t(s, d, "lineitem")
+        .withColumn("salt", (col("l_linenumber") % SALT).cast("int"))
+      val build = Tables.t(s, d, "orders")
+        .withColumn("salt", explode(array((0 until SALT).map(lit): _*)))
+      probe.hint("shuffle_hash")
+        .join(build, col("l_orderkey") === col("o_orderkey")
+          && probe("salt") === build("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          money(sum(rev("l_extendedprice", "l_discount"))).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // subqueries through the SQL frontend (RewritePredicateSubquery)
     "sub_in" -> { (s, d) =>
       Tables.views(s, d)
@@ -283,6 +309,12 @@ object Joins {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p_id""".stripMargin,
+    // salting is semantics-preserving: the oracle is the PLAIN join
+    "join_skew_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_multiway_star" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

@@ -90,4 +90,25 @@ class ScanSpec extends SparkSpec {
       assert(rt.count() === base, key)
     }
   }
+
+  test("salted skew join: shuffle keys carry the salt, no broadcast, rows identical to plain join") {
+    val salted = operators.Joins.queries("join_skew_salted")(spark, sf)
+    val plan = salted.queryExecution.executedPlan.toString
+    // the scale property: the join really shuffles on (key, salt) —
+    // a broadcast would bypass the skew the salt exists to spread
+    assert(!plan.contains("BroadcastHashJoin"), "salted join must not broadcast")
+    assert(plan.contains("salt"), "salt column missing from the executed plan")
+    // semantics-preservation: identical to the plain unsalted join
+    val plain = Tables.t(spark, sf, "lineitem")
+      .join(Tables.t(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+    assert(key(salted) === key(plain))
+  }
 }
