@@ -192,6 +192,36 @@ object LlmText {
         .orderBy(col("doc_id"))
     },
 
+    // Pointwise-mutual-information report over the 100 most frequent
+    // bigrams (selection by exact count, gram tie-break — never by
+    // the float PMI itself, whose last-ulp could flip a rank):
+    // pmi = ln(P(w1w2) / (P(w1)·P(w2))). Counts are exact and
+    // partial-aggregable, the top-100 is a TakeOrdered, the unigram
+    // lookups join against a vocabulary-sized side, and PMI renders
+    // FLOAT (ln differs in the last ulp across libm). The collocation
+    // signal a tokenizer-merge or phrase-mining pass reads.
+    "llm_pmi" -> { (s, d) =>
+      val base = Tables.t(s, d, "documents").select(split(col("text"), " ").as("tk"))
+      val uni = base.select(explode(col("tk")).as("w"))
+      val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nu = uni.agg(count(lit(1)).as("n_uni"))
+      val bi = base.select(explode(graft.api.TextOps.wordNgrams(col("tk"), 2)).as("g"))
+      val nb = bi.agg(count(lit(1)).as("n_bi"))
+      val top = bi.groupBy(col("g")).agg(count(lit(1)).as("n_pair"))
+        .orderBy(col("n_pair").desc, col("g")).limit(100)
+        .select(split(col("g"), " ").getItem(0).as("w1"),
+          split(col("g"), " ").getItem(1).as("w2"), col("n_pair"))
+      top
+        .join(uc.select(col("w").as("w1"), col("c").as("n_w1")), "w1")
+        .join(uc.select(col("w").as("w2"), col("c").as("n_w2")), "w2")
+        .crossJoin(nu).crossJoin(nb)
+        .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+          log((col("n_pair") / col("n_bi"))
+            / ((col("n_w1") / col("n_uni")) * (col("n_w2") / col("n_uni"))))
+            .cast(FloatType).as("pmi"))
+        .orderBy(col("w1"), col("w2"))
+    },
+
     // THE CAPSTONE: the whole curation pipeline composed end-to-end —
     // quality gate → repetition filter → exact dedup → near-dup
     // cluster dedup → weighted mixture sample — reporting the doc and
@@ -353,6 +383,25 @@ object LlmText {
         |SELECT h.eval_id, n.n_grams, h.n_hit_grams,
         |       CAST(h.n_hit_grams AS DOUBLE) / CAST(n.n_grams AS DOUBLE) AS frac
         |FROM h JOIN n ON h.eval_id = n.eval_id ORDER BY h.eval_id""".stripMargin,
+    "llm_pmi" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |uni AS (SELECT unnest(tk) AS w FROM tk),
+        |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        |nu AS (SELECT count(*) AS n FROM uni),
+        |bi AS (SELECT unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+        |         i -> tk[i] || ' ' || tk[i + 1])) AS g FROM tk),
+        |bc AS (SELECT g, count(*) AS c FROM bi GROUP BY g),
+        |nb AS (SELECT count(*) AS n FROM bi),
+        |top AS (SELECT g, c FROM bc ORDER BY c DESC, g LIMIT 100),
+        |sp AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+        |         c AS n_pair FROM top)
+        |SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+        |  CAST(a.c AS BIGINT) AS n_w1, CAST(b.c AS BIGINT) AS n_w2,
+        |  CAST(ln((n_pair / CAST(nb.n AS DOUBLE))
+        |       / ((a.c / CAST(nu.n AS DOUBLE)) * (b.c / CAST(nu.n AS DOUBLE)))) AS REAL) AS pmi
+        |FROM sp JOIN uc a ON sp.w1 = a.w JOIN uc b ON sp.w2 = b.w
+        |CROSS JOIN nu CROSS JOIN nb
+        |ORDER BY w1, w2""".stripMargin,
     "llm_pipeline_e2e" ->
       s"""WITH RECURSIVE raw AS (SELECT doc_id, text, source,
          |        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks FROM documents),
