@@ -161,6 +161,26 @@ class LlmSpec extends SparkSpec {
     assert(rows.exists(_.getLong(2) > 0), "corpus must exercise real boilerplate hits")
   }
 
+  test("llm_pmi: top-100 plans as TakeOrdered; PMI is ln of exact count ratios") {
+    val df = graft.operators.LlmText.queries("llm_pmi")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "bigram top-100 must be a TakeOrdered, not a global sort")
+    val rows = df.collect()
+    assert(rows.length === 100)
+    // recompute one row's PMI from its own exact counts: ln is applied
+    // to count ratios, nothing else
+    val nUni = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " "))).count()
+    val nBi = Tables.t(spark, sf, "documents")
+      .select(split(col("text"), " ").as("tk"))
+      .select(explode(graft.api.TextOps.wordNgrams(col("tk"), 2))).count()
+    rows.take(5).foreach { r =>
+      val want = math.log((r.getLong(2).toDouble / nBi) /
+        ((r.getLong(3).toDouble / nUni) * (r.getLong(4).toDouble / nUni))).toFloat
+      assert(math.abs(r.getFloat(5) - want) < 1e-5f, s"${r.getString(0)} ${r.getString(1)}")
+    }
+  }
+
   test("llm_mixture_sample: per-source rollup is complete, bounded, and reproducible") {
     val run = () => graft.operators.LlmAnalysis.queries("llm_mixture_sample")(spark, sf).collect()
     val a = run()
