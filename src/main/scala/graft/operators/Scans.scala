@@ -117,6 +117,26 @@ object Scans {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Schema evolution across file generations — the operational read
+    // every long-lived dataset eventually needs: gen-1 files lack a
+    // column that gen-2 added; `mergeSchema=true` reconciles the
+    // footers into the union schema and null-fills the old files.
+    // The oracle restates the semantics against the base table
+    // (UNION ALL with an explicit NULL for the missing column).
+    "scan_merge_schema" -> { (s, d) =>
+      val out = ioDir("scan_merge_schema", d)
+      val o = Tables.t(s, d, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/gen1")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/gen2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/gen1", s"$out/gen2")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+
     "sink_bucketed" -> { (s, d) =>
       s.sql("DROP TABLE IF EXISTS graft_bucketed")
       // a fresh session's in-memory catalog forgets the table but its
@@ -159,6 +179,13 @@ object Scans {
     "sink_bucketed" ->
       """SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS l_price
         |FROM lineitem WHERE l_orderkey < 1000
-        |ORDER BY l_orderkey, l_linenumber, l_price""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, l_price""".stripMargin,
+    "scan_merge_schema" ->
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 2 <> 0
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
