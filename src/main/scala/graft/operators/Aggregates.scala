@@ -175,6 +175,34 @@ object Aggregates {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_nd"))
         .orderBy(col("l_returnflag"))),
 
+    // Count-Min Sketch heavy-hitter estimation — the mergeable
+    // fixed-memory frequency sketch a 100 TB token-count pass ships
+    // instead of an exact (token, count) table. Spark-first: the
+    // built-in `count_min_sketch` aggregate (partial-aggregable, the
+    // per-partition sketches merge commutatively, so the estimate is
+    // DETERMINISTIC under any partitioning with the fixed seed) folds
+    // the exploded token stream into ONE bounded binary; the 20 exact
+    // heavy hitters then probe it driver-side (20-row collect + one
+    // ~KB sketch — bounded at any corpus size). Estimates obey
+    // est >= exact and est <= exact + eps·N w.h.p. (asserted in
+    // AggregateSpec); no DuckDB CMS exists → rows-only key, unit
+    // bounds are the correctness story.
+    "agg_count_min_sketch" -> { (s, d) =>
+      val toks = Tables.t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val skBytes = toks
+        .agg(expr("count_min_sketch(tok, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+        .head.getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(skBytes))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("tok")).limit(20).collect()
+      import s.implicits._
+      top.toSeq.map { r =>
+        (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0)))
+      }.toDF("tok", "exact", "est").orderBy(col("tok"))
+    },
+
     // max_by/min_by keyed by (price, orderkey) struct: equal prices
     // tie-break on the orderkey itself, so the ordering is total and
     // both engines must pick the same row (ADVICE r4)

@@ -65,4 +65,32 @@ class AggregateSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 3.94959677) < 1e-6)
     assert(r.getDouble(1) === 1.0) // both are month-ends
   }
+
+  test("count-min sketch: one-sided error within eps*N, deterministic across partitionings") {
+    import org.apache.spark.sql.functions._
+    val run = (parts: Int) => {
+      val df = graft.operators.Aggregates.queries("agg_count_min_sketch")(spark, sf)
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    val rows = run(4)
+    assert(rows.length === 20)
+    val n = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " "))).count()
+    rows.foreach { case (tok, exact, est) =>
+      assert(est >= exact, s"CMS must never under-count: $tok $est < $exact")
+      assert(est <= exact + (0.001 * math.E * n).toLong + 1,
+        s"CMS over-count beyond the eps*N bound for $tok: est=$est exact=$exact N=$n")
+    }
+    // commutative merges + fixed seed ⇒ identical estimates regardless
+    // of how the data was partitioned when the sketch was folded
+    val reparted = Tables.t(spark, sf, "documents").repartition(13)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(expr("count_min_sketch(tok, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+      .head.getAs[Array[Byte]](0)
+    val cms2 = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(reparted))
+    rows.foreach { case (tok, _, est) =>
+      assert(cms2.estimateCount(tok) === est, s"partitioning changed the estimate for $tok")
+    }
+  }
 }

@@ -14,8 +14,23 @@ class ScanSpec extends SparkSpec {
     out.toString
   }
 
+  /** A PRIVATE copy of lineitem for the pushdown/pruning asserts:
+    * Spark's CacheManager substitutes InMemoryRelation into ANY plan
+    * whose relation matches a cached one — including `Tables.raw` —
+    * so if another suite cached lineitem first (suite order is not
+    * contractual), the parquet scan these tests assert on would
+    * vanish. A distinct file path can never match the cached plan. */
+  private lazy val privateLineitem: String = {
+    val dst = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_scanspec/lineitem.parquet")
+    dst.getParentFile.mkdirs()
+    org.apache.commons.io.FileUtils.copyFile(
+      new java.io.File(s"$sf/lineitem.parquet"), dst)
+    dst.getAbsolutePath
+  }
+
   test("filter pushdown reaches the parquet scan (PushedFilters)") {
-    val df = Tables.raw(spark, sf, "lineitem")
+    val df = spark.read.parquet(privateLineitem)
       .filter(col("l_shipdate") >= lit("2000-06-01"))
       .select(col("l_orderkey"))
     val plan = formattedPlan(df)
@@ -25,7 +40,7 @@ class ScanSpec extends SparkSpec {
   }
 
   test("column pruning reaches the parquet reader (ReadSchema)") {
-    val df = Tables.raw(spark, sf, "lineitem")
+    val df = spark.read.parquet(privateLineitem)
       .select(col("l_orderkey"), col("l_quantity"))
     val plan = formattedPlan(df)
     // 2 of 11 columns in ReadSchema; the wide columns must be absent
@@ -89,6 +104,15 @@ class ScanSpec extends SparkSpec {
       val rt = Scans.queries(key)(spark, sf)
       assert(rt.count() === base, key)
     }
+  }
+
+  test("AQE re-plans at runtime: shuffle reads are adaptive after execution") {
+    val df = Tables.raw(spark, sf, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+    df.collect() // AQE finalizes the plan only at execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") || plan.contains("AdaptiveSparkPlan"),
+      s"adaptive execution missing from the executed plan:\n$plan")
   }
 
   test("salted skew join: shuffle keys carry the salt, no broadcast, rows identical to plain join") {
