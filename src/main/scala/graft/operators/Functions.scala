@@ -226,6 +226,21 @@ object Functions {
         sha2(col("c_name").cast(BinaryType), 256).as("h_sha256"))
         .orderBy(col("c_custkey"))),
 
+    // Error-safe ANSI function family (`try_*`): malformed casts,
+    // division by zero, and bigint overflow yield NULL instead of a
+    // runtime error — the semantics a 100 TB batch NEEDS, because one
+    // bad row must never kill a nine-hour job. The oracle restates
+    // each as TRY_CAST / guarded CASE. NULL-bearing bigint columns
+    // reach pandas as float64 NaN identically on both compare paths.
+    "fn_try" -> ((s, d) =>
+      Tables.t(s, d, "customer").select(
+        col("c_custkey"),
+        expr("try_cast(CASE WHEN c_custkey % 2 = 0 THEN substring(c_name, 10, 9) ELSE c_name END AS INT)")
+          .as("maybe_int"),
+        expr("try_divide(c_acctbal, c_nationkey)").as("safe_div"),
+        expr("try_add(9223372036854775807L, c_custkey)").as("safe_add"))
+        .orderBy(col("c_custkey"))),
+
     // The remaining HiveQL string builtins with clean cross-engine
     // mirrors: levenshtein, translate, repeat, reverse, ascii, chr,
     // overlay (restated in the oracle as left||repl||substring).
@@ -438,6 +453,14 @@ object Functions {
         |  CAST(to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INTEGER))) AS VARCHAR) AS tj,
         |  'STRUCT<k: BIGINT>' AS sof
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_try" ->
+      """SELECT c_custkey,
+        |  TRY_CAST(CASE WHEN c_custkey % 2 = 0 THEN substring(c_name, 10, 9)
+        |                ELSE c_name END AS INTEGER) AS maybe_int,
+        |  CASE WHEN c_nationkey = 0 THEN NULL ELSE c_acctbal / c_nationkey END AS safe_div,
+        |  CASE WHEN c_custkey > 0 THEN NULL
+        |       ELSE 9223372036854775807 + c_custkey END AS safe_add
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "fn_string_extra" ->
       """SELECT c_custkey,
         |  CAST(levenshtein(c_name, reverse(c_name)) AS INTEGER) AS lev_rev,

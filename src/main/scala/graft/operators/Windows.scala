@@ -109,6 +109,28 @@ object Windows {
       rev.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
         .select(col("p_brand"), col("p_partkey"), money(col("rev")).as("revenue"), col("rk"))
         .orderBy(col("p_brand"), col("rk"))
+    },
+
+    // BATCH sessionization — the gaps-and-islands window idiom
+    // (lag → new-session flag → running-sum session id → group):
+    // the batch twin of stream_session/stream_session_timers, over
+    // the same events with the same 30-min gap, so all three
+    // formulations are mutually checkable. Tie-safe: rows sharing a
+    // user_id+ts land in the same session whichever physical order
+    // the window visits them in (a tie never crosses the gap).
+    "win_sessionize" -> { (s, d) =>
+      Tables.views(s, d)
+      s.sql("""WITH e AS (SELECT user_id, ts FROM events),
+              |flags AS (SELECT user_id, ts,
+              |    CASE WHEN lag(ts) OVER w IS NULL
+              |         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_s
+              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              |sess AS (SELECT user_id, ts,
+              |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+              |  FROM flags)
+              |SELECT user_id, CAST(sid AS BIGINT) AS sid, min(ts) AS sstart, max(ts) AS send,
+              |  count(*) AS n
+              |FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin)
     }
   )
 
@@ -175,6 +197,18 @@ object Windows {
         |rk AS (SELECT p_brand, p_partkey, rev,
         |  row_number() OVER (PARTITION BY p_brand ORDER BY rev DESC, p_partkey) AS rk FROM rev)
         |SELECT p_brand, p_partkey, CAST(rev AS DOUBLE) AS revenue, rk
-        |FROM rk WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin
+        |FROM rk WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+    "win_sessionize" ->
+      """WITH e AS (SELECT user_id, ts FROM events),
+        |flags AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT user_id, CAST(sid AS BIGINT) AS sid, min(ts) AS sstart, max(ts) AS send,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
   )
 }
