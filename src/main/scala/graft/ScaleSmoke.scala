@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(10)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val mode = args.headOption.getOrElse("text")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,6 +28,7 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (mode == "vec") { vecSmoke(spark, sfDir, factor); spark.stop(); return }
     val docs = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
     val base = docs.count()
     val big = (0 until factor).map { i =>
@@ -47,5 +49,38 @@ object ScaleSmoke {
       f"sec=$sec%.2f | base docs=$base pairs=$basePairs sec=$baseSec%.2f | " +
       f"pair_ratio=${pairs.toDouble / basePairs}%.2f time_ratio=${sec / baseSec}%.2f")
     spark.stop()
+  }
+
+  /** ANN scale smoke: replicate the embeddings corpus with a small
+    * per-replica deterministic shift (keeps vectors distinct and adds
+    * cluster-ish structure — realistic for an IVF), then measure
+    * ivfTopK wall time AND recall vs the exact brute force at 1× and
+    * `factor`×. The claim under test: IVF query cost grows ~linearly
+    * with the corpus (cells get fuller, the probe set scans a bounded
+    * fraction) and recall does not collapse as cells fill. */
+  private def vecSmoke(spark: SparkSession, sfDir: String, factor: Int): Unit = {
+    val emb = Tables.t(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val base = emb.count()
+    val big = (0 until factor).map { i =>
+      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        transform(col("embedding"), x => x + lit(i * 0.013f)).as("embedding"))
+    }.reduce(_ unionAll _).repartition(32).cache()
+    val n = big.count()
+    def run(corpus: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val probes = corpus.filter(col("vec_id") < 10)
+      val t0 = System.nanoTime()
+      val approx = api.VectorOps.ivfTopK(corpus, probes, "vec_id", "embedding", k = 5)
+        .select("pid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivfSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val exact = api.VectorOps.cosineTopK(corpus, probes, "vec_id", "embedding", k = 5)
+        .select("pid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bruteSec = (System.nanoTime() - t1) / 1e9
+      val recall = (approx intersect exact).size.toDouble / exact.size
+      println(f"SCALESMOKE_VEC $label n=${corpus.count()} ivf_sec=$ivfSec%.2f " +
+        f"brute_sec=$bruteSec%.2f recall@5=$recall%.3f")
+    }
+    run(emb, s"base(1x$base)")
+    run(big, s"big(${factor}x$base=$n)")
   }
 }
