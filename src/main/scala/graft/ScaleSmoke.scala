@@ -29,6 +29,7 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "vec") { vecSmoke(spark, sfDir, factor); spark.stop(); return }
+    if (mode == "stream") { streamSmoke(spark, sfDir, factor); spark.stop(); return }
     val docs = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
     val base = docs.count()
     val big = (0 until factor).map { i =>
@@ -82,5 +83,52 @@ object ScaleSmoke {
     }
     run(emb, s"base(1x$base)")
     run(big, s"big(${factor}x$base=$n)")
+  }
+
+  /** Streaming scale smoke: synthesize a 10× events table (each
+    * replica's timeline shifted +40 days, user ids offset so state
+    * key cardinality ALSO grows 10×) into a scratch sfDir shaped like
+    * the testdata layout, then drive two declared stream keys — the
+    * watermarked tumbling agg and the transformWithState running
+    * count — through the normal staging + footer-probe path at 1× and
+    * `factor`×. The claim under test: micro-batch wall time scales
+    * ~linearly with input while watermark-bounded state never
+    * explodes (output rows ≈ factor × base for both topologies). */
+  private def streamSmoke(spark: SparkSession, sfDir: String, factor: Int): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val ev = Tables.t(spark, sfDir, "events")
+    val base = ev.count()
+    val scratch = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_scale_stream_sf")
+    org.apache.commons.io.FileUtils.deleteQuietly(scratch)
+    scratch.mkdirs()
+    val big = (0 until factor).map { i =>
+      ev.select(
+        (col("event_id") + lit(i * 100000000L)).as("event_id"),
+        (col("ts") + expr(s"INTERVAL ${i * 40} DAYS")).as("ts"),
+        (col("user_id") + lit(i * 1000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+    val tmpOut = new java.io.File(scratch, "write_tmp")
+    val prevTs = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try big.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpOut.getAbsolutePath)
+    finally prevTs match {
+      case Some(p) => spark.conf.set("spark.sql.parquet.outputTimestampType", p)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val part = tmpOut.listFiles().find(_.getName.endsWith(".parquet")).get
+    org.apache.commons.io.FileUtils.copyFile(
+      part, new java.io.File(scratch, "events.parquet"))
+    def run(dir: String, label: String): Unit = {
+      for (key <- Seq("stream_tumbling", "stream_stateful_count")) {
+        val t0 = System.nanoTime()
+        val rows = streaming.Streams.queries(key)(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SCALESMOKE_STREAM $label $key rows=$rows sec=$sec%.2f")
+      }
+    }
+    run(sfDir, s"base(1x$base)")
+    run(scratch.getAbsolutePath, s"big(${factor}x$base)")
   }
 }
