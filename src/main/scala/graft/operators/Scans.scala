@@ -117,6 +117,29 @@ object Scans {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Hive RegexSerDe equivalent: a raw text-format table parsed into
+    // typed columns with a regex — the "read arbitrary log lines"
+    // surface. Roundtrip through an actual text file (pipe-delimited
+    // lines written from orders), then `spark.read.text` +
+    // regexp_extract per column + casts. Lossless: Spark's
+    // double→string shortest representation casts back bit-identical.
+    "scan_text_serde" -> { (s, d) =>
+      val out = ioDir("scan_text_serde", d)
+      Tables.t(s, d, "orders")
+        .select(concat_ws("|",
+          col("o_orderkey").cast(StringType),
+          col("o_orderstatus"),
+          col("o_totalprice").cast(StringType)).as("value"))
+        .write.mode(SaveMode.Overwrite).text(out)
+      val re = "^([^|]*)\\|([^|]*)\\|(.*)$"
+      s.read.text(out)
+        .select(
+          regexp_extract(col("value"), re, 1).cast(LongType).as("o_orderkey"),
+          regexp_extract(col("value"), re, 2).as("o_orderstatus"),
+          regexp_extract(col("value"), re, 3).cast(DoubleType).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Schema evolution across file generations — the operational read
     // every long-lived dataset eventually needs: gen-1 files lack a
     // column that gen-2 added; `mergeSchema=true` reconciles the
@@ -180,6 +203,9 @@ object Scans {
       """SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS l_price
         |FROM lineitem WHERE l_orderkey < 1000
         |ORDER BY l_orderkey, l_linenumber, l_price""".stripMargin,
+    "scan_text_serde" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "scan_merge_schema" ->
       """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
         |FROM orders WHERE o_orderkey % 2 = 0
