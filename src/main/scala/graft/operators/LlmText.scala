@@ -236,12 +236,23 @@ object LlmText {
     // ~2.4 s warm at sf0.1). At 100 TB a real run additionally
     // MATERIALIZES each surviving corpus to parquet between stages.
     "llm_pipeline_e2e" -> { (s, d) =>
+      // null text counts as a zero-token document in stage 0 (matching
+      // packedSpans' null-as-zero contract and the oracle's raw CTE) —
+      // size(split(null)) is -1, which would poison the token sums, and
+      // an inner join against repetitionStats (which drops null text)
+      // would silently erase the row from EVERY stage incl. 'raw'
+      // (ADVICE r15). Left-join + coalesce-to-repetitive keeps the row
+      // counted while still failing every downstream quality gate.
       val raw = Tables.t(s, d, "documents")
         .select(col("doc_id"), col("text"), col("source"),
-          size(split(col("text"), " ")).as("n_toks"))
+          when(col("text").isNull, lit(0))
+            .otherwise(size(split(col("text"), " "))).as("n_toks"))
       val sig = raw
         .join(graft.api.TextOps.repetitionStats(raw, "doc_id", "text")
-          .select(col("doc_id"), col("top_tok_ratio"), col("top_bigram_ratio")), "doc_id")
+          .select(col("doc_id"), col("top_tok_ratio"), col("top_bigram_ratio")),
+          Seq("doc_id"), "left_outer")
+        .withColumn("top_tok_ratio", coalesce(col("top_tok_ratio"), lit(1.0)))
+        .withColumn("top_bigram_ratio", coalesce(col("top_bigram_ratio"), lit(1.0)))
         .withColumn("h", sha2(lower(trim(col("text"))).cast("binary"), 256))
         .withColumn("f1", col("n_toks") >= 20)
         .withColumn("f2", col("f1")
@@ -404,7 +415,7 @@ object LlmText {
         |ORDER BY w1, w2""".stripMargin,
     "llm_pipeline_e2e" ->
       s"""WITH RECURSIVE raw AS (SELECT doc_id, text, source,
-         |        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks FROM documents),
+         |        CAST(coalesce(len(string_split(text, ' ')), 0) AS INTEGER) AS n_toks FROM documents),
          |q AS (SELECT * FROM raw WHERE n_toks >= 20),
          |tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM q),
          |u AS (SELECT doc_id, count(*) AS c
@@ -443,7 +454,7 @@ object LlmText {
          |UNION ALL SELECT 5, 'mixture_sample', CAST(count(*) AS BIGINT), CAST(sum(n_toks) AS BIGINT) FROM s4
          |ORDER BY stage""".stripMargin,
     "llm_seq_pack" ->
-      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      """WITH t AS (SELECT doc_id, CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_toks
         |           FROM documents),
         |c AS (SELECT doc_id, n_toks,
         |        CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id

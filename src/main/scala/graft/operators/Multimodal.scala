@@ -34,8 +34,15 @@ object Multimodal {
       doc_id: Long, out_h: Int, out_w: Int, pool_csv: String, total_sum: Long)
 
   /** THE STUB: a real implementation would decode pixels/samples
-    * here; this fake is deterministic and cheap. */
-  private def decodeStub(id: Long, blob: Array[Byte]): Decoded = {
+    * here; this fake is deterministic and cheap. A null blob (null
+    * source text) decodes as empty — mirrored by coalesce(text,'') in
+    * the oracles. NOTE the byte/char invariant: these kernels pool
+    * UTF-8 BYTES while the DuckDB oracles index CHARACTERS, identical
+    * only on a pure-ASCII corpus — so each oracle carries an explicit
+    * strlen<>length guard that raises error() instead of silently
+    * diverging, and LlmSpec asserts the corpus invariant (ADVICE r15). */
+  private def decodeStub(id: Long, blobOrNull: Array[Byte]): Decoded = {
+    val blob = if (blobOrNull == null) Array.emptyByteArray else blobOrNull
     val n = blob.length
     val width = 32
     val height = (n + width - 1) / width
@@ -75,7 +82,8 @@ object Multimodal {
         .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
       val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
       media.as[(Long, Array[Byte])](inEnc)
-        .mapPartitions(_.flatMap { case (id, blob) =>
+        .mapPartitions(_.flatMap { case (id, blobOrNull) =>
+          val blob = if (blobOrNull == null) Array.emptyByteArray else blobOrNull
           val nFrames = (blob.length + frameLen - 1) / frameLen
           (0 until nFrames by stride).iterator.map { fi =>
             val from = fi * frameLen
@@ -107,7 +115,8 @@ object Multimodal {
         .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
       val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
       media.as[(Long, Array[Byte])](inEnc)
-        .mapPartitions(_.flatMap { case (id, blob) =>
+        .mapPartitions(_.flatMap { case (id, blobOrNull) =>
+          val blob = if (blobOrNull == null) Array.emptyByteArray else blobOrNull
           val n = blob.length
           if (n == 0) Iterator.empty
           else {
@@ -131,9 +140,18 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
-    // the stub's arithmetic re-stated in SQL over the same bytes
+    // The stub's arithmetic re-stated in SQL over the same bytes.
+    // substring/ord index CHARACTERS while the kernel pools UTF-8
+    // BYTES — identical only on pure-ASCII text, so the n column
+    // raises error() on any strlen (bytes) vs length (chars) mismatch
+    // instead of silently diverging (ADVICE r15); null text decodes
+    // as empty on both sides (coalesce here, null-blob guard in the
+    // kernel).
     "llm_multimodal_decode" ->
-      """WITH b AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+      """WITH b AS (SELECT doc_id, coalesce(text, '') AS text,
+        |    CASE WHEN strlen(coalesce(text, '')) <> length(coalesce(text, ''))
+        |         THEN CAST(error('non-ASCII text invalidates the byte/char multimodal oracle') AS BIGINT)
+        |         ELSE strlen(coalesce(text, '')) END AS n FROM documents),
         |f AS (SELECT doc_id, n,
         |    list_transform(generate_series(1, n), i -> ord(substring(text, i, 1))) AS bytes
         |  FROM b)
@@ -141,13 +159,16 @@ object Multimodal {
         |  CAST(n AS INTEGER) AS n_bytes,
         |  CAST(32 AS INTEGER) AS width,
         |  CAST((n + 31) // 32 AS INTEGER) AS height,
-        |  CAST(list_sum(bytes) AS DOUBLE) / n AS mean_byte,
-        |  CAST(list_aggregate(bytes, 'max') AS INTEGER) AS max_byte
+        |  CAST(coalesce(list_sum(bytes), 0) AS DOUBLE) / greatest(n, 1) AS mean_byte,
+        |  CAST(coalesce(list_aggregate(bytes, 'max'), 0) AS INTEGER) AS max_byte
         |FROM f ORDER BY doc_id""".stripMargin,
     // the frame sampler's arithmetic re-stated in SQL: frame i covers
     // bytes [i*32, min(i*32+32, n)), sampled at i % 4 = 0
     "llm_multimodal_frames" ->
-      """WITH b AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+      """WITH b AS (SELECT doc_id, coalesce(text, '') AS text,
+        |    CASE WHEN strlen(coalesce(text, '')) <> length(coalesce(text, ''))
+        |         THEN CAST(error('non-ASCII text invalidates the byte/char multimodal oracle') AS BIGINT)
+        |         ELSE strlen(coalesce(text, '')) END AS n FROM documents),
         |fr AS (SELECT doc_id, text, n,
         |         unnest(generate_series(0, CAST((n + 31) // 32 AS INTEGER) - 1, 4)) AS frame_idx
         |       FROM b WHERE n > 0),
@@ -168,7 +189,10 @@ object Multimodal {
     // a started row every cell gets at least a zero from the kernel's
     // dense array, so the SQL right-pads missing cells with 0
     "llm_multimodal_resize" ->
-      """WITH b AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+      """WITH b AS (SELECT doc_id, coalesce(text, '') AS text,
+        |    CASE WHEN strlen(coalesce(text, '')) <> length(coalesce(text, ''))
+        |         THEN CAST(error('non-ASCII text invalidates the byte/char multimodal oracle') AS BIGINT)
+        |         ELSE strlen(coalesce(text, '')) END AS n FROM documents),
         |by_byte AS (SELECT doc_id, i - 1 AS idx, ord(substring(text, i, 1)) AS v
         |            FROM b, unnest(generate_series(1, n)) AS t(i) WHERE n > 0),
         |cell AS (SELECT doc_id, (idx // 32) // 4 AS r_out, (idx % 32) // 4 AS c_out,

@@ -68,11 +68,11 @@ class AggregateSpec extends SparkSpec {
 
   test("count-min sketch: one-sided error within eps*N, deterministic across partitionings") {
     import org.apache.spark.sql.functions._
-    val run = (parts: Int) => {
+    val run = () => {
       val df = graft.operators.Aggregates.queries("agg_count_min_sketch")(spark, sf)
       df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     }
-    val rows = run(4)
+    val rows = run()
     assert(rows.length === 20)
     val n = Tables.t(spark, sf, "documents")
       .select(explode(split(col("text"), " "))).count()

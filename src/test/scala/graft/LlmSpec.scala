@@ -27,6 +27,18 @@ class LlmSpec extends SparkSpec {
     assert(brute.nonEmpty, "corpus should contain near-dups for this test to bite")
   }
 
+  test("corpus invariant the byte/char multimodal oracles rely on: pure ASCII, no null text") {
+    // The multimodal kernels pool UTF-8 BYTES while their DuckDB
+    // oracles index CHARACTERS (substring/ord) — identical only while
+    // octet_length == char length for every document. The oracles also
+    // carry an in-SQL error() guard; this is the Spark-side half of
+    // that contract (ADVICE r15).
+    val bad = Tables.t(spark, sf, "documents")
+      .filter(col("text").isNull || octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(bad === 0, s"$bad documents violate the ASCII/non-null invariant")
+  }
+
   test("cosine is symmetric, bounded, and 1 on self") {
     Tables.views(spark, sf)
     val rows = spark.sql(

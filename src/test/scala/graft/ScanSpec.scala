@@ -110,9 +110,12 @@ class ScanSpec extends SparkSpec {
     val df = Tables.raw(spark, sf, "lineitem")
       .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
     df.collect() // AQE finalizes the plan only at execution
+    // AQEShuffleRead alone: "AdaptiveSparkPlan" appears in ANY executed
+    // plan whenever AQE is on, so it would pass without any runtime
+    // re-planning having happened (ADVICE r15)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("AQEShuffleRead") || plan.contains("AdaptiveSparkPlan"),
-      s"adaptive execution missing from the executed plan:\n$plan")
+    assert(plan.contains("AQEShuffleRead"),
+      s"no adaptive shuffle re-planning in the executed plan:\n$plan")
   }
 
   test("salted skew join: shuffle keys carry the salt, no broadcast, rows identical to plain join") {
