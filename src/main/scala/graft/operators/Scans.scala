@@ -48,6 +48,38 @@ object Scans {
       |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS o_date
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Write lineitem/orders subsets co-bucketed + co-sorted on the
+    * join key and return their shuffle-free sort-merge join (no
+    * output ordering — the plan-shape spec asserts on exactly this
+    * frame; the keyed query adds the deterministic orderBy above it).
+    * Idempotent per (session, input dir): rewriting the warehouse
+    * tables on every call would race a concurrent reader and pay two
+    * table writes per bench run. */
+  private val bucketedOnce =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private[graft] def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    bucketedOnce.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      for (t <- Seq("graft_bkt_lineitem", "graft_bkt_orders")) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/$t"))
+      }
+      Tables.t(s, d, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec(col("l_extendedprice")).as("l_price"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_bkt_lineitem")
+      Tables.t(s, d, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_bkt_orders")
+    })
+    s.table("graft_bkt_lineitem").hint("merge")
+      .join(s.table("graft_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+  }
+
   val queries: Map[String, Q.QueryFn] = Map(
     // Count-preserving narrow projection (SURVEY.md:149): the contract
     // needs a full scan, not a full-width total re-sort of the fact
@@ -160,6 +192,47 @@ object Scans {
         .orderBy(col("o_orderkey"))
     },
 
+    // The bucket-map-join READ path — the capability Hive bucketing
+    // exists for (ConvertJoinMapJoin / SMB join): two tables written
+    // co-bucketed + co-sorted on the join key join WITHOUT ANY
+    // shuffle, because each bucketed scan's output partitioning
+    // already satisfies the join's distribution requirement. On this
+    // testbed both sides are tiny, so the merge hint pins the
+    // sort-merge path (auto-broadcast would otherwise hide exactly
+    // the property this key proves); at 100 TB both sides exceed the
+    // broadcast threshold and this IS the plan — a fact-fact join
+    // with zero exchanges. ScanSpec asserts the executed plan of
+    // [[bucketedJoin]] contains no Exchange node and scans with
+    // `Bucketed: true`. Bucketing is semantics-preserving, so the
+    // oracle is the PLAIN join (same pattern as join_skew_salted);
+    // the output orderBy (needed for hash-match determinism) is the
+    // only exchange in the keyed form and sits ABOVE the join.
+    "join_bucketed" -> { (s, d) =>
+      bucketedJoin(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"),
+          money(col("l_price")).as("l_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"),
+          col("l_price"))
+    },
+
+    // Hive TABLESAMPLE (BUCKET x OUT OF y ON col) semantics:
+    // DETERMINISTIC bucket membership — the row set is a pure
+    // function of the key, reproducible across runs, engines, and
+    // partitionings (unlike Bernoulli `sample_fraction`, whose seed
+    // semantics are engine-specific). Membership uses the SAME hash
+    // Spark's bucketed writer uses (murmur3 pmod numBuckets), so the
+    // sampled rows are exactly the contents of one physical bucket of
+    // a co-bucketed table — ScanSpec proves that by reading the
+    // bucket-1 files of the saved table and comparing row sets, and
+    // asserts the 4 buckets partition the table (disjoint + cover).
+    // Murmur3 has no DuckDB equivalent → unit-verified key (same
+    // allowance as sample_fraction).
+    "sample_bucket" -> ((s, d) =>
+      Tables.t(s, d, "lineitem")
+        .filter(pmod(hash(col("l_orderkey")), lit(4)) === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
     "sink_bucketed" -> { (s, d) =>
       s.sql("DROP TABLE IF EXISTS graft_bucketed")
       // a fresh session's in-memory catalog forgets the table but its
@@ -199,6 +272,14 @@ object Scans {
       """SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // bucketing is physical layout, not semantics: the oracle is the
+    // plain join over the same subsets
+    "join_bucketed" ->
+      """SELECT l_orderkey, l_linenumber, o_orderstatus,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS l_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey < 2000
+        |ORDER BY l_orderkey, l_linenumber, o_orderstatus, l_price""".stripMargin,
     "sink_bucketed" ->
       """SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS l_price
         |FROM lineitem WHERE l_orderkey < 1000
