@@ -276,6 +276,43 @@ object Functions {
         .orderBy(col("c_custkey"))
     },
 
+    // Hive's statistical text builtins (GenericUDTFSentences family):
+    // BreakIterator sentence + word segmentation via `sentences()`,
+    // cross-checked against a CLOSED-FORM oracle. The corpus is
+    // lowercase words + single spaces (LlmSpec asserts the charset
+    // invariant), so (a) unpunctuated text is exactly one sentence,
+    // (b) after deterministically injecting a period every 10 words
+    // the sentence count is ceil(words/10) — the text is uppercased
+    // first because BreakIterator only breaks a sentence when the
+    // next one starts with a capital ('three. four' is ONE sentence,
+    // 'THREE. FOUR' is two; measured) — and (c) the segmented
+    // word total equals the whitespace token count — all three are
+    // exact SQL on the DuckDB side, so the engine's real segmentation
+    // is hash-checked, not just smoke-tested. Rolled up per
+    // (lang, 100-char length bin) — the deterministic equi-width
+    // histogram idiom; the approximate `histogram_numeric` twin is
+    // bins-are-algorithm-specific and lives in AggregateSpec with
+    // property bounds (same allowance as agg_approx_percentile).
+    "fn_text_stats" -> ((s, d) =>
+      Tables.t(s, d, "documents")
+        .select(col("lang"), col("n_chars"),
+          size(sentences(col("text"))).as("n_sent_flat"),
+          sentences(regexp_replace(upper(col("text")),
+            lit("((\\w+ ){9}\\w+) "), lit("$1. "))).as("sent10"),
+          size(split(col("text"), " ")).as("n_words_ws"))
+        .select(col("lang"), col("n_chars"), col("n_sent_flat"),
+          size(col("sent10")).as("n_sent10"),
+          expr("aggregate(sent10, 0, (a, x) -> a + size(x))").as("n_words_seg"),
+          col("n_words_ws"))
+        .groupBy(col("lang"),
+          (expr("n_chars div 100") * 100).cast(LongType).as("len_bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_sent_flat")).cast(LongType).as("n_sent_flat"),
+          sum(col("n_sent10")).cast(LongType).as("n_sentences"),
+          sum(col("n_words_seg")).cast(LongType).as("n_words_seg"),
+          sum(col("n_words_ws")).cast(LongType).as("n_words_ws"))
+        .orderBy(col("lang"), col("len_bin"))),
+
     // inherently engine-specific: properties asserted, no oracle
     "fn_misc" -> { (s, d) =>
       val base = Tables.raw(s, d, "nation").select(
@@ -293,6 +330,20 @@ object Functions {
   )
 
   val oracle: Map[String, String] = Map(
+    // closed-form restatement of BreakIterator segmentation on the
+    // asserted single-space lowercase corpus: 1 sentence per
+    // unpunctuated doc, ceil(words/10) after the every-10-words
+    // period injection, segmented words == whitespace tokens
+    "fn_text_stats" ->
+      """WITH t AS (SELECT lang, n_chars,
+        |    len(string_split(text, ' ')) AS w FROM documents)
+        |SELECT lang, CAST((n_chars // 100) * 100 AS BIGINT) AS len_bin,
+        |  count(*) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_sent_flat,
+        |  CAST(sum((w + 9) // 10) AS BIGINT) AS n_sentences,
+        |  CAST(sum(w) AS BIGINT) AS n_words_seg,
+        |  CAST(sum(w) AS BIGINT) AS n_words_ws
+        |FROM t GROUP BY 1, 2 ORDER BY lang, len_bin""".stripMargin,
     "fn_string_basic" ->
       """SELECT c_custkey,
         |  c_name || '-' || c_mktsegment AS cc,

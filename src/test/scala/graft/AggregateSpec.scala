@@ -66,6 +66,29 @@ class AggregateSpec extends SparkSpec {
     assert(r.getDouble(1) === 1.0) // both are month-ends
   }
 
+  test("histogram_numeric: heights sum to row count, centers within data range, bins sorted") {
+    // the approximate twin of fn_text_stats' deterministic equi-width
+    // bins: NO cross-engine oracle exists (the bin placement is
+    // algorithm-specific), so the correctness story is the invariant
+    // set every histogram sketch must satisfy
+    import org.apache.spark.sql.functions._
+    val src = Tables.t(spark, sf, "lineitem")
+    val bins = src.agg(expr("histogram_numeric(l_extendedprice, 10)"))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val (n, mn, mx) = {
+      val r = src.agg(count(lit(1)), min(col("l_extendedprice")), max(col("l_extendedprice"))).head
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }
+    assert(bins.length === 10)
+    assert(math.abs(bins.map(_._2).sum - n) < 1e-6, "bin heights must sum to the row count")
+    bins.foreach { case (x, y) =>
+      assert(x >= mn && x <= mx, s"bin center $x outside [$mn, $mx]")
+      assert(y > 0, "empty bin emitted")
+    }
+    assert(bins.map(_._1) === bins.map(_._1).sorted, "bin centers must be ascending")
+  }
+
   test("count-min sketch: one-sided error within eps*N, deterministic across partitionings") {
     import org.apache.spark.sql.functions._
     val run = () => {
