@@ -192,6 +192,35 @@ object Scans {
         .orderBy(col("o_orderkey"))
     },
 
+    // Hive's dynamic-partition INSERT OVERWRITE (`INSERT OVERWRITE
+    // TABLE ... PARTITION (year)` with hive.exec.dynamic.partition):
+    // an overwrite that replaces ONLY the partitions the incoming
+    // data touches, leaving every other partition intact — the write
+    // discipline a 100 TB partitioned dataset depends on (a static
+    // overwrite would wipe years of history to rewrite one day).
+    // Seed all years with tag=SEED, dynamically overwrite 1997 with
+    // tag=NEW, read everything back: untouched years must still be
+    // SEED (static mode would have deleted them → row-count mismatch
+    // vs the oracle) and 1997 must be NEW exactly once (an append
+    // would duplicate it → hash mismatch).
+    "sink_partition_overwrite" -> { (s, d) =>
+      val out = ioDir("sink_partition_overwrite", d)
+      val o = Tables.t(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+      o.select(col("o_orderkey"), lit("SEED").as("tag"), col("o_year"))
+        .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(out)
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // .write is eager, so the scoped conf really governs this write
+      try o.filter(col("o_year") === 1997)
+        .select(col("o_orderkey"), lit("NEW").as("tag"), col("o_year"))
+        .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(out)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.read.parquet(out)
+        .select(col("o_orderkey"), col("tag"), col("o_year").cast(IntegerType))
+        .orderBy(col("o_orderkey"), col("tag"))
+    },
+
     // The bucket-map-join READ path — the capability Hive bucketing
     // exists for (ConvertJoinMapJoin / SMB join): two tables written
     // co-bucketed + co-sorted on the join key join WITHOUT ANY
@@ -272,6 +301,13 @@ object Scans {
       """SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the final state after seed-all + dynamic-overwrite-1997,
+    // restated against the base table
+    "sink_partition_overwrite" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN year(o_orderdate) = 1997 THEN 'NEW' ELSE 'SEED' END AS tag,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year
+        |FROM orders ORDER BY o_orderkey, tag""".stripMargin,
     // bucketing is physical layout, not semantics: the oracle is the
     // plain join over the same subsets
     "join_bucketed" ->

@@ -87,6 +87,33 @@ class ScanSpec extends SparkSpec {
       s"pruning selected all ${all.size} files — nothing was pruned")
   }
 
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
+    // Hive's DynamicPartitionPruningOptimization (Tez) — in Spark the
+    // PartitionPruning rule plants a DynamicPruningExpression on the
+    // partitioned fact scan, fed by the broadcast dim's join keys, so
+    // at 100 TB a star join reads only the partitions the filtered
+    // dimension selects (SURVEY §4.1 PartitionPruner row)
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.operators.Scans
+    Scans.queries("scan_partitioned")(spark, sf).count() // partitioned copy exists
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_io/${graft.Q.pathKey(sf)}/scan_partitioned"
+    val fact = spark.read.parquet(dir)
+    // the dim must be a REAL scan: a LocalRelation dim gets its filter
+    // constant-folded away, and without a selective predicate the
+    // PartitionPruning rule never fires
+    val dimPath = s"${sys.props("java.io.tmpdir")}/graft_scanspec/dpp_dim.parquet"
+    Seq((1997, "pick"), (1901, "skip")).toDF("dim_year", "t")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+      .filter(col("t") === "pick") // the selective predicate DPP requires
+    val joined = fact.join(broadcast(dim), col("o_year") === col("dim_year"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DynamicPruningExpression on the fact scan:\n$plan")
+  }
+
   test("join_bucketed: co-bucketed tables join with ZERO exchanges in the executed plan") {
     import graft.operators.Scans
     val joined = Scans.bucketedJoin(spark, sf)
