@@ -202,6 +202,27 @@ object Joins {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Null-safe equi-join (Hive `<=>` / GenericUDFOPEqualNS as a JOIN
+    // condition, not just a filter): under three-valued logic a plain
+    // `=` join DROPS every null-keyed row on both sides; `<=>` makes
+    // null a joinable value, so the null-keyed rows of the two sides
+    // cross-match. Keys are nullif-derived so both sides carry real
+    // nulls and the null×null block is non-empty — a plain-join
+    // implementation would lose exactly those rows and fail the
+    // row-count match. Spark plans `<=>` as a normal hash/merge join
+    // key (knownfloatingpointnormalized wrapper), NOT a nested loop —
+    // same shuffle shape as `=` at 100 TB.
+    "join_null_safe" -> { (s, d) =>
+      val a = Tables.t(s, d, "orders").filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"), nullif(col("o_custkey") % 100, lit(7)).as("k"))
+      val b = Tables.t(s, d, "customer").filter(col("c_custkey") < 200)
+        .select(col("c_custkey"), nullif(col("c_custkey") % 100, lit(7)).as("k"))
+      a.join(b, a("k") <=> b("k"))
+        .select(col("o_orderkey"), col("c_custkey"),
+          a("k").as("k_a"), b("k").as("k_b"))
+        .orderBy(col("o_orderkey"), col("c_custkey"))
+    },
+
     // subqueries through the SQL frontend (RewritePredicateSubquery)
     "sub_in" -> { (s, d) =>
       Tables.views(s, d)
@@ -234,6 +255,14 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_null_safe" ->
+      """WITH a AS (SELECT o_orderkey, nullif(o_custkey % 100, 7) AS k
+        |           FROM orders WHERE o_orderkey < 500),
+        |b AS (SELECT c_custkey, nullif(c_custkey % 100, 7) AS k
+        |      FROM customer WHERE c_custkey < 200)
+        |SELECT o_orderkey, c_custkey, a.k AS k_a, b.k AS k_b
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY o_orderkey, c_custkey""".stripMargin,
     "join_inner" ->
       """SELECT o_orderkey, l_linenumber, o_orderstatus,
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -206,6 +206,73 @@ class ScanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("MSCK REPAIR TABLE discovers partition directories an external producer added") {
+    // the classic Hive operational recovery: files land in a new
+    // partition directory outside the engine (a different writer, a
+    // backfill job), and MSCK REPAIR / recoverPartitions registers
+    // them in the catalog
+    val spark2 = spark
+    import spark2.implicits._
+    val loc = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_scanspec/msck_tbl")
+    org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    spark.sql("DROP TABLE IF EXISTS graft_msck")
+    // partition p=1 written through the engine
+    Seq((1L, 1), (2L, 1)).toDF("id", "p")
+      .write.partitionBy("p").parquet(loc.getAbsolutePath)
+    spark.sql(
+      s"""CREATE TABLE graft_msck (id BIGINT) USING parquet
+         |PARTITIONED BY (p INT) LOCATION '${loc.getAbsolutePath}'""".stripMargin)
+    spark.sql("MSCK REPAIR TABLE graft_msck")
+    assert(spark.table("graft_msck").count() === 2)
+    // partition p=2 dropped in from OUTSIDE the catalog
+    Seq(3L, 4L, 5L).toDF("id")
+      .write.parquet(s"${loc.getAbsolutePath}/p=2")
+    spark.sql("MSCK REPAIR TABLE graft_msck")
+    assert(spark.table("graft_msck").count() === 5)
+    val parts = spark.sql("SHOW PARTITIONS graft_msck")
+      .collect().map(_.getString(0)).toSet
+    assert(parts === Set("p=1", "p=2"), parts.toString)
+  }
+
+  test("compression codecs roundtrip losslessly and actually apply (snappy/zstd/gzip)") {
+    // Hive's hive.exec.compress.output surface: the codec is a file
+    // property, not a semantic one — row sets must be identical under
+    // every codec and the part files must really carry the codec
+    val src = Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val baseSum = src.agg(sum(col("o_orderkey"))).head.getLong(0)
+    val ext = Map("snappy" -> "snappy", "zstd" -> "zstd", "gzip" -> "gz")
+    for (codec <- Seq("snappy", "zstd", "gzip")) {
+      val out = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft_scanspec/codec_$codec")
+      org.apache.commons.io.FileUtils.deleteQuietly(out)
+      src.write.option("compression", codec).parquet(out.getAbsolutePath)
+      val back = spark.read.parquet(out.getAbsolutePath)
+      assert(back.count() === src.count(), codec)
+      assert(back.agg(sum(col("o_orderkey"))).head.getLong(0) === baseSum, codec)
+      val dataFiles = out.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(dataFiles.nonEmpty && dataFiles.forall(_.getName.contains(s".${ext(codec)}.")),
+        s"$codec not in part-file names: ${dataFiles.map(_.getName).mkString(", ")}")
+    }
+  }
+
+  test("join_null_safe: the null-key block joins under <=> and is exactly what a plain join loses") {
+    val nullSafe = operators.Joins.queries("join_null_safe")(spark, sf)
+    val nullBlock = nullSafe.filter(col("k_a").isNull).count()
+    assert(nullBlock > 0, "null-keyed rows must cross-match for this key to bite")
+    val a = Tables.t(spark, sf, "orders").filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"), nullif(col("o_custkey") % 100, lit(7)).as("k"))
+    val b = Tables.t(spark, sf, "customer").filter(col("c_custkey") < 200)
+      .select(col("c_custkey"), nullif(col("c_custkey") % 100, lit(7)).as("k"))
+    val plain = a.join(b, a("k") === b("k")).count()
+    assert(nullSafe.count() === plain + nullBlock,
+      "plain = loses exactly the null-key block that <=> keeps")
+    // and it plans as a real equi-join (hash/merge), never a nested loop
+    val plan = nullSafe.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("csv/json/orc roundtrips preserve row counts and values") {
     import graft.operators.Scans
     val base = Tables.t(spark, sf, "orders").count()
