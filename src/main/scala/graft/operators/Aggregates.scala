@@ -203,6 +203,32 @@ object Aggregates {
       }.toDF("tok", "exact", "est").orderBy(col("tok"))
     },
 
+    // The MERGEABLE-sketch rollup surface (Apache DataSketches HLL,
+    // Spark's hll_sketch_agg/hll_union_agg): a 100 TB distinct-count
+    // rollup ships one fixed-size sketch per grain and RE-AGGREGATES
+    // by merging sketches — never by re-reading raw data. Per-source
+    // sketches estimate per-source distincts; their union estimates
+    // the global distinct WITHOUT a second pass. No RNG, but a merged
+    // sketch's estimate is NOT bit-identical to a sequentially-built
+    // one (the union path carries a different internal representation
+    // — measured ±0.8% across partitionings, unlike CMS whose counter
+    // merges are exact) → unit key: AggregateSpec asserts every
+    // partitioning's estimate stays inside the error bound and
+    // union-of-sketches tracks sketch-of-union within ~1%.
+    "agg_hll_sketch" -> { (s, d) =>
+      val docs = Tables.t(s, d, "documents")
+      val per = docs.groupBy(col("source"))
+        .agg(expr("hll_sketch_agg(text, 12)").as("sk"),
+          countDistinct(col("text")).as("exact_nd"))
+      val perOut = per.select(col("source"),
+        expr("hll_sketch_estimate(sk)").as("est_nd"), col("exact_nd"))
+      val allOut = per.agg(expr("hll_union_agg(sk, true)").as("sk"))
+        .select(lit("__ALL__").as("source"),
+          expr("hll_sketch_estimate(sk)").as("est_nd"))
+        .crossJoin(docs.agg(countDistinct(col("text")).as("exact_nd")))
+      perOut.unionByName(allOut).orderBy(col("source"))
+    },
+
     // max_by/min_by keyed by (price, orderkey) struct: equal prices
     // tie-break on the orderkey itself, so the ordering is total and
     // both engines must pick the same row (ADVICE r4)

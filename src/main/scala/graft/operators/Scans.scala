@@ -221,6 +221,42 @@ object Scans {
         .orderBy(col("o_orderkey"), col("tag"))
     },
 
+    // Hive 3 ACID `MERGE INTO` expressed as the dataflow it compiles
+    // to on an engine without a transactional table format (the
+    // classic pre-Delta upsert): target FULL OUTER JOIN source on the
+    // merge key, WHEN MATCHED → take the source row (update), WHEN
+    // NOT MATCHED → insert it, unmatched target rows pass through;
+    // the merged state is rewritten and read back, and the oracle
+    // restates the final state row-for-row (updates doubled in
+    // DECIMAL so both engines stay exact, inserts key-shifted past
+    // the target's range). At 100 TB the rewrite narrows to the
+    // TOUCHED partitions via `sink_partition_overwrite`'s dynamic
+    // mode instead of a full-table rewrite.
+    "sink_merge_upsert" -> { (s, d) =>
+      val out = ioDir("sink_merge_upsert", d)
+      Tables.t(s, d, "orders")
+        .select(col("o_orderkey"), lit("SEED").as("status"),
+          dec(col("o_totalprice")).as("price"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/target")
+      val target = s.read.parquet(s"$out/target")
+      val o = Tables.t(s, d, "orders")
+      val source = o.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), lit("UPD").as("status"),
+          (dec(col("o_totalprice")) * 2).as("price"))
+        .unionByName(o.filter(col("o_orderkey") % 100 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("INS").as("status"), dec(col("o_totalprice")).as("price")))
+      val merged = target.as("t")
+        .join(source.as("s"), Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("s.status"), col("t.status")).as("status"),
+          coalesce(col("s.price"), col("t.price")).as("price"))
+      merged.write.mode(SaveMode.Overwrite).parquet(s"$out/merged")
+      s.read.parquet(s"$out/merged")
+        .select(col("o_orderkey"), col("status"), money(col("price")).as("price"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // The bucket-map-join READ path — the capability Hive bucketing
     // exists for (ConvertJoinMapJoin / SMB join): two tables written
     // co-bucketed + co-sorted on the join key join WITHOUT ANY
@@ -301,6 +337,21 @@ object Scans {
       """SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the merged final state restated row-for-row against the base
+    // table: matched keys carry the UPDATE, shifted keys the INSERT,
+    // the rest pass through untouched
+    "sink_merge_upsert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN 'UPD' ELSE 'SEED' END AS status,
+        |  CAST(CASE WHEN o_orderkey % 10 = 3
+        |       THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+        |       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DOUBLE) AS price
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, 'INS',
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     // the final state after seed-all + dynamic-overwrite-1997,
     // restated against the base table
     "sink_partition_overwrite" ->
