@@ -72,6 +72,26 @@ object Windows {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // IGNORE NULLS window semantics — the forward-fill (gap-fill)
+    // idiom: carry the last non-null observation forward within each
+    // partition. The standard way a 100 TB pipeline densifies sparse
+    // measurements (sensor readings, price ticks) without a
+    // self-join: last(v, ignoreNulls).over(unboundedPreceding..
+    // currentRow) is one windowed pass. Nulls injected
+    // deterministically so every partition exercises both the carry
+    // and the leading-null (no prior observation → stays null) cases.
+    "win_fill_forward" -> { (s, d) =>
+      val w = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          when(col("o_orderkey") % 3 === 0, lit(null))
+            .otherwise(dec(col("o_totalprice"))).as("v"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          money(col("v")).as("v"),
+          money(last(col("v"), ignoreNulls = true).over(w)).as("v_filled"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     "win_running_sum" -> { (s, d) =>
       val w = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.t(s, d, "orders")
@@ -169,6 +189,16 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_fill_forward" ->
+      """WITH t AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS v
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, CAST(v AS DOUBLE) AS v,
+        |  CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey
+        |       ORDER BY o_orderdate, o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS v_filled
+        |FROM t ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_running_sum" ->
       s"""SELECT o_custkey, o_orderkey,
          |  CAST(sum($OP2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
