@@ -273,6 +273,33 @@ class ScanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("ANALYZE TABLE stats reach the catalog and the optimizer (Hive metastore-stats role)") {
+    // Hive's ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS] +
+    // hive.cbo.enable surface: stats land in the catalog (ndv,
+    // min/max) and, with CBO on, the optimizer sees the exact
+    // rowCount — the input join-reorder and broadcast decisions
+    // consume at 100 TB
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    spark.sql("DROP TABLE IF EXISTS graft_stats")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/graft_stats"))
+    val n = Tables.t(spark, sf, "customer").count()
+    Tables.t(spark, sf, "customer").write.saveAsTable("graft_stats")
+    spark.sql("ANALYZE TABLE graft_stats COMPUTE STATISTICS")
+    spark.sql("ANALYZE TABLE graft_stats COMPUTE STATISTICS FOR COLUMNS c_custkey, c_mktsegment")
+    val colStats = spark.sql("DESCRIBE EXTENDED graft_stats c_custkey")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(colStats("distinct_count").toLong === n,
+      s"ndv of the unique key must equal the row count: $colStats")
+    assert(colStats("min").toLong >= 0 && colStats("max").toLong > 0)
+    val prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("graft_stats").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(n)),
+        s"optimizer must see the analyzed rowCount, got $stats")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
   test("csv/json/orc roundtrips preserve row counts and values") {
     import graft.operators.Scans
     val base = Tables.t(spark, sf, "orders").count()
