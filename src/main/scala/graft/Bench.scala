@@ -114,16 +114,33 @@ object Bench {
       val sec = if (failed) -1.0 else (System.nanoTime() - t0) / 1e9
       R(name, sec, cal, (gcMillis() - gc0) / 1e3, failed)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      timed(name, fn)
-    }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def mapJson(entries: Iterable[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // A fatal JVM error mid-suite (timed rethrows it) must not erase
+    // the readings already taken: flush the partial per-query map
+    // before propagating, mirroring Verify's finally-flush (Harness
+    // policy) — an aborted run with 119 good readings is auditable,
+    // an empty stdout is not.
+    val resultsBuf = scala.collection.mutable.ArrayBuffer.empty[R]
+    try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      resultsBuf += timed(name, fn)
+    } catch { case e: Throwable =>
+      if (!NonFatal(e))
+        println(s"""{"metric":"queries_partial","queries":${mapJson(resultsBuf.map(r => (r.name, r.sec)))},"sf":"$sfDir"}""")
+      throw e
+    }
+    val results = resultsBuf.toSeq
     // The last query's closing probe bracket must be taken BEFORE the
     // retry pass: 20+ s of retry work in between would let a phase
     // flip the last query never saw leak into its normalization.
     val calQuickFinal = calQuick()
+    // emit the two full per-query maps NOW, before the retry pass: a
+    // fatal error during a retry (timed rethrows) must not take the
+    // suite's readings down with it
+    val cals = results.map(r => (r.name, r.cal))
+    println(s"""{"metric":"queries","queries":${mapJson(results.map(r => (r.name, r.sec)))},"sf":"$sfDir"}""")
+    println(s"""{"metric":"query_cals","cal_healthy_quick_sec":$calHealthyQuick,"cal_quick_final_sec":${fmt(calQuickFinal)},"cals":${mapJson(cals)},"sf":"$sfDir"}""")
     // Stall-free retry pass: a query whose reading stays large even
     // after subtracting its own attributable GC (a mostly-GC reading
     // is already explained by the query_gc map) is re-run ONCE. The
@@ -177,8 +194,11 @@ object Bench {
     // never retried (their -1 is a marker, not a reading) and a retry
     // that itself fails is discarded
     val retryBudgetSec = 60.0
+    // ratio on the GC-CORRECTED reading: a mostly-GC giant's raw time
+    // is already explained by the query_gc map and must not displace
+    // a smaller pure stall in the ranking
     def ratioVsLast(r: R): Option[Double] =
-      lastRound.get(r.name).filter(_ >= 0.05).map(r.sec / _)
+      lastRound.get(r.name).filter(_ >= 0.05).map((r.sec - r.gcSec) / _)
     val retried = {
       val out = scala.collection.mutable.Map.empty[String, Double]
       var spent = 0.0
@@ -222,15 +242,12 @@ object Bench {
     val totalStallfree = ok
       .map(r => math.min(r.sec, retried.getOrElse(r.name, r.sec))).sum
     val gcTotal = results.map(_.gcSec).sum
-    val cals = results.map(r => (r.name, r.cal))
     // The driver keeps only the LAST ~2000 chars of stdout and parses
-    // the final JSON line. Emit the full per-query map FIRST, then the
-    // full per-query probe map (humans / manual recovery), then a
-    // contract line LAST whose embedded queries map is capped to the
-    // slowest entries so the whole line always fits inside the tail
-    // window untruncated.
-    println(s"""{"metric":"queries","queries":${mapJson(results.map(r => (r.name, r.sec)))},"sf":"$sfDir"}""")
-    println(s"""{"metric":"query_cals","cal_healthy_quick_sec":$calHealthyQuick,"cal_quick_final_sec":${fmt(calQuickFinal)},"cals":${mapJson(cals)},"sf":"$sfDir"}""")
+    // the final JSON line. The full per-query map and probe map were
+    // already emitted before the retry pass (fatal-flush ordering);
+    // what remains is the gc/retries line and the contract line LAST,
+    // whose embedded queries map is capped to the slowest entries so
+    // the whole line always fits inside the tail window untruncated.
     println(s"""{"metric":"query_gc","gc_total_sec":${fmt(gcTotal)},"gc":${mapJson(results.filter(_.gcSec >= 0.05).map(r => (r.name, r.gcSec)))},"retries":${mapJson(retried)},"sf":"$sfDir"}""")
     // failed queries keep their -1 marker in the map; the "_other"
     // remainder sums only real readings (a -1 must never shrink it)

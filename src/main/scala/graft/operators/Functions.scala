@@ -336,7 +336,10 @@ object Functions {
     // period injection, segmented words == whitespace tokens
     "fn_text_stats" ->
       """WITH t AS (SELECT lang, n_chars,
-        |    len(string_split(text, ' ')) AS w FROM documents)
+        |    CASE WHEN regexp_full_match(text, '[a-z]+( [a-z]+)*')
+        |         THEN len(string_split(text, ' '))
+        |         ELSE CAST(error('corpus violates the lowercase-single-space invariant the closed-form segmentation oracle needs') AS BIGINT)
+        |    END AS w FROM documents)
         |SELECT lang, CAST((n_chars // 100) * 100 AS BIGINT) AS len_bin,
         |  count(*) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_sent_flat,

@@ -57,10 +57,18 @@ object Scans {
     * table writes per bench run. */
   private val bucketedOnce =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
+  /** SF-scoped table name: the memo is per (session, input dir), so
+    * globally-named tables would let a second SF's rebuild silently
+    * answer for the first SF's stale memo entry — the exact cross-SF
+    * collision Q.pathKey exists to prevent. */
+  private[graft] def bucketedTable(base: String, d: String): String =
+    s"${base}_${Q.pathKey(d)}"
   private[graft] def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val liTbl = bucketedTable("graft_bkt_lineitem", d)
+    val ordTbl = bucketedTable("graft_bkt_orders", d)
     bucketedOnce.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
       val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
-      for (t <- Seq("graft_bkt_lineitem", "graft_bkt_orders")) {
+      for (t <- Seq(liTbl, ordTbl)) {
         s.sql(s"DROP TABLE IF EXISTS $t")
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/$t"))
       }
@@ -69,15 +77,15 @@ object Scans {
           dec(col("l_extendedprice")).as("l_price"))
         .write.mode(SaveMode.Overwrite)
         .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_bkt_lineitem")
+        .saveAsTable(liTbl)
       Tables.t(s, d, "orders").filter(col("o_orderkey") < 2000)
         .select(col("o_orderkey"), col("o_orderstatus"))
         .write.mode(SaveMode.Overwrite)
         .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_bkt_orders")
+        .saveAsTable(ordTbl)
     })
-    s.table("graft_bkt_lineitem").hint("merge")
-      .join(s.table("graft_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+    s.table(liTbl).hint("merge")
+      .join(s.table(ordTbl), col("l_orderkey") === col("o_orderkey"))
   }
 
   val queries: Map[String, Q.QueryFn] = Map(

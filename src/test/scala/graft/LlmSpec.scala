@@ -27,16 +27,25 @@ class LlmSpec extends SparkSpec {
     assert(brute.nonEmpty, "corpus should contain near-dups for this test to bite")
   }
 
-  test("corpus invariant the byte/char multimodal oracles rely on: pure ASCII, no null text") {
-    // The multimodal kernels pool UTF-8 BYTES while their DuckDB
-    // oracles index CHARACTERS (substring/ord) — identical only while
-    // octet_length == char length for every document. The oracles also
-    // carry an in-SQL error() guard; this is the Spark-side half of
-    // that contract (ADVICE r15).
-    val bad = Tables.t(spark, sf, "documents")
-      .filter(col("text").isNull || octet_length(col("text")) =!= length(col("text")))
-      .count()
-    assert(bad === 0, s"$bad documents violate the ASCII/non-null invariant")
+  test("corpus invariants the closed-form oracles rely on: ASCII, non-null, lowercase single-spaced words") {
+    // Two oracle families depend on corpus shape: the multimodal
+    // kernels pool UTF-8 BYTES while their DuckDB oracles index
+    // CHARACTERS (identical only while octet_length == char length),
+    // and fn_text_stats' closed-form sentence math (1 sentence per
+    // unpunctuated doc, ceil(words/10) after injection, segmented
+    // words == whitespace tokens) needs lowercase words separated by
+    // SINGLE spaces — a double space, digit, period, or uppercase
+    // letter is pure ASCII yet breaks it. Both oracle families also
+    // carry in-SQL error() guards; this is the Spark-side half of
+    // the contract (ADVICE r15 + r16 review).
+    val docs = Tables.t(spark, sf, "documents")
+    val nonAscii = docs.filter(col("text").isNull ||
+      octet_length(col("text")) =!= length(col("text"))).count()
+    assert(nonAscii === 0, s"$nonAscii documents violate the ASCII/non-null invariant")
+    val nonCanonical = docs
+      .filter(!col("text").rlike("^[a-z]+( [a-z]+)*$")).count()
+    assert(nonCanonical === 0,
+      s"$nonCanonical documents violate the lowercase-single-space invariant fn_text_stats' closed form needs")
   }
 
   test("cosine is symmetric, bounded, and 1 on self") {

@@ -140,7 +140,8 @@ class ScanSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     try {
-      val df = spark.table("graft_bkt_lineitem").filter(col("l_orderkey") === 42)
+      val df = spark.table(Scans.bucketedTable("graft_bkt_lineitem", sf))
+        .filter(col("l_orderkey") === 42)
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("SelectedBucketsCount: 1 out of 4"),
         s"bucket pruning missing from the plan:\n$plan")
@@ -167,7 +168,7 @@ class ScanSpec extends SparkSpec {
     // files Spark wrote for graft_bkt_lineitem
     Scans.bucketedJoin(spark, sf).count() // ensures the tables exist
     val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val b1Files = new java.io.File(s"$wh/graft_bkt_lineitem").listFiles()
+    val b1Files = new java.io.File(s"$wh/${Scans.bucketedTable("graft_bkt_lineitem", sf)}").listFiles()
       .filter(f => f.getName.matches("part-.*_00001\\.c.*\\.parquet"))
       .map(_.getAbsolutePath)
     assert(b1Files.nonEmpty, "no bucket-1 files found in the warehouse table")
