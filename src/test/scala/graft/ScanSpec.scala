@@ -322,6 +322,52 @@ class ScanSpec extends SparkSpec {
       s"no adaptive shuffle re-planning in the executed plan:\n$plan")
   }
 
+  test("AQE skew join: a runtime-skewed partition is split (skew=true in the executed plan)") {
+    // the AUTOMATIC twin of join_skew_salted's manual salting:
+    // OptimizeSkewedJoin detects an oversized shuffle partition at
+    // runtime and splits it — at 100 TB this is the first line of
+    // defense before anyone reaches for a manual salt. Thresholds are
+    // scaled down to make the tiny fixture's hot key register as skew.
+    val spark2 = spark
+    import spark2.implicits._
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.get(k)).toMap
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // 50k rows on ONE key vs 100 spread over the rest: the hot
+      // key's partition dwarfs the median after the shuffle
+      val left = spark.range(50000).select(lit(7L).as("k"), col("id").as("v"))
+        .union(spark.range(100).select((col("id") % 50 + 100).as("k"), col("id").as("v")))
+      val right = spark.range(200).select(col("id").as("k"), col("id").as("w"))
+      val joined = left.join(right, "k")
+      joined.collect() // executes THIS plan; count() would finalize a different one
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("exchange reuse: two aggregations over one shuffle scan share a single exchange") {
+    // self-union of two aggregates over the same shuffled child: the
+    // second branch must read the FIRST branch's shuffle output
+    // (ReusedExchange), not recompute the scan+shuffle — at 100 TB
+    // that is an entire pass over the fact table saved
+    val grouped = Tables.raw(spark, sf, "lineitem")
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+    val twice = grouped.filter(col("q") > 100).union(grouped.filter(col("q") <= 100))
+    twice.collect() // executes THIS plan; count() would finalize a different one
+    val plan = twice.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedShuffle"),
+      s"no exchange reuse in the executed plan:\n$plan")
+  }
+
   test("salted skew join: shuffle keys carry the salt, no broadcast, rows identical to plain join") {
     val salted = operators.Joins.queries("join_skew_salted")(spark, sf)
     val plan = salted.queryExecution.executedPlan.toString
