@@ -358,8 +358,12 @@ class ScanSpec extends SparkSpec {
     // self-union of two aggregates over the same shuffled child: the
     // second branch must read the FIRST branch's shuffle output
     // (ReusedExchange), not recompute the scan+shuffle — at 100 TB
-    // that is an entire pass over the fact table saved
-    val grouped = Tables.raw(spark, sf, "lineitem")
+    // that is an entire pass over the fact table saved. Private copy:
+    // if another suite cached lineitem, CacheManager substitutes an
+    // InMemoryRelation whose per-branch attribute ids defeat AQE's
+    // canonicalized stage-reuse (observed: two separate
+    // ShuffleQueryStages over TableCacheQueryStage)
+    val grouped = spark.read.parquet(privateLineitem)
       .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
     val twice = grouped.filter(col("q") > 100).union(grouped.filter(col("q") <= 100))
     twice.collect() // executes THIS plan; count() would finalize a different one
