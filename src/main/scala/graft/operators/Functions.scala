@@ -276,6 +276,25 @@ object Functions {
         .orderBy(col("c_custkey"))
     },
 
+    // Hive's binary/radix encoding builtins (UDFBase64, UDFHex,
+    // UDFConv, GenericUDFEncode/Decode): base64 and hex both as
+    // one-way renderings AND as full roundtrips back to the original
+    // string (a one-way match could pass with both engines wrong in
+    // the same direction; the roundtrip pins the inverse too), plus
+    // radix conversion to base 16 and 2 (DuckDB to_base — both
+    // engines render uppercase digits without padding).
+    "fn_encoding" -> ((s, d) =>
+      Tables.t(s, d, "customer").select(
+        col("c_custkey"),
+        base64(encode(col("c_name"), "UTF-8")).as("b64"),
+        decode(unbase64(base64(encode(col("c_name"), "UTF-8"))), "UTF-8").as("b64_rt"),
+        hex(col("c_custkey")).as("hx_num"),
+        hex(encode(col("c_mktsegment"), "UTF-8")).as("hx_str"),
+        decode(unhex(hex(encode(col("c_mktsegment"), "UTF-8"))), "UTF-8").as("hx_rt"),
+        conv(col("c_custkey").cast(StringType), 10, 16).as("cv16"),
+        conv(col("c_custkey").cast(StringType), 10, 2).as("cv2"))
+        .orderBy(col("c_custkey"))),
+
     // Hive's statistical text builtins (GenericUDTFSentences family):
     // BreakIterator sentence + word segmentation via `sentences()`,
     // cross-checked against a CLOSED-FORM oracle. The corpus is
@@ -334,6 +353,18 @@ object Functions {
     // asserted single-space lowercase corpus: 1 sentence per
     // unpunctuated doc, ceil(words/10) after the every-10-words
     // period injection, segmented words == whitespace tokens
+    // the roundtrip columns restate as the IDENTITY — if either
+    // direction of either codec drifted, the rt columns would differ
+    "fn_encoding" ->
+      """SELECT c_custkey,
+        |  base64(encode(c_name)) AS b64,
+        |  c_name AS b64_rt,
+        |  hex(c_custkey) AS hx_num,
+        |  hex(encode(c_mktsegment)) AS hx_str,
+        |  c_mktsegment AS hx_rt,
+        |  to_base(c_custkey, 16) AS cv16,
+        |  to_base(c_custkey, 2) AS cv2
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "fn_text_stats" ->
       """WITH t AS (SELECT lang, n_chars,
         |    CASE WHEN regexp_full_match(text, '[a-z]+( [a-z]+)*')
