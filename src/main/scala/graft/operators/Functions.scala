@@ -349,10 +349,6 @@ object Functions {
   )
 
   val oracle: Map[String, String] = Map(
-    // closed-form restatement of BreakIterator segmentation on the
-    // asserted single-space lowercase corpus: 1 sentence per
-    // unpunctuated doc, ceil(words/10) after the every-10-words
-    // period injection, segmented words == whitespace tokens
     // the roundtrip columns restate as the IDENTITY — if either
     // direction of either codec drifted, the rt columns would differ
     "fn_encoding" ->
@@ -365,6 +361,10 @@ object Functions {
         |  to_base(c_custkey, 16) AS cv16,
         |  to_base(c_custkey, 2) AS cv2
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // closed-form restatement of BreakIterator segmentation on the
+    // asserted single-space lowercase corpus: 1 sentence per
+    // unpunctuated doc, ceil(words/10) after the every-10-words
+    // period injection, segmented words == whitespace tokens
     "fn_text_stats" ->
       """WITH t AS (SELECT lang, n_chars,
         |    CASE WHEN regexp_full_match(text, '[a-z]+( [a-z]+)*')

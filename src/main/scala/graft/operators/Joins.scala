@@ -25,6 +25,16 @@ object Joins {
   private def rev(c1: String, c2: String) =
     dec(col(c1)) * (lit(1) - dec(col(c2)))
 
+  /** The two nullif-keyed sides of join_null_safe — shared with the
+    * spec's plain-vs-null-safe identity assert so tuning the subsets
+    * or the null-injection rule in one place cannot desynchronize
+    * the test's baseline (r16 review). */
+  private[graft] def nullSafeSides(s: SparkSession, d: String): (DataFrame, DataFrame) = (
+    Tables.t(s, d, "orders").filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"), nullif(col("o_custkey") % 100, lit(7)).as("k")),
+    Tables.t(s, d, "customer").filter(col("c_custkey") < 200)
+      .select(col("c_custkey"), nullif(col("c_custkey") % 100, lit(7)).as("k")))
+
   val queries: Map[String, Q.QueryFn] = Map(
     // shuffle equi-join: fact ⋈ fact-sized orders — sort-merge/shuffle-hash
     "join_inner" -> ((s, d) =>
@@ -213,10 +223,7 @@ object Joins {
     // key (knownfloatingpointnormalized wrapper), NOT a nested loop —
     // same shuffle shape as `=` at 100 TB.
     "join_null_safe" -> { (s, d) =>
-      val a = Tables.t(s, d, "orders").filter(col("o_orderkey") < 500)
-        .select(col("o_orderkey"), nullif(col("o_custkey") % 100, lit(7)).as("k"))
-      val b = Tables.t(s, d, "customer").filter(col("c_custkey") < 200)
-        .select(col("c_custkey"), nullif(col("c_custkey") % 100, lit(7)).as("k"))
+      val (a, b) = nullSafeSides(s, d)
       a.join(b, a("k") <=> b("k"))
         .select(col("o_orderkey"), col("c_custkey"),
           a("k").as("k_a"), b("k").as("k_b"))

@@ -22,7 +22,7 @@ object Scans {
   /** Roundtrip scratch dir, keyed by (key, input dir) so a Verify run
     * at one scale factor can never race or clobber a Bench run at
     * another (VERDICT r2 note). */
-  private def ioDir(key: String, inputDir: String): String = {
+  private[graft] def ioDir(key: String, inputDir: String): String = {
     val d = s"${sys.props("java.io.tmpdir")}/graft_io/${Q.pathKey(inputDir)}/$key"
     new java.io.File(d).mkdirs(); d
   }
@@ -248,11 +248,18 @@ object Scans {
         .write.mode(SaveMode.Overwrite).parquet(s"$out/target")
       val target = s.read.parquet(s"$out/target")
       val o = Tables.t(s, d, "orders")
+      // insert keys shift past the DATA's actual max (one bounded
+      // 1-value collect), never a hardcoded constant — a constant
+      // collides with real keys at a large enough scale factor and
+      // silently merges inserts onto existing rows (r16 review)
+      // +1: orderkey 0 shifted by exactly max(o_orderkey) would land
+      // ON the max key and merge instead of inserting
+      val maxKey = o.agg(max(col("o_orderkey"))).head.getLong(0) + 1
       val source = o.filter(col("o_orderkey") % 10 === 3)
         .select(col("o_orderkey"), lit("UPD").as("status"),
           (dec(col("o_totalprice")) * 2).as("price"))
         .unionByName(o.filter(col("o_orderkey") % 100 === 0)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          .select((col("o_orderkey") + lit(maxKey)).as("o_orderkey"),
             lit("INS").as("status"), dec(col("o_totalprice")).as("price")))
       val merged = target.as("t")
         .join(source.as("s"), Seq("o_orderkey"), "full_outer")
@@ -356,7 +363,7 @@ object Scans {
         |       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DOUBLE) AS price
         |FROM orders
         |UNION ALL
-        |SELECT o_orderkey + 10000000, 'INS',
+        |SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders), 'INS',
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
         |FROM orders WHERE o_orderkey % 100 = 0
         |ORDER BY o_orderkey""".stripMargin,

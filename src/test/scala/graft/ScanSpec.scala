@@ -60,10 +60,7 @@ class ScanSpec extends SparkSpec {
   test("partition pruning reaches the file index (PartitionFilters)") {
     import graft.operators.Scans
     Scans.queries("scan_partitioned")(spark, sf).count() // writes the partitioned copy
-    // same key scheme as Scans.ioDir — the old abs(hashCode) path kept
-    // passing only off a stale pre-r4 staging dir until a reboot wiped
-    // /tmp (caught r10)
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_io/${graft.Q.pathKey(sf)}/scan_partitioned"
+    val dir = Scans.ioDir("scan_partitioned", sf)
     val df = spark.read.parquet(dir).filter(col("o_year") === 1997)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan)
@@ -97,8 +94,7 @@ class ScanSpec extends SparkSpec {
     import spark2.implicits._
     import graft.operators.Scans
     Scans.queries("scan_partitioned")(spark, sf).count() // partitioned copy exists
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_io/${graft.Q.pathKey(sf)}/scan_partitioned"
-    val fact = spark.read.parquet(dir)
+    val fact = spark.read.parquet(Scans.ioDir("scan_partitioned", sf))
     // the dim must be a REAL scan: a LocalRelation dim gets its filter
     // constant-folded away, and without a selective predicate the
     // PartitionPruning rule never fires
@@ -262,10 +258,10 @@ class ScanSpec extends SparkSpec {
     val nullSafe = operators.Joins.queries("join_null_safe")(spark, sf)
     val nullBlock = nullSafe.filter(col("k_a").isNull).count()
     assert(nullBlock > 0, "null-keyed rows must cross-match for this key to bite")
-    val a = Tables.t(spark, sf, "orders").filter(col("o_orderkey") < 500)
-      .select(col("o_orderkey"), nullif(col("o_custkey") % 100, lit(7)).as("k"))
-    val b = Tables.t(spark, sf, "customer").filter(col("c_custkey") < 200)
-      .select(col("c_custkey"), nullif(col("c_custkey") % 100, lit(7)).as("k"))
+    // SAME side frames as the operator (shared helper): a tuned
+    // subset in Joins.scala must not silently desynchronize this
+    // plain-join baseline
+    val (a, b) = operators.Joins.nullSafeSides(spark, sf)
     val plain = a.join(b, a("k") === b("k")).count()
     assert(nullSafe.count() === plain + nullBlock,
       "plain = loses exactly the null-key block that <=> keeps")
@@ -289,8 +285,12 @@ class ScanSpec extends SparkSpec {
     spark.sql("ANALYZE TABLE graft_stats COMPUTE STATISTICS FOR COLUMNS c_custkey, c_mktsegment")
     val colStats = spark.sql("DESCRIBE EXTENDED graft_stats c_custkey")
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
-    assert(colStats("distinct_count").toLong === n,
-      s"ndv of the unique key must equal the row count: $colStats")
+    // ndv comes from a HyperLogLog++ estimate (ndv.maxError 0.05):
+    // exact equality only holds by luck at tiny cardinalities, so
+    // bound it like the sketch specs do
+    val ndv = colStats("distinct_count").toLong
+    assert(math.abs(ndv - n) <= math.max(1, (0.05 * n).toLong),
+      s"ndv of the unique key must track the row count: ndv=$ndv n=$n")
     assert(colStats("min").toLong >= 0 && colStats("max").toLong > 0)
     val prev = spark.conf.get("spark.sql.cbo.enabled")
     spark.conf.set("spark.sql.cbo.enabled", "true")
