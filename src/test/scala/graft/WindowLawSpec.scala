@@ -9,6 +9,31 @@ import org.apache.spark.sql.functions._
   */
 class WindowLawSpec extends SparkSpec {
 
+  test("fill-forward laws: null only before the first observation, carried value is the last non-null") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Windows.queries("win_fill_forward")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.exists(_._3.isEmpty), "null injection must bite")
+    // replay the carry per partition in the WINDOW's order — by
+    // (o_orderdate, o_orderkey), which is byCust's frame order, NOT
+    // the output presentation order — and check every row
+    val dateOf = Tables.t(spark, sf, "orders")
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_orderdate"))
+      .collect().map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime](1)).toMap
+    rows.groupBy(_._1).foreach { case (cust, rs) =>
+      var carry: Option[Double] = None
+      rs.sortBy { case (_, okey, _, _) => (dateOf(okey).toString, okey) }
+        .foreach { case (_, okey, v, filled) =>
+          if (v.isDefined) carry = v
+          assert(filled === carry,
+            s"cust=$cust key=$okey: filled=$filled expected carry=$carry")
+        }
+    }
+  }
+
   test("running_sum last row per customer equals the group sum") {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
