@@ -166,26 +166,34 @@ object Bench {
     // missed agg_grouping_sets at 2.4× its untouched-code r14 reading
     // (VERDICT r15 #4). The stored map keeps only the slowest ~40
     // keys; absent keys fall back to the absolute criterion.
-    val lastRound: Map[String, Double] = try {
+    // Last-round artifact: both the per-key timings ("queries", the
+    // parsed final map AND its escaped twin in the tail) and the
+    // per-key GC ("gc", escaped inside the tail's query_gc line) —
+    // the ratio below subtracts GC on BOTH sides, because a
+    // GC-corrected numerator over a raw (GC-inclusive) denominator
+    // deflates the ratio for any key whose prior reading was
+    // GC-inflated and can let a real 2× stall slip the trigger
+    // (ADVICE r16).
+    val (lastRound, lastGc): (Map[String, Double], Map[String, Double]) = try {
       Option(new java.io.File(".").listFiles()).toSeq.flatten
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
         .sortBy(_.getName).lastOption.map { f =>
           val txt = new String(
             java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          // the `tail` field escapes its quotes, so the unescaped
-          // "queries":{...} below matches only the parsed final map
-          val m = java.util.regex.Pattern
-            .compile("\"queries\":\\s*\\{([^}]*)\\}").matcher(txt)
-          if (!m.find()) Map.empty[String, Double]
-          else {
-            val kv = java.util.regex.Pattern
-              .compile("\"([A-Za-z0-9_]+)\":\\s*(-?[0-9.]+)").matcher(m.group(1))
-            val out = scala.collection.mutable.Map.empty[String, Double]
-            while (kv.find()) out(kv.group(1)) = kv.group(2).toDouble
-            out.toMap
-          }
-        }.getOrElse(Map.empty)
-    } catch { case NonFatal(_) => Map.empty[String, Double] }
+          (BenchPolicy.parseMap(txt, "queries"), BenchPolicy.parseMap(txt, "gc"))
+        }.getOrElse((Map.empty[String, Double], Map.empty[String, Double]))
+    } catch { case NonFatal(_) => (Map.empty[String, Double], Map.empty[String, Double]) }
+    // Degraded-host self-diagnosis (VERDICT r16 #4): BENCH_r16's
+    // in-suite probes spanned 0.27-1.76 s against the 0.4 s healthy
+    // constant, every key carried a 0.3-1.0 s uniform inflation, and
+    // the ≥3 s retry floor exempted 14 of the 15 largest apparent
+    // regressions — a polluted artifact masqueraded as a regression.
+    // When any probe exceeds 2× healthy the run flags itself
+    // (host_degraded in the contract line) and the retry thresholds
+    // drop (ratio 2.0→1.5, absolute entry 0.8→0.4 s) so uniform
+    // small inflation gets re-measured instead of exempted.
+    val hostDegraded =
+      BenchPolicy.hostDegraded(cals.map(_._2) :+ calQuickFinal, calHealthyQuick)
     // rank by the regression RATIO vs last round where known (largest
     // relative stall first), falling back to unexplained-time/3 as a
     // pseudo-ratio for keys with no prior — so a mostly-GC giant
@@ -194,24 +202,17 @@ object Bench {
     // never retried (their -1 is a marker, not a reading) and a retry
     // that itself fails is discarded
     val retryBudgetSec = 60.0
-    // ratio on the GC-CORRECTED reading: a mostly-GC giant's raw time
-    // is already explained by the query_gc map and must not displace
-    // a smaller pure stall in the ranking
-    def ratioVsLast(r: R): Option[Double] =
-      lastRound.get(r.name).filter(_ >= 0.05).map((r.sec - r.gcSec) / _)
+    def toReading(r: R) = BenchPolicy.Reading(r.name, r.sec, r.gcSec, r.failed)
     val retried = {
       val out = scala.collection.mutable.Map.empty[String, Double]
       var spent = 0.0
-      results.filter(r => !r.failed && (
-          r.sec - r.gcSec >= 3.0 ||
-          (r.sec - r.gcSec >= 0.8 && ratioVsLast(r).exists(_ >= 2.0))))
-        .sortBy(r => -ratioVsLast(r).getOrElse((r.sec - r.gcSec) / 3.0))
-        .foreach { r =>
+      BenchPolicy.retryOrder(results.map(toReading), lastRound, lastGc, hostDegraded)
+        .foreach { candidate =>
           if (spent < retryBudgetSec) {
             val t0 = System.nanoTime()
-            val rr = timed(r.name, SparkEntry.queries(r.name))
+            val rr = timed(candidate.name, SparkEntry.queries(candidate.name))
             spent += (System.nanoTime() - t0) / 1e9
-            if (!rr.failed) out(r.name) = rr.sec
+            if (!rr.failed) out(candidate.name) = rr.sec
           }
         }
       out.toMap
@@ -260,10 +261,84 @@ object Bench {
       val kept = bySlowest.take(k)
       val rest = bySlowest.drop(k).map(_._2).filter(_ >= 0).sum
       val entries = if (k < bySlowest.length) kept :+ ("_other" -> rest) else kept
-      s"""{"metric":"graft_bench","value":${fmt(total)},"value_cal_norm":${fmt(totalNorm)},"value_stallfree":${fmt(totalStallfree)},"gc_total_sec":${fmt(gcTotal)},"cache_warm_sec":${fmt(cacheWarmSec)},"unit":"sec","n":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"cal_start_sec":${fmt(calStart)},"cal_end_sec":${fmt(calEnd)},"cal_quick_min_sec":${fmt(cals.map(_._2).min)},"cal_quick_max_sec":${fmt(cals.map(_._2).max)},"cal_healthy_quick_sec":$calHealthyQuick,"queries":${mapJson(entries)},"sf":"$sfDir"}"""
+      s"""{"metric":"graft_bench","value":${fmt(total)},"value_cal_norm":${fmt(totalNorm)},"value_stallfree":${fmt(totalStallfree)},"host_degraded":$hostDegraded,"gc_total_sec":${fmt(gcTotal)},"cache_warm_sec":${fmt(cacheWarmSec)},"unit":"sec","n":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"cal_start_sec":${fmt(calStart)},"cal_end_sec":${fmt(calEnd)},"cal_quick_min_sec":${fmt(cals.map(_._2).min)},"cal_quick_max_sec":${fmt(cals.map(_._2).max)},"cal_healthy_quick_sec":$calHealthyQuick,"queries":${mapJson(entries)},"sf":"$sfDir"}"""
     }
     while (keep > 1 && finalLine(keep).length > budget) keep -= 1
     println(finalLine(keep))
     spark.stop()
+  }
+}
+
+/** The bench's stall-retry and host-health policy, extracted pure so
+  * the degraded-host behavior is unit-testable (HarnessSpec forces an
+  * inflated probe sequence and asserts the flag + the wider retry
+  * coverage — VERDICT r16 #4's "forced-degraded unit").
+  */
+object BenchPolicy {
+  /** One measured key, reduced to what retry selection needs. */
+  case class Reading(name: String, sec: Double, gcSec: Double, failed: Boolean)
+
+  /** Degraded = any in-run quick probe ≥ 2× the healthy constant.
+    * Healthy runs measured min 0.302 / max 0.664 against 0.40 (r12's
+    * 124-probe sweep) — comfortably under 2× — while every documented
+    * polluted run (r10, r11, r16) had probes at 2.4-22× healthy, so
+    * the single-probe trigger separates the two populations with
+    * margin on every artifact observed to date. */
+  def hostDegraded(cals: Seq[Double], healthy: Double): Boolean =
+    cals.exists(_ >= 2.0 * healthy)
+
+  /** Regression ratio with GC subtracted on BOTH sides: the persisted
+    * last-round reading includes that round's GC, so correcting only
+    * the numerator deflates the ratio exactly when the prior reading
+    * was GC-inflated (ADVICE r16). Keys absent from the prior gc map
+    * were under its 0.05 s emission floor — treated as 0. */
+  def ratioVsLast(r: Reading, lastSec: Map[String, Double],
+      lastGc: Map[String, Double]): Option[Double] =
+    lastSec.get(r.name)
+      .map(s => s - lastGc.getOrElse(r.name, 0.0)).filter(_ >= 0.05)
+      .map(prior => (r.sec - r.gcSec) / prior)
+
+  /** Retry when the GC-corrected reading is ≥3 s unexplained, or a
+    * ≥2× regression vs last round on a ≥0.8 s key. On a degraded
+    * host both regression gates widen (ratio ≥1.5 on ≥0.4 s keys):
+    * uniform 0.3-1.0 s inflation sits exactly in the band the healthy
+    * thresholds exempt, which is how BENCH_r16 retried only 1 of its
+    * 15 largest apparent regressions. */
+  def wantRetry(r: Reading, ratio: Option[Double], degraded: Boolean): Boolean =
+    !r.failed && {
+      val t = r.sec - r.gcSec
+      val ratioFloor = if (degraded) 1.5 else 2.0
+      val entryFloor = if (degraded) 0.4 else 0.8
+      t >= 3.0 || (t >= entryFloor && ratio.exists(_ >= ratioFloor))
+    }
+
+  /** The retry queue: candidates ranked by regression ratio (pseudo-
+    * ratio unexplained/3 for keys with no prior). The caller walks it
+    * under the time budget. */
+  def retryOrder(rs: Seq[Reading], lastSec: Map[String, Double],
+      lastGc: Map[String, Double], degraded: Boolean): Seq[Reading] = {
+    def ratio(r: Reading) = ratioVsLast(r, lastSec, lastGc)
+    rs.filter(r => wantRetry(r, ratio(r), degraded))
+      .sortBy(r => -ratio(r).getOrElse((r.sec - r.gcSec) / 3.0))
+  }
+
+  /** Extract a `"field":{k:v,...}` map from a BENCH_r*.json artifact.
+    * Tolerates the tail's escaped quotes (`\"gc\":{...}` inside the
+    * stored stdout) as well as the parsed final map's plain quotes;
+    * the per-key gc map exists ONLY in escaped tail form. A partial
+    * fragment at the tail window's truncation boundary has no intact
+    * `"field":{` prefix, so it can never match. */
+  def parseMap(txt: String, field: String): Map[String, Double] = {
+    val m = java.util.regex.Pattern
+      .compile("\\\\?\"" + field + "\\\\?\":\\s*\\{([^}]*)\\}").matcher(txt)
+    if (!m.find()) Map.empty
+    else {
+      val kv = java.util.regex.Pattern
+        .compile("\\\\?\"([A-Za-z0-9_]+)\\\\?\":\\s*(-?[0-9.]+)")
+        .matcher(m.group(1))
+      val out = scala.collection.mutable.Map.empty[String, Double]
+      while (kv.find()) out(kv.group(1)) = kv.group(2).toDouble
+      out.toMap
+    }
   }
 }

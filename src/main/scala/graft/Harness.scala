@@ -20,8 +20,14 @@ object Harness {
       errors: scala.collection.mutable.Map[String, String])(body: => T): Option[T] =
     try Some(body) catch {
       case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .linesIterator.take(1).mkString
+        // first line of EACH throwable in the cause chain (bounded):
+        // an analysis exception wrapping the real I/O cause must not
+        // lose that cause in verify_errors.json (VERDICT r16 nit #5)
+        errors(name) = Iterator.iterate(e)(_.getCause)
+          .takeWhile(_ != null).take(5)
+          .map(t => Option(t.getMessage).getOrElse(t.getClass.getName)
+            .linesIterator.take(1).mkString)
+          .mkString(" <- ")
         System.err.println(s"[graft] $name failed: ${errors(name)}")
         if (NonFatal(e)) None else throw e
     }

@@ -52,6 +52,19 @@ object Q {
   /** Output-boundary cast for DATE-typed results (naive midnight). */
   def dateOut(c: Column): Column = c.cast(TimestampNTZType)
 
+  /** Guaranteed-unique per-session memo token. identityHashCode is
+    * NOT one: two live sessions can collide, and a GC'd session's
+    * hash can be reused — on a write-path memo (Scans.bucketedOnce)
+    * that let a fresh session skip the table build and read another
+    * session's tables or a dropped catalog entry (ADVICE r16). A
+    * WeakHashMap keyed on the session OBJECT is collision-free while
+    * the session lives and self-clears when it is collected
+    * (`sessionUUID` would serve but is `private[sql]`). */
+  private val sessionTokens = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  def sessionToken(s: SparkSession): String =
+    sessionTokens.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+
   /** Collision-free scratch-dir key for an input path: hashCode-keyed
     * dirs can collide across scale factors (and abs(MinValue) is
     * negative), silently serving one SF's staged data to another —

@@ -58,7 +58,7 @@ object Tables {
     * corpus tables rebalanced to core width first). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.getOrElseUpdate(
-      s"${System.identityHashCode(spark)}|$dir|$name", {
+      s"${Q.sessionToken(spark)}|$dir|$name", {
         val df = read(spark, dir, name)
         if (shouldCache(spark, dir, name)) {
           val cores = spark.sparkContext.defaultParallelism

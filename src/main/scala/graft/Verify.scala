@@ -26,6 +26,11 @@ object Verify {
     // finally flushes the partial artifacts (Harness.guarded,
     // VERDICT r15 #8 — a corrupted JVM must not keep "passing").
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // A fatal abort's finally-flush can itself fail (same OOM/disk
+    // condition that caused the abort); that write failure must never
+    // REPLACE the original fatal cause on stderr (ADVICE r16) — it is
+    // attached as suppressed and the crash stays primary.
+    var primary: Throwable = null
     try {
       SparkEntry.queries.foreach { case (name, fn) =>
         Harness.guarded(name, errors) {
@@ -34,7 +39,8 @@ object Verify {
         }
       }
       spark.stop()
-    } finally {
+    } catch { case t: Throwable => primary = t; throw t
+    } finally try {
       // JSON string escape: backslash, quote, and ALL control chars (<0x20)
       // — a tab or CR in builder-authored SQL would otherwise make the
       // driver's json.load fail and silently zero the round's correctness.
@@ -53,6 +59,11 @@ object Verify {
       val errJson = errors
         .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    } catch { case w: Throwable =>
+      if (primary == null) throw w
+      primary.addSuppressed(w)
+      System.err.println(s"[graft] artifact flush failed after fatal error " +
+        s"(kept as suppressed): ${w.getMessage}")
     }
   }
 }

@@ -66,7 +66,7 @@ object Scans {
   private[graft] def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     val liTbl = bucketedTable("graft_bkt_lineitem", d)
     val ordTbl = bucketedTable("graft_bkt_orders", d)
-    bucketedOnce.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    bucketedOnce.getOrElseUpdate(s"${Q.sessionToken(s)}|$d", {
       val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
       for (t <- Seq(liTbl, ordTbl)) {
         s.sql(s"DROP TABLE IF EXISTS $t")

@@ -32,4 +32,68 @@ class HarnessSpec extends AnyFunSuite {
     assert(Harness.guarded("k3", errors)(42) === Some(42))
     assert(errors.isEmpty)
   }
+
+  test("guarded records the cause chain, first line each") {
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    Harness.guarded("k4", errors) {
+      throw new RuntimeException("analysis failed\ndetail",
+        new java.io.IOException("disk full"))
+    }
+    assert(errors("k4") === "analysis failed <- disk full")
+  }
+
+  // ---- BenchPolicy: degraded-host self-diagnosis (VERDICT r16 #4) ----
+
+  import BenchPolicy.Reading
+
+  test("hostDegraded: healthy probe band stays unflagged, one 2x probe flags") {
+    // the r12-measured healthy band (min 0.302 / max 0.664 vs 0.40)
+    assert(!BenchPolicy.hostDegraded(Seq(0.302, 0.39, 0.664), 0.40))
+    // BENCH_r16's actual band (max probe 1.756 = 4.4x healthy)
+    assert(BenchPolicy.hostDegraded(Seq(0.269, 0.41, 1.756), 0.40))
+    // exactly 2x is the boundary, inclusive
+    assert(BenchPolicy.hostDegraded(Seq(0.80), 0.40))
+  }
+
+  test("forced-degraded run widens retry coverage over uniform small inflation") {
+    // the r16 shape: keys uniformly inflated ~1.7x by the host, each
+    // under the healthy 3 s floor and under the 2.0 ratio trigger
+    val prior = Map("a" -> 0.6, "b" -> 0.9, "c" -> 1.2)
+    val now = Seq(Reading("a", 1.05, 0.0, failed = false),
+      Reading("b", 1.55, 0.0, failed = false),
+      Reading("c", 2.05, 0.0, failed = false))
+    val healthy = BenchPolicy.retryOrder(now, prior, Map.empty, degraded = false)
+    val degraded = BenchPolicy.retryOrder(now, prior, Map.empty, degraded = true)
+    assert(healthy.isEmpty, "healthy thresholds exempt ~1.7x inflation (the r16 gap)")
+    assert(degraded.map(_.name).toSet === Set("a", "b", "c"),
+      "the degraded thresholds (ratio 1.5, entry 0.4 s) must re-measure all of them")
+  }
+
+  test("retry ratio is GC-corrected on both sides (ADVICE r16)") {
+    // prior reading 4.0 s of which 3.0 s was GC: the real prior is
+    // 1.0 s, so a 2.2 s clean reading IS a >2x regression; numerator-
+    // only correction read 2.2/4.0 = 0.55 and let it slip
+    val r = Reading("k", 2.2, 0.0, failed = false)
+    val ratio = BenchPolicy.ratioVsLast(r, Map("k" -> 4.0), Map("k" -> 3.0))
+    assert(ratio.exists(_ >= 2.0))
+    assert(BenchPolicy.wantRetry(r, ratio, degraded = false))
+  }
+
+  test("failed readings and sub-floor keys are never retried") {
+    assert(!BenchPolicy.wantRetry(Reading("f", -1.0, 0.0, failed = true),
+      Some(9.0), degraded = true))
+    assert(!BenchPolicy.wantRetry(Reading("tiny", 0.3, 0.0, failed = false),
+      Some(9.0), degraded = true), "0.4 s entry floor holds even degraded")
+    // mostly-GC giant: raw 6 s but 5 s attributable GC -> explained
+    assert(!BenchPolicy.wantRetry(Reading("gc", 6.0, 5.0, failed = false),
+      None, degraded = false))
+  }
+
+  test("parseMap reads both plain and tail-escaped artifact maps") {
+    val txt = """{"tail":"{\"metric\":\"query_gc\",\"gc\":{\"k1\":0.25,\"k2\":1.5},\"sf\":\"x\"}",
+      |"parsed":{"queries":{"k1":2.0,"k2":3.5},"sf":"y"}}""".stripMargin
+    assert(BenchPolicy.parseMap(txt, "gc") === Map("k1" -> 0.25, "k2" -> 1.5))
+    assert(BenchPolicy.parseMap(txt, "queries") === Map("k1" -> 2.0, "k2" -> 3.5))
+    assert(BenchPolicy.parseMap(txt, "absent") === Map.empty)
+  }
 }
