@@ -392,4 +392,59 @@ class ScanSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
     assert(key(salted) === key(plain))
   }
+
+  test("sink_compact: only the fragmented partition is rewritten, to its target file count") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_scanspec/compact"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(spark, sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .select(col("o_orderkey"), col("o_year"))
+    o.repartition(col("o_year"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(root)
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try o.filter(col("o_year") === 1997).repartition(12)
+      .write.mode("overwrite").partitionBy("o_year").parquet(root)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def sha(f: java.io.File): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+        .map("%02x".format(_)).mkString
+    }
+    def snapshot(): Map[String, Set[(String, Long, String)]] =
+      new java.io.File(root).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("o_year="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length, sha(f))).toSet).toMap
+
+    val before = snapshot()
+    val fragBefore = before("o_year=1997").size
+    assert(fragBefore > 1, s"seed must fragment 1997 (got $fragBefore files)")
+    val contentBefore = spark.read.parquet(root)
+      .groupBy().agg(count(lit(1)), sum(col("o_orderkey"))).collect().toSeq
+
+    val plan = operators.Scans.compactPartitions(
+      spark, root, "o_year", 128L << 20, col("o_orderkey"))
+
+    // selectivity: exactly the fragmented partition was rewritten
+    assert(plan.keySet === Set("o_year=1997"), plan.toString)
+    assert(plan("o_year=1997")._1 === fragBefore)
+    val after = snapshot()
+    // file count dropped to the target (1 at this data size)
+    assert(after("o_year=1997").size === plan("o_year=1997")._2)
+    assert(after("o_year=1997").size < fragBefore)
+    // every partition the compactor did not touch survives byte-identical
+    (before.keySet - "o_year=1997").foreach { dir =>
+      assert(after(dir) === before(dir), s"$dir was touched by the compactor")
+    }
+    // layout-only rewrite: content identical before/after
+    val contentAfter = spark.read.parquet(root)
+      .groupBy().agg(count(lit(1)), sum(col("o_orderkey"))).collect().toSeq
+    assert(contentAfter === contentBefore)
+    // re-running on a healthy layout is a no-op
+    assert(operators.Scans.compactPartitions(
+      spark, root, "o_year", 128L << 20, col("o_orderkey")).isEmpty)
+  }
 }
