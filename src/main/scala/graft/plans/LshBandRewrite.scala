@@ -216,6 +216,8 @@ object LshBandRewrite {
   * rewrite at session build; it stays inert until the conf flag
   * enables it. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(s => LshBandRewrite(s))
+    ext.injectOptimizerRule(s => MvRewrite(s))
+  }
 }

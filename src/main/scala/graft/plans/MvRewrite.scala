@@ -1,0 +1,179 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, lit, max => fmax, min => fmin, sum => fsum}
+import org.apache.spark.sql.types.LongType
+
+/** Hive 3's `CREATE MATERIALIZED VIEW ... ENABLE REWRITE`
+  * (`ql.metadata.HiveMaterializedViewsRegistry` + Calcite's
+  * summary-table rewrite), re-expressed Spark-first: a registered
+  * summary table plus an OPT-IN `Rule[LogicalPlan]` that redirects a
+  * matching aggregate query from the fact scan onto the summary —
+  * the user keeps writing the query against the fact table and flips
+  * one conf to serve it from the materialization.
+  *
+  * Scope (the classic roll-up rewrite, stated honestly):
+  *   - the query aggregates DIRECTLY over an unfiltered scan of the
+  *     registered fact path (a Project of plain columns in between is
+  *     fine — that is what column pruning leaves);
+  *   - its group-by columns are a subset of the MV's dimensions;
+  *   - each aggregate is `sum(m)` / `count(1)` / `count(m)` /
+  *     `min(m)` / `max(m)` over a registered measure, no DISTINCT,
+  *     no FILTER clause.
+  * Then sum rolls up as sum-of-partial-sums, count as sum-of-counts,
+  * min/max as min/max-of-partials — the re-aggregation identities
+  * that make the rewrite EXACT (decimal sums stay exact; this is the
+  * same mergeability discipline as `agg_hll_sketch`). Anything
+  * outside the scope is left untouched — a rewrite that cannot be
+  * proven identical must not fire.
+  *
+  * Freshness contract: like Hive's, rewrite answers are as fresh as
+  * the last materialization (`hive.materializedview.rewriting` serves
+  * stale views within a window); re-run [[MvRewrite.materialize]]
+  * after fact updates. At 100 TB that is the entire point — the 2-3
+  * orders of magnitude between re-scanning the fact table and
+  * re-aggregating a summary whose cardinality is the dim product.
+  *
+  * Registration: `MvRewrite.install(spark)` (live session) or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`; inert until
+  * `spark.graft.mv.rewrite.enabled=true`.
+  */
+case class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+
+  import MvRewrite._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (conf.getConfString(EnabledKey, "false") != "true") plan
+    else plan.transformUp {
+      case agg @ Aggregate(groups, aggExprs, child, _) if agg.resolved =>
+        (for {
+          path <- scanPath(child)
+          mv <- lookup(session, path)
+          rewritten <- tryRewrite(groups, aggExprs, mv)
+        } yield rewritten).getOrElse(agg)
+    }
+
+  /** The fact path a plain (possibly column-pruned) scan reads, if
+    * the subtree is nothing but that scan. Any filter, join, or
+    * computed projection disqualifies the rewrite — the summary holds
+    * totals over the WHOLE fact table. */
+  private def scanPath(p: LogicalPlan): Option[String] = p match {
+    case Project(projList, grandchild)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      scanPath(grandchild)
+    case l: LogicalRelation => l.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.headOption.map(_.toUri.getPath)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Build the replacement Aggregate over the MV scan, aliasing every
+    * output to the ORIGINAL expression ids (no analyzer runs after
+    * this batch, so references above the node must keep resolving). */
+  private def tryRewrite(groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression], mv: Mv): Option[LogicalPlan] = {
+    val mvScan = session.read.parquet(mv.mvPath).queryExecution.analyzed
+    val mvAttr = mvScan.output.map(a => a.name -> a).toMap
+    val groupNames = groups.map {
+      case a: AttributeReference if mv.dims.contains(a.name) => a.name
+      case _ => return None
+    }
+    def rollup(f: AggregateFunction): Option[Expression] = f match {
+      case Sum(a: AttributeReference, _) if mv.measures.contains(a.name) =>
+        Some(Sum(mvAttr(s"s_${a.name}")).toAggregateExpression())
+      case Count(Seq(l: Literal)) if l.value != null =>
+        Some(Sum(mvAttr("cnt_rows")).toAggregateExpression())
+      case Count(Seq(a: AttributeReference)) if mv.measures.contains(a.name) =>
+        Some(Sum(mvAttr(s"c_${a.name}")).toAggregateExpression())
+      case Min(a: AttributeReference) if mv.measures.contains(a.name) =>
+        Some(Min(mvAttr(s"mn_${a.name}")).toAggregateExpression())
+      case Max(a: AttributeReference) if mv.measures.contains(a.name) =>
+        Some(Max(mvAttr(s"mx_${a.name}")).toAggregateExpression())
+      case _ => None
+    }
+    val newAggs = aggExprs.map {
+      // group column passthrough (bare or aliased)
+      case a: AttributeReference if mv.dims.contains(a.name) =>
+        Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, name) if mv.dims.contains(a.name) =>
+        Alias(mvAttr(a.name), name)(exprId = al.exprId)
+      case al @ Alias(ae: AggregateExpression, name)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        rollup(ae.aggregateFunction) match {
+          case Some(e) =>
+            // the roll-up may widen the type (sum of decimal partial
+            // sums gains precision) and makes counts nullable; restore
+            // the original output type and non-nullness exactly
+            val typed = if (e.dataType == al.dataType) e
+              else Cast(e, al.dataType)
+            val guarded = if (al.nullable || typed.nullable == false) typed
+              else Coalesce(Seq(typed, Literal.default(al.dataType)))
+            Alias(guarded, name)(exprId = al.exprId)
+          case None => return None
+        }
+      case _ => return None
+    }
+    val _ = groupNames // subset check happened by construction above
+    Some(Aggregate(groups.map {
+      case a: AttributeReference => mvAttr(a.name)
+    }, newAggs, mvScan))
+  }
+}
+
+object MvRewrite {
+  /** Opt-in flag. Enabling accepts Hive's MV-rewrite freshness
+    * contract: answers reflect the last materialization, not
+    * later fact writes. Within-scope rewrites are otherwise exact. */
+  val EnabledKey = "spark.graft.mv.rewrite.enabled"
+
+  /** One registered materialized view: a summary at `mvPath` holding,
+    * per `dims` group, `s_<m>`/`c_<m>`/`mn_<m>`/`mx_<m>` for every
+    * measure plus `cnt_rows`. */
+  case class Mv(name: String, factPath: String, dims: Seq[String],
+      measures: Seq[String], mvPath: String)
+
+  /** (session token, canonical fact path) -> MV. Per-session like the
+    * catalog it stands in for; keyed with Q.sessionToken so a GC'd
+    * session can never leak its views into a new one. */
+  private val registry =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Mv]
+
+  private def canon(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  private[plans] def lookup(s: SparkSession, path: String): Option[Mv] =
+    registry.get((graft.Q.sessionToken(s), canon(path)))
+
+  /** Compute and write the summary for (`dims`, `measures`) over
+    * `fact`, then register it for rewrite. The summary carries every
+    * partial the supported aggregates need (sum/count/min/max per
+    * measure + row count) — ONE pass over the fact table serves them
+    * all. Returns the registered view. */
+  def materialize(s: SparkSession, name: String, fact: DataFrame,
+      factPath: String, dims: Seq[String], measures: Seq[String],
+      mvPath: String): Mv = {
+    val aggs = measures.flatMap { m =>
+      Seq(fsum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
+        fmin(col(m)).as(s"mn_$m"), fmax(col(m)).as(s"mx_$m"))
+    } :+ count(lit(1)).as("cnt_rows")
+    fact.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(mvPath)
+    val mv = Mv(name, canon(factPath), dims, measures, mvPath)
+    registry((graft.Q.sessionToken(s), mv.factPath)) = mv
+    mv
+  }
+
+  /** Idempotently register the rule on a live session. */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[MvRewrite]))
+      spark.experimental.extraOptimizations = cur :+ MvRewrite(spark)
+  }
+}

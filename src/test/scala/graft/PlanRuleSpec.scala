@@ -293,4 +293,63 @@ class PlanRuleSpec extends SparkSpec {
     assert(!df.queryExecution.optimizedPlan.toString.contains("_lsh_"))
     assert(df.count() > 0)
   }
+
+  // ---- materialized-view automatic rewrite (VERDICT r16 #2) ----
+
+  private def mvQuery(factPath: String) =
+    spark.read.parquet(factPath)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_price")).as("sum_price"), count(lit(1)).as("n"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** Every parquet path the optimized plan scans (the relation's
+    * toString omits its location, so asserts must read the file
+    * index directly). */
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath)
+          case _ => Seq.empty
+        }
+    }.flatten
+
+  test("mv rewrite: the roll-up aggregate scans the summary, never the fact") {
+    val (factPath, mvPath) = operators.Aggregates.mvDemo(spark, sf)
+    spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+    val on = mvQuery(factPath)
+    assert(scanPaths(on) === Seq(mvPath), s"expected only the summary scan:\n${on.queryExecution.optimizedPlan}")
+
+    // row identity vs the unrewritten plan, bit-exact (decimal sums)
+    spark.conf.set(graft.plans.MvRewrite.EnabledKey, "false")
+    try {
+      val off = mvQuery(factPath)
+      assert(scanPaths(off) === Seq(factPath))
+      assert(on.collect().toSeq === off.collect().toSeq)
+    } finally spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+  }
+
+  test("mv rewrite declines out-of-scope queries: filters, unknown aggs, unregistered scans") {
+    val (factPath, mvPath) = operators.Aggregates.mvDemo(spark, sf)
+    spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+    // a filtered fact scan must NOT be served from whole-table totals
+    val filtered = spark.read.parquet(factPath)
+      .filter(col("l_quantity") > 10)
+      .groupBy(col("l_returnflag")).agg(sum(col("l_price")).as("s"))
+    assert(!scanPaths(filtered).contains(mvPath))
+    // an aggregate outside the mergeable set (avg) declines
+    val avgQ = spark.read.parquet(factPath)
+      .groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("a"))
+    assert(!scanPaths(avgQ).contains(mvPath))
+    // distinct aggregation declines (not derivable from partials)
+    val dist = spark.read.parquet(factPath)
+      .groupBy(col("l_returnflag")).agg(countDistinct(col("l_quantity")).as("d"))
+    assert(!scanPaths(dist).contains(mvPath))
+    // an unregistered parquet scan of the same shape is untouched
+    val other = Tables.raw(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    assert(!scanPaths(other).contains(mvPath))
+  }
 }
