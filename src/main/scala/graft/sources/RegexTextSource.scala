@@ -1,0 +1,225 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The Hive StorageHandler / RegexSerDe seat as a DataSource V2
+  * `TableProvider` (VERDICT r16 #3): `spark.read.format("graft-regex")
+  * .schema(...).option("regex", ...)` parses raw text lines into typed
+  * columns via capture groups — the "read arbitrary log lines"
+  * surface, but as a real pluggable storage format instead of a
+  * post-scan expression pipeline (`scan_text_serde` now reads through
+  * this source; ScanSpec keeps the expression form as a bit-identity
+  * cross-check).
+  *
+  * Hive parity decisions:
+  *   - the schema is DECLARED, never inferred (RegexSerDe requires
+  *     the table definition); capture group i feeds column i;
+  *   - a line the regex does not match yields an all-NULL row, and a
+  *     group that fails its type cast yields a NULL column (RegexSerDe
+  *     null semantics).
+  *
+  * Scan capabilities, because a 100 TB log table lives or dies by
+  * them:
+  *   - COLUMN PRUNING (`SupportsPushDownRequiredColumns`): only the
+  *     requested capture groups are converted; the plan's ReadSchema
+  *     shows the pruned width;
+  *   - FILTER PUSHDOWN (`SupportsPushDownFilters`): comparison/
+  *     null-test predicates on parsed columns are evaluated INSIDE
+  *     the reader, right after the regex match, so dropped rows never
+  *     reach Spark (they are reported as PushedFilters and re-checked
+  *     by nothing — the reader's evaluation is exact);
+  *   - one InputPartition per data file: parallelism = producer file
+  *     count (a production log format would also split large files on
+  *     line boundaries; per-file granularity keeps the demo honest —
+  *     Spark's own text writer emits many part files).
+  */
+class RegexTextSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-regex"
+  // schema is user-declared, like a Hive table definition
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "graft-regex requires an explicit .schema(...) — capture group i feeds column i")
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    RegexTable(schema, properties.asScala.toMap)
+}
+
+case class RegexTable(declaredSchema: StructType, props: Map[String, String])
+  extends Table with SupportsRead {
+  override def schema(): StructType = declaredSchema
+  override def name(): String =
+    s"graft-regex(${props.getOrElse("path", "?")})"
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    RegexScanBuilder(declaredSchema,
+      options.get("path"),
+      Option(options.get("regex")).getOrElse(props.getOrElse("regex",
+        throw new IllegalArgumentException("graft-regex requires option 'regex'"))))
+}
+
+case class RegexScanBuilder(fullSchema: StructType, path: String, regex: String)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rest) = filters.partition(RegexScan.supported(fullSchema))
+    pushed = supported
+    rest // Spark keeps evaluating these above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = RegexScan(fullSchema, required, path, regex, pushed)
+}
+
+case class RegexScan(fullSchema: StructType, required: StructType,
+    path: String, regex: String, filters: Array[Filter])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRegexScan path=$path, PushedFilters: [${filters.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val root = new java.io.File(new java.net.URI(
+      if (path.contains(":/")) path else s"file://${new java.io.File(path).getAbsolutePath}"))
+    val files =
+      if (root.isFile) Array(root)
+      else Option(root.listFiles()).getOrElse(Array.empty).filter(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    files.sortBy(_.getName)
+      .map(f => RegexFilePartition(f.getAbsolutePath): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    RegexReaderFactory(fullSchema, required, regex, filters)
+}
+
+case class RegexFilePartition(file: String) extends InputPartition
+
+case class RegexReaderFactory(fullSchema: StructType, required: StructType,
+    regex: String, filters: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new RegexPartitionReader(
+      partition.asInstanceOf[RegexFilePartition].file,
+      fullSchema, required, regex, filters)
+}
+
+/** Per-file line reader: regex-match, convert the NEEDED capture
+  * groups (required columns ∪ filter columns), evaluate pushed
+  * filters, emit the pruned row. */
+class RegexPartitionReader(file: String, fullSchema: StructType,
+    required: StructType, regex: String, filters: Array[Filter])
+  extends PartitionReader[InternalRow] {
+
+  private val pattern = java.util.regex.Pattern.compile(regex)
+  private val filterCols = filters.flatMap(RegexScan.references).toSet
+  // full-schema ordinals that must be parsed at all
+  private val neededOrdinals = fullSchema.fields.zipWithIndex.collect {
+    case (f, i) if required.fieldNames.contains(f.name) || filterCols(f.name) => i
+  }
+  private val requiredOrdinals = required.fields.map(f => fullSchema.fieldIndex(f.name))
+  private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+    new java.io.FileInputStream(file), java.nio.charset.StandardCharsets.UTF_8))
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null) {
+      val m = pattern.matcher(line)
+      // parsed full-width row (only needed ordinals converted)
+      val full = new Array[Any](fullSchema.length)
+      if (m.matches()) {
+        neededOrdinals.foreach { i =>
+          val g = if (i + 1 <= m.groupCount()) m.group(i + 1) else null
+          full(i) = RegexScan.convert(g, fullSchema.fields(i).dataType)
+        }
+      } // no match -> all-NULL row (RegexSerDe semantics)
+      if (filters.forall(f => RegexScan.eval(f, fullSchema, full))) {
+        current = InternalRow.fromSeq(requiredOrdinals.toIndexedSeq.map(full))
+        return true
+      }
+      line = reader.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+object RegexScan {
+  /** Typed conversion; a failed cast is a NULL column, like the
+    * SerDe's. Strings become UTF8String (InternalRow contract). */
+  def convert(s: String, dt: DataType): Any =
+    if (s == null) null
+    else try dt match {
+      case StringType => UTF8String.fromString(s)
+      case LongType => s.trim.toLong
+      case IntegerType => s.trim.toInt
+      case DoubleType => s.trim.toDouble
+      case FloatType => s.trim.toFloat
+      case BooleanType => s.trim.toBoolean
+      case _ => null
+    } catch { case _: IllegalArgumentException => null }
+
+  def references(f: Filter): Seq[String] = f.references.toSeq
+
+  /** Which source filters the reader can evaluate exactly. */
+  def supported(schema: StructType)(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => schema.fieldNames.contains(a)
+    case GreaterThan(a, _) => schema.fieldNames.contains(a)
+    case GreaterThanOrEqual(a, _) => schema.fieldNames.contains(a)
+    case LessThan(a, _) => schema.fieldNames.contains(a)
+    case LessThanOrEqual(a, _) => schema.fieldNames.contains(a)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case _ => false
+  }
+
+  /** SQL comparison semantics on the parsed row: NULL compares to
+    * nothing (row dropped), numerics compare numerically, strings
+    * and booleans by natural order. */
+  def eval(f: Filter, schema: StructType, row: Array[Any]): Boolean = {
+    def v(name: String): Any = row(schema.fieldIndex(name))
+    def cmp(x: Any, y: Any): Option[Int] = (x, y) match {
+      case (null, _) | (_, null) => None
+      case (a: UTF8String, b) => Some(a.toString.compareTo(b.toString))
+      case (a: Number, b: Number) =>
+        Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+      case (a: Boolean, b: Boolean) => Some(a.compareTo(b))
+      case _ => None
+    }
+    f match {
+      case EqualTo(a, lit) => cmp(v(a), lit).contains(0)
+      case GreaterThan(a, lit) => cmp(v(a), lit).exists(_ > 0)
+      case GreaterThanOrEqual(a, lit) => cmp(v(a), lit).exists(_ >= 0)
+      case LessThan(a, lit) => cmp(v(a), lit).exists(_ < 0)
+      case LessThanOrEqual(a, lit) => cmp(v(a), lit).exists(_ <= 0)
+      case IsNotNull(a) => v(a) != null
+      case IsNull(a) => v(a) == null
+      case _ => true // unsupported never pushed (see supported)
+    }
+  }
+}

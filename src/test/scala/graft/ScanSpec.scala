@@ -393,6 +393,61 @@ class ScanSpec extends SparkSpec {
     assert(key(salted) === key(plain))
   }
 
+  test("graft-regex DSv2 source: custom scan node, filter pushdown, pruning, SerDe nulls") {
+    val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_scanspec/regex")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    java.nio.file.Files.writeString(dir.toPath.resolve("part-0.txt"),
+      "1|A|10.5\n2|B|20.25\nthis line has no pipes\n3|C|notanumber\n")
+    def read() = spark.read.format("graft-regex")
+      .schema(operators.Scans.serdeSchema)
+      .option("regex", operators.Scans.serdeRegex)
+      .load(dir.getAbsolutePath)
+
+    // the custom scan node is in the executed plan
+    val plain = read()
+    val plainPlan = plain.queryExecution.executedPlan.toString
+    assert(plainPlan.contains("GraftRegexScan"), plainPlan)
+
+    // RegexSerDe null semantics: a non-matching line is an all-NULL
+    // row, a failed group cast is a NULL column
+    val rows = plain.collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.length === 4)
+    assert(rows.contains((-1L, None, None)), "garbage line must be all-NULL")
+    assert(rows.exists(r => r._1 == 3L && r._2.contains("C") && r._3.isEmpty),
+      "failed cast must null ONLY that column")
+
+    // filter pushdown: the comparison reaches the scan and is exact
+    val filtered = read().filter(col("o_orderkey") > 1)
+    val fPlan = filtered.queryExecution.executedPlan.toString
+    assert(fPlan.contains("GreaterThan(o_orderkey,1"), fPlan)
+    assert(filtered.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L),
+      "pushdown must drop the all-NULL and key-1 rows inside the reader")
+
+    // column pruning: a narrow projection narrows the scan's ReadSchema
+    val pruned = read().select(col("o_orderstatus"))
+    val pPlan = pruned.queryExecution.executedPlan.toString
+    assert(pPlan.contains("ReadSchema: struct<o_orderstatus:string>"), pPlan)
+
+    // cross-check vs the retained expression form on well-formed lines
+    // (on NON-matching lines the forms deliberately diverge: the DSv2
+    // reader gives Hive's all-NULL row, regexp_extract gives "")
+    val wellFormed = new java.io.File(dir, "wf")
+    wellFormed.mkdirs()
+    java.nio.file.Files.writeString(wellFormed.toPath.resolve("part-0.txt"),
+      "1|A|10.5\n2|B|20.25\n3|C|7.125\n")
+    val viaDsv2 = spark.read.format("graft-regex")
+      .schema(operators.Scans.serdeSchema)
+      .option("regex", operators.Scans.serdeRegex)
+      .load(wellFormed.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val viaExpr = operators.Scans.regexExpressionRead(spark, wellFormed.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(viaDsv2 === viaExpr)
+  }
+
   test("sink_compact: only the fragmented partition is rewritten, to its target file count") {
     val root = s"${sys.props("java.io.tmpdir")}/graft_scanspec/compact"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
