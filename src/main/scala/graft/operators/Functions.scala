@@ -332,6 +332,38 @@ object Functions {
           sum(col("n_words_ws")).cast(LongType).as("n_words_ws"))
         .orderBy(col("lang"), col("len_bin"))),
 
+    // Hive's `context_ngrams(sentences(...), array(w1, w2, null), k)`
+    // — the last statistical-text builtin without a row (VERDICT r16
+    // #6): top-k words FOLLOWING a fixed 2-token context, exact
+    // counts, deterministic tie-break. The context itself is
+    // data-derived deterministically (the most frequent
+    // trigram-prefix bigram, ties broken lexicographically) so the
+    // key is self-contained at every SF; the oracle replays the
+    // identical selection. Plan shape at 100 TB: one linear trigram
+    // explode, context selection as a partial-agg + TakeOrdered(1),
+    // then a BROADCAST of the 1-row context onto the trigram stream
+    // and a second partial agg + TakeOrdered(k) — no wide shuffle
+    // beyond the two aggregations.
+    "fn_context_ngrams" -> { (s, d) =>
+      val tri = Tables.t(s, d, "documents")
+        .select(split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(0, size(tk) - 3), " +
+            "i -> struct(tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3))")).as("g"))
+        .select(col("g.w1"), col("g.w2"), col("g.w3"))
+      val ctx = tri.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1"), col("w2")).limit(1)
+        .select(col("w1"), col("w2"))
+      tri.join(broadcast(ctx), Seq("w1", "w2"))
+        .groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("n"))
+        .select(concat_ws(" ", col("w1"), col("w2")).as("context"),
+          col("w3").as("following"), col("n"))
+        .orderBy(col("n").desc, col("following")).limit(5)
+    },
+
     // inherently engine-specific: properties asserted, no oracle
     "fn_misc" -> { (s, d) =>
       val base = Tables.raw(s, d, "nation").select(
@@ -361,6 +393,20 @@ object Functions {
         |  to_base(c_custkey, 16) AS cv16,
         |  to_base(c_custkey, 2) AS cv2
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // identical data-derived context selection + exact following-word
+    // counts, replayed in DuckDB (lists are 1-based there: g runs
+    // 1..len-2 via end-exclusive range)
+    "fn_context_ngrams" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |  idx AS (SELECT tk, unnest(range(1, len(tk) - 1)) AS g
+        |          FROM toks WHERE len(tk) >= 3),
+        |  tri AS (SELECT tk[g] AS w1, tk[g+1] AS w2, tk[g+2] AS w3 FROM idx),
+        |  big AS (SELECT w1, w2, count(*) AS n FROM tri GROUP BY 1, 2),
+        |  ctx AS (SELECT w1, w2 FROM big ORDER BY n DESC, w1, w2 LIMIT 1),
+        |  fol AS (SELECT t.w1, t.w2, t.w3, count(*) AS n
+        |          FROM tri t JOIN ctx USING (w1, w2) GROUP BY 1, 2, 3)
+        |SELECT w1 || ' ' || w2 AS context, w3 AS following, n
+        |FROM fol ORDER BY n DESC, following LIMIT 5""".stripMargin,
     // closed-form restatement of BreakIterator segmentation on the
     // asserted single-space lowercase corpus: 1 sentence per
     // unpunctuated doc, ceil(words/10) after the every-10-words

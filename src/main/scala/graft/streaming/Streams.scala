@@ -261,6 +261,21 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** The exactly-once discipline for an APPEND-shaped `foreachBatch`
+    * parquet sink: write each micro-batch into its own
+    * `batch_id=<id>` partition with overwrite. Structured Streaming
+    * guarantees at-least-once delivery to foreachBatch — a crash
+    * between the sink write and the checkpoint commit REPLAYS the
+    * batch with the SAME batchId on restart — so a blind append would
+    * duplicate it; the batchId-keyed overwrite makes the replay land
+    * on the partition it already wrote, turning redelivery into a
+    * no-op (StreamRecoverySpec scripts the double delivery). The
+    * `stream_foreachbatch_sink` key's complete-mode full overwrite is
+    * the same idea at whole-result granularity. */
+  private[graft] def idempotentBatchWriter(out: String): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      batch.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+
   val queries: Map[String, Q.QueryFn] = Map(
     "stream_tumbling" -> { (s, d) =>
       val agg = eventsStream(s, d)

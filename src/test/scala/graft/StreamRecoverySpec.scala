@@ -112,4 +112,31 @@ class StreamRecoverySpec extends SparkSpec {
       case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("foreachBatch redelivery: the batchId-keyed overwrite sink absorbs replays (VERDICT r16 #7)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val out = s"${sys.props("java.io.tmpdir")}/graft_fb_idem"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val writer = graft.streaming.Streams.idempotentBatchWriter(out)
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("v").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        writer(b, id)
+        // in-flight redelivery: foreachBatch is at-least-once, so the
+        // body may run twice for one batchId — same data, same id
+        writer(b, id)
+      }.start()
+    mem.addData(1L, 2L, 3L); q.processAllAvailable()
+    mem.addData(4L, 5L); q.processAllAvailable()
+    q.stop()
+    // post-restart replay: a crash BETWEEN the sink write and the
+    // checkpoint commit re-runs the last batch with its original id
+    writer(Seq(4L, 5L).toDF("v"), 1L)
+    val got = spark.read.parquet(out).select(col("v")).as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 2L, 3L, 4L, 5L),
+      "replayed batches must overwrite their own partition, never duplicate")
+  }
 }
