@@ -679,19 +679,34 @@ object TextOps {
     * pre-training filter signal alongside [[fingerprint]] and the
     * dedup families. Returns (doc_id, n_toks, top_tok_n,
     * top_bigram_n, top_tok_ratio, top_bigram_ratio). */
-  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      nullAsRepetitive: Boolean = false): DataFrame = {
     val tk = col("tk")
-    // null text is dropped (not scored null): matches the SQL-side
-    // inner-join-on-counts shape and keeps `keep` a non-null boolean,
-    // which the output representation contract requires
-    df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tk"))
-      .select(col("doc_id"), size(tk).as("n_toks"),
-        maxRunCount(tk).as("top_tok_n"),
-        maxRunCount(wordNgrams(tk, 2)).as("top_bigram_n"))
+    // Default: null text is dropped (not scored null) — matches the
+    // SQL-side inner-join-on-counts shape and keeps `keep` a non-null
+    // boolean, which the output representation contract requires.
+    // nullAsRepetitive=true instead scores a null document as
+    // (n_toks 0, ratios 1.0) — maximally repetitive, failing every
+    // downstream quality gate — so the stats are TOTAL over doc ids
+    // and a funnel can inner-join 1:1 instead of left-joining and
+    // null-guarding each ratio (the r16 pipeline shape VERDICT #5
+    // flagged).
+    val base = if (nullAsRepetitive) df else df.filter(col(textCol).isNotNull)
+    base
+      .select(col(idCol).as("doc_id"), col(textCol).isNull.as("tnull"),
+        split(col(textCol), " ").as("tk"))
+      .select(col("doc_id"), col("tnull"),
+        when(col("tnull"), lit(0)).otherwise(size(tk)).as("n_toks"),
+        when(col("tnull"), lit(0)).otherwise(maxRunCount(tk)).as("top_tok_n"),
+        when(col("tnull"), lit(0))
+          .otherwise(maxRunCount(wordNgrams(tk, 2))).as("top_bigram_n"))
       .select(col("doc_id"), col("n_toks"), col("top_tok_n"), col("top_bigram_n"),
-        (col("top_tok_n").cast("double") / col("n_toks")).as("top_tok_ratio"),
-        (col("top_bigram_n").cast("double") / greatest(col("n_toks") - 1, lit(1)))
+        when(col("tnull"), lit(1.0))
+          .otherwise(col("top_tok_n").cast("double") / col("n_toks"))
+          .as("top_tok_ratio"),
+        when(col("tnull"), lit(1.0))
+          .otherwise(col("top_bigram_n").cast("double")
+            / greatest(col("n_toks") - 1, lit(1)))
           .as("top_bigram_ratio"))
   }
 

@@ -247,12 +247,14 @@ object LlmText {
         .select(col("doc_id"), col("text"), col("source"),
           when(col("text").isNull, lit(0))
             .otherwise(size(split(col("text"), " "))).as("n_toks"))
+      // nullAsRepetitive makes the stats TOTAL over doc ids (null text
+      // scores ratio 1.0 and fails every gate), so the funnel keeps
+      // its 1:1 INNER join — no per-ratio null guards (VERDICT r16 #5)
       val sig = raw
-        .join(graft.api.TextOps.repetitionStats(raw, "doc_id", "text")
+        .join(graft.api.TextOps.repetitionStats(raw, "doc_id", "text",
+            nullAsRepetitive = true)
           .select(col("doc_id"), col("top_tok_ratio"), col("top_bigram_ratio")),
-          Seq("doc_id"), "left_outer")
-        .withColumn("top_tok_ratio", coalesce(col("top_tok_ratio"), lit(1.0)))
-        .withColumn("top_bigram_ratio", coalesce(col("top_bigram_ratio"), lit(1.0)))
+          Seq("doc_id"))
         .withColumn("h", sha2(lower(trim(col("text"))).cast("binary"), 256))
         .withColumn("f1", col("n_toks") >= 20)
         .withColumn("f2", col("f1")
