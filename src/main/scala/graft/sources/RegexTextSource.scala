@@ -92,13 +92,25 @@ case class RegexScanBuilder(fullSchema: StructType, path: String, regex: String)
 
 case class RegexScan(fullSchema: StructType, required: StructType,
     path: String, regex: String, filters: Array[Filter])
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftRegexScan path=$path, PushedFilters: [${filters.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
+
+  /** Input byte size from the file listing, so the optimizer's join
+    * planning (broadcast threshold, AQE) sees a real number instead
+    * of the unknown-stats default — the property that decides whether
+    * a 100 TB log table accidentally lands on the build side. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = planInputPartitions().map(p =>
+      new java.io.File(p.asInstanceOf[RegexFilePartition].file).length).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new java.io.File(new java.net.URI(

@@ -352,4 +352,16 @@ class PlanRuleSpec extends SparkSpec {
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
     assert(!scanPaths(other).contains(mvPath))
   }
+
+  test("mv rewrite serves the GLOBAL aggregate (empty group-by) from the summary too") {
+    val (factPath, mvPath) = operators.Aggregates.mvDemo(spark, sf)
+    spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+    def global() = spark.read.parquet(factPath)
+      .agg(sum(col("l_price")).as("total"), count(lit(1)).as("n"))
+    val on = global()
+    assert(scanPaths(on) === Seq(mvPath))
+    spark.conf.set(graft.plans.MvRewrite.EnabledKey, "false")
+    try assert(on.collect().toSeq === global().collect().toSeq)
+    finally spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+  }
 }
