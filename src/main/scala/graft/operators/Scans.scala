@@ -136,7 +136,6 @@ object Scans {
         Some(d.getName -> (files.length, target)) else None
     }.toMap
     if (plan.nonEmpty) {
-      val values = plan.keys.map(_.stripPrefix(s"$partCol=")).toSeq
       // per-partition target file count as an expression, so ONE
       // shuffle sizes every rewritten partition independently
       val nExpr = plan.foldLeft(lit(1)) { case (acc, (dirName, (_, target))) =>
@@ -144,8 +143,13 @@ object Scans {
           lit(dirName.stripPrefix(s"$partCol=")), lit(target)).otherwise(acc)
       }
       val totalFiles = plan.values.map(_._2).sum
-      val rows = s.read.parquet(root)
-        .filter(col(partCol).cast(StringType).isin(values: _*))
+      // read ONLY the fragmented partition dirs (file-listing-level
+      // pruning via basePath — keeps the partition column): a filter
+      // on the partition column would be string-vs-int coerced here
+      // (the dir names are strings) and could silently defeat pruning,
+      // making the rewrite job list every partition's files at 100 TB
+      val rows = s.read.option("basePath", root)
+        .parquet(plan.keys.map(d => s"$root/$d").toSeq: _*)
         .localCheckpoint() // materialize BEFORE overwriting the source files
       val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
