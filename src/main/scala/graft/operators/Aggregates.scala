@@ -316,6 +316,15 @@ object Aggregates {
       (factPath, mvPath)
     })
 
+  /** Rebuild the staged fact + summary from scratch (overwrite both)
+    * — for tests that mutate the staged fact (the freshness-contract
+    * spec appends rows) and must hand later keys a clean demo. */
+  private[graft] def resetMvDemo(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) = {
+    mvOnce.remove(s"${Q.sessionToken(s)}|$d")
+    mvDemo(s, d)
+  }
+
   /** Shared decimal-cast shorthands for oracle SQL. */
   private val Q2 = "CAST(l_quantity AS DECIMAL(18,2))"
   private val P2 = "CAST(l_extendedprice AS DECIMAL(18,2))"

@@ -18,9 +18,12 @@ import org.apache.spark.sql.types.LongType
   * one conf to serve it from the materialization.
   *
   * Scope (the classic roll-up rewrite, stated honestly):
-  *   - the query aggregates DIRECTLY over an unfiltered scan of the
-  *     registered fact path (a Project of plain columns in between is
-  *     fine — that is what column pruning leaves);
+  *   - the query aggregates over a scan of the registered fact path
+  *     (a Project of plain columns in between is fine — that is what
+  *     column pruning leaves), optionally filtered by a DETERMINISTIC
+  *     predicate over DIMENSIONS ONLY (constant within each summary
+  *     group, so it moves onto the summary exactly; any predicate
+  *     touching a measure selects within groups and declines);
   *   - its group-by columns are a subset of the MV's dimensions;
   *   - each aggregate is `sum(m)` / `count(1)` / `count(m)` /
   *     `min(m)` / `max(m)` over a registered measure, no DISTINCT,
@@ -52,35 +55,51 @@ case class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     else plan.transformUp {
       case agg @ Aggregate(groups, aggExprs, child, _) if agg.resolved =>
         (for {
-          path <- scanPath(child)
+          (path, cond) <- scanPath(child)
           mv <- lookup(session, path)
-          rewritten <- tryRewrite(groups, aggExprs, mv)
+          rewritten <- tryRewrite(groups, aggExprs, cond, mv)
         } yield rewritten).getOrElse(agg)
     }
 
-  /** The fact path a plain (possibly column-pruned) scan reads, if
-    * the subtree is nothing but that scan. Any filter, join, or
-    * computed projection disqualifies the rewrite — the summary holds
-    * totals over the WHOLE fact table. */
-  private def scanPath(p: LogicalPlan): Option[String] = p match {
-    case Project(projList, grandchild)
-        if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      scanPath(grandchild)
-    case l: LogicalRelation => l.relation match {
-      case fs: HadoopFsRelation =>
-        fs.location.rootPaths.headOption.map(_.toUri.getPath)
+  /** The fact path a (possibly column-pruned, possibly filtered) scan
+    * reads, plus the conjunction of any Filter conditions on the way
+    * down. Joins or computed projections disqualify the rewrite; a
+    * surviving filter is admissible ONLY if tryRewrite proves it
+    * references dimensions alone (a dim-only predicate is constant
+    * within each summary group, so filtering summary rows ≡ filtering
+    * fact rows — the rewrite stays exact; a measure predicate selects
+    * WITHIN groups and can never be answered from group totals). */
+  private def scanPath(p: LogicalPlan): Option[(String, Option[Expression])] =
+    p match {
+      case Project(projList, grandchild)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        scanPath(grandchild)
+      case Filter(cond, grandchild) if cond.deterministic =>
+        scanPath(grandchild).map { case (path, inner) =>
+          (path, inner.map(And(cond, _)).orElse(Some(cond)))
+        }
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.headOption.map(_.toUri.getPath -> None)
+        case _ => None
+      }
       case _ => None
     }
-    case _ => None
-  }
 
   /** Build the replacement Aggregate over the MV scan, aliasing every
     * output to the ORIGINAL expression ids (no analyzer runs after
     * this batch, so references above the node must keep resolving). */
   private def tryRewrite(groups: Seq[Expression],
-      aggExprs: Seq[NamedExpression], mv: Mv): Option[LogicalPlan] = {
+      aggExprs: Seq[NamedExpression], cond: Option[Expression],
+      mv: Mv): Option[LogicalPlan] = {
     val mvScan = session.read.parquet(mv.mvPath).queryExecution.analyzed
     val mvAttr = mvScan.output.map(a => a.name -> a).toMap
+    // a fact-side filter is admissible only over dimensions (exactness
+    // proof in scanPath's doc) and with no subquery to re-plan
+    cond.foreach { c =>
+      val dimOnly = c.references.forall(a => mv.dims.contains(a.name))
+      if (!dimOnly || c.exists(_.isInstanceOf[PlanExpression[_]])) return None
+    }
     val groupNames = groups.map {
       case a: AttributeReference if mv.dims.contains(a.name) => a.name
       case _ => return None
@@ -121,9 +140,14 @@ case class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     val _ = groupNames // subset check happened by construction above
+    // the admissible dim-only filter moves onto the summary's own
+    // dimension columns (group selection ≡ row selection for dims)
+    val source = cond.fold(mvScan) { c =>
+      Filter(c.transform { case a: AttributeReference => mvAttr(a.name) }, mvScan)
+    }
     Some(Aggregate(groups.map {
       case a: AttributeReference => mvAttr(a.name)
-    }, newAggs, mvScan))
+    }, newAggs, source))
   }
 }
 
@@ -163,8 +187,19 @@ object MvRewrite {
       Seq(fsum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
         fmin(col(m)).as(s"mn_$m"), fmax(col(m)).as(s"mx_$m"))
     } :+ count(lit(1)).as("cnt_rows")
-    fact.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // The rebuild's own aggregate matches the rewrite pattern, so with
+    // the rule enabled a REBUILD would recompute the summary FROM the
+    // stale summary and never see new fact rows (caught by the
+    // freshness-contract spec). Scope the rule off for the rebuild —
+    // a materialization must always read the fact table.
+    val prev = s.conf.getOption(EnabledKey)
+    s.conf.set(EnabledKey, "false")
+    try fact.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(mvPath)
+    finally prev match {
+      case Some(p) => s.conf.set(EnabledKey, p)
+      case None => s.conf.unset(EnabledKey)
+    }
     val mv = Mv(name, canon(factPath), dims, measures, mvPath)
     registry((graft.Q.sessionToken(s), mv.factPath)) = mv
     mv

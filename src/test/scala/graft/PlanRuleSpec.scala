@@ -353,6 +353,57 @@ class PlanRuleSpec extends SparkSpec {
     assert(!scanPaths(other).contains(mvPath))
   }
 
+  test("mv rewrite serves a DIMENSION-filtered aggregate from the summary (exact group selection)") {
+    val (factPath, mvPath) = operators.Aggregates.mvDemo(spark, sf)
+    spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+    def dimFiltered() = spark.read.parquet(factPath)
+      .filter(col("l_linestatus") === "F")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_price")).as("s"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+    val on = dimFiltered()
+    assert(scanPaths(on) === Seq(mvPath),
+      s"dim-only filter must move onto the summary:\n${on.queryExecution.optimizedPlan}")
+    spark.conf.set(graft.plans.MvRewrite.EnabledKey, "false")
+    try assert(on.collect().toSeq === dimFiltered().collect().toSeq)
+    finally spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+  }
+
+  test("mv rewrite freshness contract: stale until re-materialized, fresh after") {
+    val (factPath, mvPath) = operators.Aggregates.mvDemo(spark, sf)
+    spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+    def q() = spark.read.parquet(factPath)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+    val before = q().collect().toSeq
+    // fact gains rows; the view intentionally serves the LAST
+    // materialization (Hive's rewriting window semantics)
+    // append from materialized rows: a self-referential
+    // read-limit-append on one path silently writes nothing
+    val extraRows = spark.read.parquet(factPath).limit(7).collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(extraRows.toIndexedSeq),
+        spark.read.parquet(factPath).schema)
+      .write.mode("append").parquet(factPath)
+    try {
+      assert(q().collect().toSeq === before, "rewrite must serve the stale summary")
+      // rebuild (ALTER MATERIALIZED VIEW ... REBUILD) → fresh answers
+      graft.plans.MvRewrite.materialize(spark, "mv_lineitem_pricing",
+        spark.read.parquet(factPath), factPath,
+        dims = Seq("l_returnflag", "l_linestatus"),
+        measures = Seq("l_price", "l_quantity"), mvPath)
+      val fresh = q()
+      assert(scanPaths(fresh) === Seq(mvPath))
+      val freshRows = fresh.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val beforeRows = before.map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(freshRows.values.sum === beforeRows.values.sum + 7,
+        "after REBUILD the summary must reflect the appended rows")
+    } finally {
+      // restore the staged fact + summary for any later test/key
+      operators.Aggregates.resetMvDemo(spark, sf)
+    }
+  }
+
   test("mv rewrite serves the GLOBAL aggregate (empty group-by) from the summary too") {
     val (factPath, mvPath) = operators.Aggregates.mvDemo(spark, sf)
     spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
