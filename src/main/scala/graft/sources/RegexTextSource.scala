@@ -39,10 +39,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     the reader, right after the regex match, so dropped rows never
   *     reach Spark (they are reported as PushedFilters and re-checked
   *     by nothing — the reader's evaluation is exact);
-  *   - one InputPartition per data file: parallelism = producer file
-  *     count (a production log format would also split large files on
-  *     line boundaries; per-file granularity keeps the demo honest —
-  *     Spark's own text writer emits many part files).
+  *   - LINE-BOUNDARY FILE SPLITTING: files larger than `splitBytes`
+  *     (option, default 64 MiB) become multiple byte-range
+  *     partitions. A reader owns exactly the lines whose START offset
+  *     falls in [start, end): for start > 0 it seeks to start-1 and
+  *     discards one line (empty when start-1 is the previous line's
+  *     newline), which lands it on the first owned line; it reads its
+  *     last owned line through completion past end. Without this, one
+  *     10 GB log file is one task — the difference between 1 core and
+  *     a cluster on a real log table.
   */
 class RegexTextSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-regex"
@@ -67,10 +72,13 @@ case class RegexTable(declaredSchema: StructType, props: Map[String, String])
     RegexScanBuilder(declaredSchema,
       options.get("path"),
       Option(options.get("regex")).getOrElse(props.getOrElse("regex",
-        throw new IllegalArgumentException("graft-regex requires option 'regex'"))))
+        throw new IllegalArgumentException("graft-regex requires option 'regex'"))),
+      Option(options.get("splitBytes")).map(_.toLong)
+        .orElse(props.get("splitBytes").map(_.toLong)).getOrElse(64L << 20))
 }
 
-case class RegexScanBuilder(fullSchema: StructType, path: String, regex: String)
+case class RegexScanBuilder(fullSchema: StructType, path: String, regex: String,
+    splitBytes: Long)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters {
 
@@ -87,11 +95,12 @@ case class RegexScanBuilder(fullSchema: StructType, path: String, regex: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = RegexScan(fullSchema, required, path, regex, pushed)
+  override def build(): Scan =
+    RegexScan(fullSchema, required, path, regex, pushed, splitBytes)
 }
 
 case class RegexScan(fullSchema: StructType, required: StructType,
-    path: String, regex: String, filters: Array[Filter])
+    path: String, regex: String, filters: Array[Filter], splitBytes: Long)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -105,8 +114,8 @@ case class RegexScan(fullSchema: StructType, required: StructType,
     * of the unknown-stats default — the property that decides whether
     * a 100 TB log table accidentally lands on the build side. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = planInputPartitions().map(p =>
-      new java.io.File(p.asInstanceOf[RegexFilePartition].file).length).sum
+    private val bytes = planInputPartitions().map(
+      _.asInstanceOf[RegexFilePartition].length).sum
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
@@ -119,28 +128,39 @@ case class RegexScan(fullSchema: StructType, required: StructType,
       if (root.isFile) Array(root)
       else Option(root.listFiles()).getOrElse(Array.empty).filter(f =>
         f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-    files.sortBy(_.getName)
-      .map(f => RegexFilePartition(f.getAbsolutePath): InputPartition)
+    files.sortBy(_.getName).flatMap { f =>
+      val len = f.length
+      if (len <= splitBytes)
+        Seq(RegexFilePartition(f.getAbsolutePath, 0L, len))
+      else (0L until len by splitBytes).map(start =>
+        RegexFilePartition(f.getAbsolutePath, start,
+          math.min(splitBytes, len - start)))
+    }.map(p => p: InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     RegexReaderFactory(fullSchema, required, regex, filters)
 }
 
-case class RegexFilePartition(file: String) extends InputPartition
+case class RegexFilePartition(file: String, start: Long, length: Long)
+  extends InputPartition
 
 case class RegexReaderFactory(fullSchema: StructType, required: StructType,
     regex: String, filters: Array[Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new RegexPartitionReader(
-      partition.asInstanceOf[RegexFilePartition].file,
+      partition.asInstanceOf[RegexFilePartition],
       fullSchema, required, regex, filters)
 }
 
-/** Per-file line reader: regex-match, convert the NEEDED capture
-  * groups (required columns ∪ filter columns), evaluate pushed
-  * filters, emit the pruned row. */
-class RegexPartitionReader(file: String, fullSchema: StructType,
+/** Byte-range line reader: owns exactly the lines whose START offset
+  * is in [start, start+length) — for start > 0 it seeks to start-1
+  * and discards one line (which the previous range read through),
+  * and it reads its own last line through completion past the range
+  * end. Per line: regex-match, convert the NEEDED capture groups
+  * (required columns ∪ filter columns), evaluate pushed filters, emit
+  * the pruned row. */
+class RegexPartitionReader(part: RegexFilePartition, fullSchema: StructType,
     required: StructType, regex: String, filters: Array[Filter])
   extends PartitionReader[InternalRow] {
 
@@ -151,14 +171,45 @@ class RegexPartitionReader(file: String, fullSchema: StructType,
     case (f, i) if required.fieldNames.contains(f.name) || filterCols(f.name) => i
   }
   private val requiredOrdinals = required.fields.map(f => fullSchema.fieldIndex(f.name))
-  private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-    new java.io.FileInputStream(file), java.nio.charset.StandardCharsets.UTF_8))
+
+  private val in = new java.io.BufferedInputStream(
+    new java.io.FileInputStream(part.file))
+  private val rangeEnd = part.start + part.length
+  private var pos: Long = 0L // byte offset of the next unread byte
+  // position on the first OWNED line: seek to start-1, discard one
+  // line — empty when start-1 holds the previous line's newline
+  if (part.start > 0) {
+    var left = part.start - 1
+    while (left > 0) {
+      val skipped = in.skip(left)
+      if (skipped <= 0) left = 0 else left -= skipped
+    }
+    pos = part.start - 1
+    readLineBytes()
+  }
+
+  /** Read one '
+'-terminated line (trailing 
+ stripped), advancing
+    * `pos` by the bytes CONSUMED; null at EOF. UTF-8-safe: multi-byte
+    * sequences never contain the 0x0A byte. */
+  private def readLineBytes(): String = {
+    var b = in.read()
+    if (b == -1) return null
+    val buf = new java.io.ByteArrayOutputStream(128)
+    while (b != -1 && b != 0x0A) { buf.write(b); b = in.read() }
+    pos += buf.size() + (if (b == 0x0A) 1 else 0)
+    val arr = buf.toByteArray
+    val n = if (arr.nonEmpty && arr.last == 0x0D) arr.length - 1 else arr.length
+    new String(arr, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    var line = reader.readLine()
-    while (line != null) {
+    while (pos < rangeEnd) { // next line STARTS inside the range
+      val line = readLineBytes()
+      if (line == null) return false
       val m = pattern.matcher(line)
       // parsed full-width row (only needed ordinals converted)
       val full = new Array[Any](fullSchema.length)
@@ -172,13 +223,12 @@ class RegexPartitionReader(file: String, fullSchema: StructType,
         current = InternalRow.fromSeq(requiredOrdinals.toIndexedSeq.map(full))
         return true
       }
-      line = reader.readLine()
     }
     false
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = in.close()
 }
 
 object RegexScan {

@@ -448,6 +448,35 @@ class ScanSpec extends SparkSpec {
     assert(viaDsv2 === viaExpr)
   }
 
+  test("graft-regex byte-range splits partition on line boundaries, any split size") {
+    val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_scanspec/regex_split")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    // 200 variable-length lines so boundaries land mid-line, on
+    // newlines, and at line starts across the sampled split sizes
+    val body = (1 to 200).map(k => s"$k|s${"x" * (k % 7)}|$k.25").mkString("\n") + "\n"
+    java.nio.file.Files.writeString(dir.toPath.resolve("part-0.txt"), body)
+    def read(splitBytes: Option[Long]) = {
+      val r = spark.read.format("graft-regex")
+        .schema(operators.Scans.serdeSchema)
+        .option("regex", operators.Scans.serdeRegex)
+      splitBytes.fold(r)(sb => r.option("splitBytes", sb.toString))
+        .load(dir.getAbsolutePath)
+    }
+    val whole = read(None).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(whole.size === 200)
+    for (sb <- Seq(7L, 64L, 131L, 1024L, 100000L)) {
+      val df = read(Some(sb))
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(got.length === 200, s"splitBytes=$sb dropped or duplicated lines")
+      assert(got.toSet === whole, s"splitBytes=$sb changed the row set")
+      if (sb < body.length)
+        assert(df.rdd.getNumPartitions > 1,
+          s"splitBytes=$sb must yield multiple byte-range partitions")
+    }
+  }
+
   test("sink_compact: only the fragmented partition is rewritten, to its target file count") {
     val root = s"${sys.props("java.io.tmpdir")}/graft_scanspec/compact"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
