@@ -47,6 +47,56 @@ object Warmup {
     val q = ms.toDF().groupBy($"value" % 8).count()
       .writeStream.outputMode("complete").format("noop").start()
     q.processAllAvailable(); q.stop()
+    // the OTHER streaming machinery families, same tiny-synthetic
+    // policy (r16 plan audit: ~19 s of suite total was the streaming
+    // keys' fixed machinery cost — microbatch planner, watermark
+    // tracking, join/session state stores, RocksDB provider — all
+    // first-use compile/class-load, none of it per-row work):
+    // watermarked APPEND event-time window
+    import org.apache.spark.sql.functions.{expr, timestamp_seconds, window => fwindow}
+    val wm = MemoryStream[Long](spark)
+    wm.addData(0L, 60L, 7200L)
+    val wq = wm.toDF().select(timestamp_seconds($"value").as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(fwindow($"ts", "1 hour")).count()
+      .writeStream.outputMode("append").format("noop").start()
+    wq.processAllAvailable(); wq.stop()
+    // stream-stream interval join (per-side join state stores)
+    val jl = MemoryStream[Long](spark)
+    val jr = MemoryStream[Long](spark)
+    jl.addData(1L, 2L); jr.addData(1L, 2L)
+    val lhs = jl.toDF().select($"value".as("k"),
+      timestamp_seconds($"value").as("lts")).withWatermark("lts", "1 minute")
+    val rhs = jr.toDF().select($"value".as("k2"),
+      timestamp_seconds($"value").as("rts")).withWatermark("rts", "1 minute")
+    val jq = lhs.join(rhs, expr(
+        "k = k2 AND rts BETWEEN lts - INTERVAL 1 MINUTE AND lts + INTERVAL 1 MINUTE"))
+      .writeStream.outputMode("append").format("noop").start()
+    jq.processAllAvailable(); jq.stop()
+    // transformWithState under the RocksDB provider (the TWS keys'
+    // store + timer machinery; conf scoped and restored)
+    val tws = MemoryStream[(Long, Long)](spark)
+    tws.addData((1L, 0L), (1L, 60L), (2L, 0L))
+    val twsDs = tws.toDF().toDF("user_id", "secs")
+      .select($"user_id", timestamp_seconds($"secs").as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, java.sql.Timestamp)]
+    val prevProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tq = twsDs.groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.Streams.SessionTimers(30L * 60 * 1000000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "sstart", "send", "n")
+        .writeStream.outputMode("append").format("noop").start()
+      tq.processAllAvailable(); tq.stop()
+    } finally prevProv match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
     // the dedup/similarity pipelines on a 3-row SYNTHETIC corpus: the
     // interpreted HOF signature path, band join, sorted-merge kernel,
     // fan-out joins, and the label-propagation loop all get their
