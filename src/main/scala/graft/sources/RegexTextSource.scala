@@ -25,6 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Hive parity decisions:
   *   - the schema is DECLARED, never inferred (RegexSerDe requires
   *     the table definition); capture group i feeds column i;
+  *   - READ-ONLY, like the original: Hive's RegexSerDe deserializes
+  *     only (a regex does not define a serialization), so no
+  *     BATCH_WRITE capability is claimed;
   *   - a line the regex does not match yields an all-NULL row, and a
   *     group that fails its type cast yields a NULL column (RegexSerDe
   *     null semantics).
@@ -74,7 +77,9 @@ case class RegexTable(declaredSchema: StructType, props: Map[String, String])
       Option(options.get("regex")).getOrElse(props.getOrElse("regex",
         throw new IllegalArgumentException("graft-regex requires option 'regex'"))),
       Option(options.get("splitBytes")).map(_.toLong)
-        .orElse(props.get("splitBytes").map(_.toLong)).getOrElse(64L << 20))
+        .orElse(props.get("splitBytes").map(_.toLong))
+        .map(sb => { require(sb > 0, s"splitBytes must be positive, got $sb"); sb })
+        .getOrElse(64L << 20))
 }
 
 case class RegexScanBuilder(fullSchema: StructType, path: String, regex: String,
