@@ -126,36 +126,47 @@ case class RegexScan(fullSchema: StructType, required: StructType,
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 
+  /** Listing + byte-range planning through the Hadoop FS API, so the
+    * source works against any Spark-reachable filesystem (HDFS, S3A,
+    * local), not just java.io — the property that lets a 1000-executor
+    * cluster actually open these files. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val root = new java.io.File(new java.net.URI(
-      if (path.contains(":/")) path else s"file://${new java.io.File(path).getAbsolutePath}"))
+    val conf = RegexScan.driverHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val status = fs.getFileStatus(root)
     val files =
-      if (root.isFile) Array(root)
-      else Option(root.listFiles()).getOrElse(Array.empty).filter(f =>
-        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-    files.sortBy(_.getName).flatMap { f =>
-      val len = f.length
-      if (len <= splitBytes)
-        Seq(RegexFilePartition(f.getAbsolutePath, 0L, len))
+      if (status.isFile) Array(status)
+      else fs.listStatus(root).filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+    files.sortBy(_.getPath.getName).flatMap { st =>
+      val len = st.getLen
+      val p = st.getPath.toString
+      if (len <= splitBytes) Seq(RegexFilePartition(p, 0L, len))
       else (0L until len by splitBytes).map(start =>
-        RegexFilePartition(f.getAbsolutePath, start,
-          math.min(splitBytes, len - start)))
+        RegexFilePartition(p, start, math.min(splitBytes, len - start)))
     }.map(p => p: InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    RegexReaderFactory(fullSchema, required, regex, filters)
+    // executors have no SparkSession: ship the driver's Hadoop conf
+    // as a plain serializable map and rebuild it reader-side
+    RegexReaderFactory(fullSchema, required, regex, filters,
+      RegexScan.confToMap(RegexScan.driverHadoopConf()))
 }
 
 case class RegexFilePartition(file: String, start: Long, length: Long)
   extends InputPartition
 
 case class RegexReaderFactory(fullSchema: StructType, required: StructType,
-    regex: String, filters: Array[Filter]) extends PartitionReaderFactory {
+    regex: String, filters: Array[Filter], confMap: Map[String, String])
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new RegexPartitionReader(
       partition.asInstanceOf[RegexFilePartition],
-      fullSchema, required, regex, filters)
+      fullSchema, required, regex, filters, confMap)
 }
 
 /** Byte-range line reader: owns exactly the lines whose START offset
@@ -166,7 +177,8 @@ case class RegexReaderFactory(fullSchema: StructType, required: StructType,
   * (required columns ∪ filter columns), evaluate pushed filters, emit
   * the pruned row. */
 class RegexPartitionReader(part: RegexFilePartition, fullSchema: StructType,
-    required: StructType, regex: String, filters: Array[Filter])
+    required: StructType, regex: String, filters: Array[Filter],
+    confMap: Map[String, String])
   extends PartitionReader[InternalRow] {
 
   private val pattern = java.util.regex.Pattern.compile(regex)
@@ -177,18 +189,20 @@ class RegexPartitionReader(part: RegexFilePartition, fullSchema: StructType,
   }
   private val requiredOrdinals = required.fields.map(f => fullSchema.fieldIndex(f.name))
 
-  private val in = new java.io.BufferedInputStream(
-    new java.io.FileInputStream(part.file))
+  // Hadoop FS open + positional seek (FSDataInputStream), so a range
+  // at offset 10 GB starts with one seek, not a 10 GB skip loop —
+  // and the file can live on HDFS/S3A, not just the local disk
+  private val in: java.io.BufferedInputStream = {
+    val hPath = new org.apache.hadoop.fs.Path(part.file)
+    val stream = hPath.getFileSystem(RegexScan.mapToConf(confMap)).open(hPath)
+    if (part.start > 0) stream.seek(part.start - 1)
+    new java.io.BufferedInputStream(stream)
+  }
   private val rangeEnd = part.start + part.length
   private var pos: Long = 0L // byte offset of the next unread byte
-  // position on the first OWNED line: seek to start-1, discard one
-  // line — empty when start-1 holds the previous line's newline
+  // position on the first OWNED line: from start-1, discard one line
+  // — empty when start-1 holds the previous line's newline
   if (part.start > 0) {
-    var left = part.start - 1
-    while (left > 0) {
-      val skipped = in.skip(left)
-      if (skipped <= 0) left = 0 else left -= skipped
-    }
     pos = part.start - 1
     readLineBytes()
   }
@@ -237,6 +251,29 @@ class RegexPartitionReader(part: RegexFilePartition, fullSchema: StructType,
 }
 
 object RegexScan {
+  /** The driver's Hadoop configuration (credentials, fs.* settings)
+    * when a session is active; defaults otherwise (tests). */
+  private[sources] def driverHadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** Configuration → serializable map (only explicitly-set entries
+    * matter cross-process; defaults reload from the executor's own
+    * classpath). */
+  private[sources] def confToMap(c: org.apache.hadoop.conf.Configuration): Map[String, String] = {
+    val it = c.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
+  }
+
+  private[sources] def mapToConf(m: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** Typed conversion; a failed cast is a NULL column, like the
     * SerDe's. Strings become UTF8String (InternalRow contract). */
   def convert(s: String, dt: DataType): Any =
