@@ -76,4 +76,46 @@ class PropertySpec extends AnyFunSuite {
         math.sqrt(VectorKernelUtil.dot(aa, aa)) * math.sqrt(VectorKernelUtil.dot(bb, bb)) + 1e-9)
     }
   }
+
+  test("byte-range line reader: any split reassembles the exact line sequence") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("line", StringType)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_split_prop")
+    def rangeLines(file: String, start: Long, len: Long): Seq[String] = {
+      val r = new graft.sources.RegexPartitionReader(
+        graft.sources.RegexFilePartition(file, start, len),
+        schema, schema, "^(.*)$", Array.empty, Map.empty)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      try while (r.next()) out += r.get().getUTF8String(0).toString
+      finally r.close()
+      out.toSeq
+    }
+    // random lines (empty lines included), random separator (LF or
+    // CRLF), randomly missing final newline — the shapes real log
+    // files take; expected lines derived from the BYTES, not the
+    // generator, so the oracle is reader-independent
+    val lineGen = Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const('|'))).map(_.mkString))
+    val fileGen = for {
+      lines <- Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, lineGen))
+      sep <- Gen.oneOf("\n", "\r\n")
+      trailing <- Gen.oneOf(true, false)
+    } yield lines.mkString(sep) + (if (lines.nonEmpty && trailing) sep else "")
+    samples(fileGen, n = 120).zipWithIndex.foreach { case (content, i) =>
+      val f = tmp.resolve(s"f$i.txt")
+      java.nio.file.Files.writeString(f, content)
+      val bytes = java.nio.file.Files.size(f)
+      val expected =
+        if (content.isEmpty) Seq.empty[String]
+        else content.split("\n", -1).toSeq
+          .dropRight(if (content.endsWith("\n")) 1 else 0)
+          .map(_.stripSuffix("\r"))
+      for (split <- Seq(1L, 3L, 7L, bytes + 2)) {
+        val got = (0L until math.max(bytes, 1L) by split).flatMap(start =>
+          rangeLines(f.toString, start, math.min(split, bytes - start)))
+        assert(got === expected,
+          s"split=$split bytes=$bytes content=${content.replace("\r", "<CR>").replace("\n", "<LF>")}")
+      }
+    }
+  }
 }
