@@ -138,9 +138,14 @@ object Scans {
     if (plan.nonEmpty) {
       // per-partition target file count as an expression, so ONE
       // shuffle sizes every rewritten partition independently
+      // dir names carry Hive-style path escaping (`a b` → `a%20b`);
+      // the COLUMN holds the unescaped value, so compare against the
+      // decoded form or special-char partitions would never match
       val nExpr = plan.foldLeft(lit(1)) { case (acc, (dirName, (_, target))) =>
         when(col(partCol).cast(StringType) ===
-          lit(dirName.stripPrefix(s"$partCol=")), lit(target)).otherwise(acc)
+          lit(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(dirName.stripPrefix(s"$partCol="))),
+          lit(target)).otherwise(acc)
       }
       val totalFiles = plan.values.map(_._2).sum
       // read ONLY the fragmented partition dirs (file-listing-level

@@ -531,4 +531,28 @@ class ScanSpec extends SparkSpec {
     assert(operators.Scans.compactPartitions(
       spark, root, "o_year", 128L << 20, col("o_orderkey")).isEmpty)
   }
+
+  test("sink_compact handles Hive-escaped partition values (colon in dir name)") {
+    val s = spark
+    import s.implicits._
+    val root = s"${sys.props("java.io.tmpdir")}/graft_scanspec/compact_esc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val df = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "a:b" else "plain"))
+      .toDF("id", "tag")
+    df.repartition(col("tag"))
+      .write.mode("overwrite").partitionBy("tag").parquet(root)
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.filter(col("tag") === "a:b").repartition(8)
+      .write.mode("overwrite").partitionBy("tag").parquet(root)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val plan = operators.Scans.compactPartitions(
+      spark, root, "tag", 128L << 20, col("id"))
+    // the escaped dir (tag=a%3Ab) is detected AND its rows survive the
+    // rewrite — an unescaped compare would rewrite them to zero rows
+    assert(plan.keySet === Set("tag=a%3Ab"), plan.toString)
+    val back = spark.read.parquet(root)
+    assert(back.filter(col("tag") === "a:b").count() === 20)
+    assert(back.count() === 40)
+  }
 }
