@@ -138,14 +138,20 @@ object Scans {
     if (plan.nonEmpty) {
       // per-partition target file count as an expression, so ONE
       // shuffle sizes every rewritten partition independently
-      // dir names carry Hive-style path escaping (`a b` → `a%20b`);
-      // the COLUMN holds the unescaped value, so compare against the
-      // decoded form or special-char partitions would never match
+      // dir names carry Hive-style path escaping (`a:b` → `a%3Ab`) and
+      // the null partition is the DEFAULT_PARTITION sentinel dir; the
+      // COLUMN holds the unescaped value (or null), so compare against
+      // the decoded form / isNull or those partitions would fall back
+      // to a 1-file target regardless of size
       val nExpr = plan.foldLeft(lit(1)) { case (acc, (dirName, (_, target))) =>
-        when(col(partCol).cast(StringType) ===
-          lit(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .unescapePathName(dirName.stripPrefix(s"$partCol="))),
-          lit(target)).otherwise(acc)
+        val raw = dirName.stripPrefix(s"$partCol=")
+        val pred =
+          if (raw == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+            col(partCol).isNull
+          else col(partCol).cast(StringType) ===
+            lit(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(raw))
+        when(pred, lit(target)).otherwise(acc)
       }
       val totalFiles = plan.values.map(_._2).sum
       // read ONLY the fragmented partition dirs (file-listing-level
