@@ -215,4 +215,21 @@ class LlmSpec extends SparkSpec {
     // determinism: a second evaluation is row-identical (no RNG state)
     assert(a.map(_.toString).toSeq === run().map(_.toString).toSeq)
   }
+
+  test("fn_context_ngrams plans broadcast-context + TakeOrdered, never a wide sort") {
+    val df = operators.Functions.queries("fn_context_ngrams")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // top-k via TakeOrderedAndProject (no global Sort materialization)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the 1-row context joins back by BROADCAST, not shuffle/nested-loop
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // and the result is sane: 5 rows, one shared context, counts sorted
+    val rows = df.collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getString(0)).toSet.size === 1, "one fixed 2-token context")
+    val ns = rows.map(_.getLong(2))
+    assert(ns.sorted.reverse.toSeq === ns.toSeq, "descending count order")
+  }
 }
