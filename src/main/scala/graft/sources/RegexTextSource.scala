@@ -73,7 +73,12 @@ case class RegexTable(declaredSchema: StructType, props: Map[String, String])
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     RegexScanBuilder(declaredSchema,
-      options.get("path"),
+      // a DataFrameReader load passes the path as a scan option; a
+      // catalog table (CREATE TABLE ... USING graft-regex) carries it
+      // in the table properties instead
+      Option(options.get("path")).orElse(props.get("path"))
+        .getOrElse(throw new IllegalArgumentException(
+          "graft-regex requires option 'path'")),
       Option(options.get("regex")).getOrElse(props.getOrElse("regex",
         throw new IllegalArgumentException("graft-regex requires option 'regex'"))),
       Option(options.get("splitBytes")).map(_.toLong)

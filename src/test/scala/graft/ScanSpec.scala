@@ -448,6 +448,31 @@ class ScanSpec extends SparkSpec {
     assert(viaDsv2 === viaExpr)
   }
 
+  test("graft-regex works as a SQL DDL table (CREATE TABLE ... USING), like a Hive SerDe table") {
+    val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_scanspec/regex_ddl")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    java.nio.file.Files.writeString(dir.toPath.resolve("part-0.txt"),
+      "1|A|10.5\n2|B|20.25\n3|C|7.125\n")
+    spark.sql("DROP TABLE IF EXISTS g_regex_tbl")
+    spark.sql(
+      s"""CREATE TABLE g_regex_tbl
+         |  (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+         |USING `graft-regex`
+         |OPTIONS (regex '^([^|]*)\\\\|([^|]*)\\\\|(.*)$$',
+         |         path '${dir.getAbsolutePath}')""".stripMargin)
+    try {
+      val got = spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM g_regex_tbl WHERE o_orderkey > 1 ORDER BY o_orderkey")
+      assert(got.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+        Seq((2L, 20.25), (3L, 7.125)))
+      // the catalog table plans through the same pushing scan
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftRegexScan"), plan)
+      assert(plan.contains("GreaterThan(o_orderkey,1"), plan)
+    } finally spark.sql("DROP TABLE IF EXISTS g_regex_tbl")
+  }
+
   test("graft-regex byte-range splits partition on line boundaries, any split size") {
     val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_scanspec/regex_split")
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
