@@ -171,6 +171,98 @@ object Scans {
     plan
   }
 
+  /** Hive 3 ACID `UPDATE` / `DELETE` compiled to the partition-scoped
+    * copy-on-write they execute as on a non-transactional path table
+    * — the statement siblings of `sink_merge_upsert`'s MERGE,
+    * completing the ACID DML family [Hive:
+    * `ql.parse.UpdateDeleteSemanticAnalyzer`, which rewrites both
+    * statements into an INSERT over the affected rows exactly as
+    * here; the delta-file ACID variant is a transactional-format
+    * concern, declared out of scope with MERGE's].
+    *
+    * Dataflow (shared by both statements):
+    *   1. discover the partitions holding matched rows — ONE
+    *      predicate-pushed pass over the table projecting only the
+    *      partition column (O(#partitions) driver rows; when the
+    *      predicate constrains the partition column, partition
+    *      pruning keeps even the listing narrow);
+    *   2. read ONLY those partition dirs (file-listing-level pruning
+    *      via basePath, the compactor's discipline — a partition-
+    *      column filter could be string-coerced and silently defeat
+    *      pruning), localCheckpoint-materialize (read-then-overwrite
+    *      safety on a path table), apply the row transform;
+    *   3. rewrite just those partitions under dynamic overwrite.
+    * Every partition without a matched row is NOT TOUCHED — ScanSpec
+    * asserts its files survive byte-identical. At 100 TB the rewrite
+    * volume is the affected partitions' bytes, never the table's.
+    *
+    * NULL semantics are Hive/SQL's: a row matches only when the
+    * predicate is TRUE — `UPDATE ... WHERE p` leaves FALSE and NULL
+    * rows untouched, `DELETE ... WHERE p` keeps them.
+    *
+    * The resurrection trap (spec-asserted): a partition whose every
+    * row is deleted emits nothing, so dynamic overwrite never touches
+    * its dir and the "deleted" rows would silently RESURFACE on the
+    * next read. [[acidRewrite]] removes emptied partition dirs
+    * explicitly after the overwrite.
+    *
+    * Returns the affected partition dir names (empty → no row
+    * matched, nothing was rewritten). */
+  private[graft] def acidRewrite(s: SparkSession, root: String,
+      partCol: String, pred: org.apache.spark.sql.Column)(
+      apply: DataFrame => DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val hit = coalesce(pred, lit(false))
+    def dirName(v: Option[String]): String = v match {
+      case Some(x) => s"$partCol=${ExternalCatalogUtils.escapePathName(x)}"
+      case None => s"$partCol=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
+    }
+    val affected = s.read.parquet(root).filter(hit)
+      .select(col(partCol).cast(StringType)).distinct()
+      .collect().map(r => Option(r.getString(0))).toSeq
+    if (affected.isEmpty) return Nil
+    val dirs = affected.map(dirName)
+    val rows = s.read.option("basePath", root)
+      .parquet(dirs.map(dn => s"$root/$dn"): _*)
+      .localCheckpoint() // materialize BEFORE overwriting the source files
+    val out = apply(rows).localCheckpoint()
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try out.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(root)
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val survivors = out.select(col(partCol).cast(StringType)).distinct()
+      .collect().map(r => Option(r.getString(0))).toSet
+    affected.filterNot(survivors).foreach { v =>
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$root/${dirName(v)}"))
+    }
+    dirs
+  }
+
+  /** `UPDATE t SET c1 = e1, ... WHERE pred` over a partitioned path
+    * table — see [[acidRewrite]] for the dataflow and contract.
+    * Each SET expression is coerced to its column's DECLARED type
+    * (SQL UPDATE semantics) — without the cast, an arithmetic SET
+    * (decimal(18,2) * 2 → decimal(29,2)) would silently widen the
+    * column in the rewritten partitions only, and the next
+    * whole-table read dies on the cross-partition footer mismatch. */
+  private[graft] def acidUpdate(s: SparkSession, root: String,
+      partCol: String, pred: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)]): Seq[String] =
+    acidRewrite(s, root, partCol, pred) { df =>
+      val hit = coalesce(pred, lit(false))
+      sets.foldLeft(df) { case (acc, (c, e)) =>
+        acc.withColumn(c,
+          when(hit, e.cast(acc.schema(c).dataType)).otherwise(col(c)))
+      }
+    }
+
+  /** `DELETE FROM t WHERE pred` over a partitioned path table — see
+    * [[acidRewrite]] for the dataflow and contract. */
+  private[graft] def acidDelete(s: SparkSession, root: String,
+      partCol: String, pred: org.apache.spark.sql.Column): Seq[String] =
+    acidRewrite(s, root, partCol, pred)(_.filter(!coalesce(pred, lit(false))))
+
   /** The RegexSerDe demo's declared table shape + line pattern,
     * shared by the DSv2 read (`scan_text_serde`) and the expression
     * cross-check. */
@@ -377,6 +469,36 @@ object Scans {
         .orderBy(col("o_orderkey"))
     },
 
+    // Hive 3 ACID `UPDATE` + `DELETE` as one keyed scenario (the
+    // MERGE siblings — see [[acidUpdate]]/[[acidDelete]]): seed a
+    // year-partitioned target, UPDATE the %10==3 rows of 1997+ (only
+    // those partitions rewrite), DELETE the %7==2 rows of ≤1996
+    // (only those partitions rewrite), read the final state back.
+    // The oracle restates it row-for-row against the base table
+    // (CASE for the update, NOT(...) for the delete; the doubled
+    // price stays in DECIMAL so both engines are exact). Partition
+    // selectivity, byte-identical untouched partitions, NULL-predicate
+    // semantics, and the emptied-partition resurrection trap are
+    // ScanSpec asserts.
+    "sink_acid_update_delete" -> { (s, d) =>
+      val out = ioDir("sink_acid_update_delete", d)
+      Tables.t(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .select(col("o_orderkey"), lit("SEED").as("status"),
+          dec(col("o_totalprice")).as("price"), col("o_year"))
+        .repartition(col("o_year"))
+        .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(out)
+      acidUpdate(s, out, "o_year",
+        col("o_orderkey") % 10 === 3 && col("o_year") >= 1997,
+        Seq("status" -> lit("UPD"), "price" -> (col("price") * 2)))
+      acidDelete(s, out, "o_year",
+        col("o_orderkey") % 7 === 2 && col("o_year") <= 1996)
+      s.read.parquet(out)
+        .select(col("o_orderkey"), col("status"), money(col("price")).as("price"),
+          col("o_year").cast(IntegerType))
+        .orderBy(col("o_orderkey"))
+    },
+
     // The bucket-map-join READ path — the capability Hive bucketing
     // exists for (ConvertJoinMapJoin / SMB join): two tables written
     // co-bucketed + co-sorted on the join key join WITHOUT ANY
@@ -501,6 +623,20 @@ object Scans {
         |SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders), 'INS',
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
         |FROM orders WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    // the post-UPDATE/post-DELETE final state restated against the
+    // base table: the update is a CASE on its predicate, the delete
+    // a NOT(...) filter, both over year(o_orderdate)
+    "sink_acid_update_delete" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 3 AND year(o_orderdate) >= 1997
+        |       THEN 'UPD' ELSE 'SEED' END AS status,
+        |  CAST(CASE WHEN o_orderkey % 10 = 3 AND year(o_orderdate) >= 1997
+        |       THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+        |       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DOUBLE) AS price,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year
+        |FROM orders
+        |WHERE NOT (o_orderkey % 7 = 2 AND year(o_orderdate) <= 1996)
         |ORDER BY o_orderkey""".stripMargin,
     // compaction is a pure layout rewrite: the content restates the
     // base table exactly

@@ -580,4 +580,97 @@ class ScanSpec extends SparkSpec {
     assert(back.filter(col("tag") === "a:b").count() === 20)
     assert(back.count() === 40)
   }
+
+  private def partSnapshot(root: String, partCol: String)
+      : Map[String, Set[(String, Long, String)]] = {
+    def sha(f: java.io.File): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+        .map("%02x".format(_)).mkString
+    }
+    new java.io.File(root).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith(s"$partCol="))
+      .map(d => d.getName -> d.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, sha(f))).toSet).toMap
+  }
+
+  test("acid update/delete rewrite only the partitions holding matched rows") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_scanspec/acid"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(spark, sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .select(col("o_orderkey"), lit("SEED").as("status"), col("o_year"))
+    o.repartition(col("o_year"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(root)
+
+    val updPred = col("o_orderkey") % 10 === 3 && col("o_year") >= 1997
+    val expectedUpdDirs = o.filter(updPred).select(col("o_year")).distinct()
+      .collect().map(r => s"o_year=${r.getInt(0)}").toSet
+    assert(expectedUpdDirs.nonEmpty && expectedUpdDirs.size < partSnapshot(root, "o_year").size,
+      "fixture must make the update partition-selective")
+
+    val before = partSnapshot(root, "o_year")
+    val updDirs = operators.Scans.acidUpdate(spark, root, "o_year", updPred,
+      Seq("status" -> lit("UPD")))
+    // selectivity: exactly the matched-row partitions were rewritten
+    assert(updDirs.toSet === expectedUpdDirs, updDirs.toString)
+    val afterUpd = partSnapshot(root, "o_year")
+    (before.keySet -- expectedUpdDirs).foreach { dir =>
+      assert(afterUpd(dir) === before(dir), s"$dir was touched by the update")
+    }
+    // row semantics: matched rows updated, everything else SEED
+    val back = spark.read.parquet(root)
+    assert(back.filter(col("status") === "UPD").count() ===
+      o.filter(updPred).count())
+    assert(back.count() === o.count())
+
+    val delPred = col("o_orderkey") % 7 === 2 && col("o_year") <= 1996
+    val delDirs = operators.Scans.acidDelete(spark, root, "o_year", delPred)
+    val expectedDelDirs = o.filter(delPred).select(col("o_year")).distinct()
+      .collect().map(r => s"o_year=${r.getInt(0)}").toSet
+    assert(delDirs.toSet === expectedDelDirs, delDirs.toString)
+    val afterDel = partSnapshot(root, "o_year")
+    (afterUpd.keySet -- expectedDelDirs).foreach { dir =>
+      assert(afterDel(dir) === afterUpd(dir), s"$dir was touched by the delete")
+    }
+    val finalDf = spark.read.parquet(root)
+    assert(finalDf.filter(delPred).count() === 0)
+    assert(finalDf.count() === o.count() - o.filter(delPred).count())
+
+    // a predicate matching nothing is a complete no-op
+    assert(operators.Scans.acidUpdate(spark, root, "o_year",
+      col("o_orderkey") < 0, Seq("status" -> lit("NOPE"))).isEmpty)
+    assert(partSnapshot(root, "o_year") === afterDel)
+  }
+
+  test("acid delete removes an emptied partition dir and keeps NULL-predicate rows") {
+    val s = spark
+    import s.implicits._
+    val root = s"${sys.props("java.io.tmpdir")}/graft_scanspec/acid_empty"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    // v is NULL on odd ids in partition b — a NULL predicate must KEEP
+    val df = Seq[(Long, String, java.lang.Long)](
+      (1L, "a", 10L), (2L, "a", 20L),
+      (3L, "b", null), (4L, "b", 5L), (5L, "b", 50L))
+      .toDF("id", "tag", "v")
+    df.repartition(col("tag"))
+      .write.mode("overwrite").partitionBy("tag").parquet(root)
+
+    // delete ALL of partition a: dynamic overwrite alone would emit no
+    // rows for it, leave the dir behind, and the rows would RESURFACE
+    val dirs = operators.Scans.acidDelete(spark, root, "tag", col("tag") === "a")
+    assert(dirs.toSet === Set("tag=a"))
+    assert(!new java.io.File(s"$root/tag=a").exists(),
+      "emptied partition dir must be removed, not left to resurrect its rows")
+    val back = spark.read.parquet(root)
+    assert(back.count() === 3)
+
+    // DELETE WHERE v > 10 on b: row 5 goes, row 4 (FALSE) and row 3
+    // (NULL) stay — SQL's TRUE-only match semantics
+    operators.Scans.acidDelete(spark, root, "tag", col("v") > 10)
+    val ids = spark.read.parquet(root).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(3L, 4L))
+  }
 }
