@@ -285,8 +285,70 @@ object Aggregates {
         .select(col("l_returnflag"), money(col("sum_price_dec")).as("sum_price"),
           col("n"), col("n_qty"), col("min_qty"), col("max_qty"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Incremental materialized-view rebuild (Hive 3 `ALTER
+    // MATERIALIZED VIEW ... REBUILD` with incremental maintenance):
+    // the summary is built while the fact holds only the ≤1996
+    // partitions, the later years then arrive as INSERT-only new
+    // partitions, and `rebuildIncremental` absorbs them by
+    // aggregating ONLY the delta dirs and merging partials into the
+    // standing summary — never re-scanning the fact. The query below
+    // is the fact-table aggregate served from that incrementally
+    // maintained summary (rule on), so the oracle — the plain
+    // aggregate over ALL of orders — proves the merged partials are
+    // exact end-to-end. PlanRuleSpec asserts the delta-only
+    // absorption, bit-identity with a full rebuild, and the
+    // summary-only scan.
+    "agg_mv_incremental" -> { (s, d) =>
+      val factPath = mvIncDemo(s, d)
+      s.read.parquet(factPath)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("o_price")).as("total_dec"),
+          count(lit(1)).as("n"),
+          min(col("o_price")).as("min_dec"),
+          max(col("o_price")).as("max_dec"))
+        .select(col("o_orderstatus"), money(col("total_dec")).as("total"),
+          col("n"), money(col("min_dec")).as("min_price"),
+          money(col("max_dec")).as("max_price"))
+        .orderBy(col("o_orderstatus"))
     }
   )
+
+  /** Stage the INCREMENTAL MV demo once per (session, input dir):
+    * a year-partitioned orders fact seeded with only the ≤1996
+    * partitions, its (o_orderstatus) summary materialized with
+    * partition tracking, the later years appended as new partitions,
+    * and the summary refreshed incrementally. Leaves the rewrite
+    * rule installed + enabled (same sticky-enable safety argument as
+    * [[mvDemo]]: the rule only fires on registered fact paths).
+    * Returns the fact path. */
+  private val mvIncOnce =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def mvIncDemo(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    mvIncOnce.getOrElseUpdate(s"${Q.sessionToken(s)}|$d", {
+      val base = Scans.ioDir("agg_mv_incremental", d)
+      val factPath = s"$base/fact"
+      val mvPath = s"$base/mv"
+      val o = Tables.t(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .select(col("o_orderstatus"), dec(col("o_totalprice")).as("o_price"),
+          col("o_year"))
+      // static overwrite wipes any previous run's layout entirely
+      o.filter(col("o_year") <= 1996).repartition(col("o_year"))
+        .write.mode("overwrite").partitionBy("o_year").parquet(factPath)
+      val mv = graft.plans.MvRewrite.materializePartitioned(s,
+        "mv_orders_by_status", factPath, "o_year",
+        dims = Seq("o_orderstatus"), measures = Seq("o_price"), mvPath)
+      o.filter(col("o_year") >= 1997).repartition(col("o_year"))
+        .write.mode("append").partitionBy("o_year").parquet(factPath)
+      val delta = graft.plans.MvRewrite.rebuildIncremental(s, mv)
+      require(delta.nonEmpty, "fixture must append at least one new partition")
+      graft.plans.MvRewrite.install(s)
+      s.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+      factPath
+    })
 
   /** Stage the MV demo once per (session, input dir): a fact parquet
     * (decimal money baked in, so the roll-up identity is exact), its
@@ -439,6 +501,15 @@ object Aggregates {
         |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the plain aggregate over ALL of orders: the incrementally
+    // merged partials must reproduce it exactly
+    "agg_mv_incremental" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS n,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the UNREWRITTEN aggregate: the MV roll-up must be value-identical
     "agg_mv_rewrite" ->
       s"""SELECT l_returnflag,

@@ -159,9 +159,15 @@ object MvRewrite {
 
   /** One registered materialized view: a summary at `mvPath` holding,
     * per `dims` group, `s_<m>`/`c_<m>`/`mn_<m>`/`mx_<m>` for every
-    * measure plus `cnt_rows`. */
+    * measure plus `cnt_rows`. When the fact is partitioned and was
+    * registered via [[materializePartitioned]], `partCol` names its
+    * partition column and `covered` the partition dirs the summary
+    * currently reflects — the bookkeeping [[rebuildIncremental]]
+    * needs (Hive keeps the same watermark in the metastore as the
+    * MV's "valid txn list"). */
   case class Mv(name: String, factPath: String, dims: Seq[String],
-      measures: Seq[String], mvPath: String)
+      measures: Seq[String], mvPath: String,
+      partCol: Option[String] = None, covered: Set[String] = Set.empty)
 
   /** (session token, canonical fact path) -> MV. Per-session like the
     * catalog it stands in for; keyed with Q.sessionToken so a GC'd
@@ -203,6 +209,96 @@ object MvRewrite {
     val mv = Mv(name, canon(factPath), dims, measures, mvPath)
     registry((graft.Q.sessionToken(s), mv.factPath)) = mv
     mv
+  }
+
+  private def partDirs(root: String, partCol: String): Set[String] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(s"$partCol="))
+      .map(_.getName).toSet
+
+  /** [[materialize]] over a PARTITIONED fact root, recording which
+    * partition dirs the summary covers so later inserts can be
+    * absorbed incrementally ([[rebuildIncremental]]) instead of
+    * re-scanning the fact. */
+  def materializePartitioned(s: SparkSession, name: String,
+      factRoot: String, partCol: String, dims: Seq[String],
+      measures: Seq[String], mvPath: String): Mv = {
+    val covered = partDirs(factRoot, partCol)
+    val mv = materialize(s, name, s.read.parquet(factRoot), factRoot,
+        dims, measures, mvPath)
+      .copy(partCol = Some(partCol), covered = covered)
+    registry((graft.Q.sessionToken(s), mv.factPath)) = mv
+    mv
+  }
+
+  /** Hive 3's INCREMENTAL materialized-view rebuild
+    * (`ALTER MATERIALIZED VIEW ... REBUILD` with
+    * `hive.materializedview.rebuild.incremental` [Hive:
+    * `ql.parse.MaterializedViewRebuildAnalyzer` + Calcite's
+    * aggregate-insert incremental plan]): when the fact table only
+    * GAINED rows since the last build, re-aggregating the whole fact
+    * is wasted work — aggregate just the delta and MERGE the partials
+    * into the standing summary. Partials make that exact: sums and
+    * counts add, mins/maxes combine; this is the same mergeability
+    * discipline the rewrite itself relies on. At 100 TB the rebuild
+    * cost drops from O(fact) to O(new partitions) + O(summary).
+    *
+    * Precondition (Hive's too): insert-only at partition granularity
+    * — new dirs may appear, covered dirs must be unchanged (an
+    * UPDATE/DELETE inside a covered partition needs a full
+    * [[materialize]]; min/max partials are not subtractable).
+    *
+    * The merged partials are cast back to the summary's existing
+    * column types, so an incremental rebuild is indistinguishable
+    * from a full one — including for a summary already read by the
+    * rewrite rule. The merge materializes (localCheckpoint) before
+    * overwriting `mvPath`: it reads the very summary it replaces.
+    *
+    * Returns the partition dirs it absorbed (empty → already
+    * current, nothing touched). The registry is authoritative for
+    * what the summary already covers — the passed value is only a
+    * handle, so calling again with a stale copy is a safe no-op. */
+  def rebuildIncremental(s: SparkSession, handle: Mv): Seq[String] = {
+    val mv = lookup(s, handle.factPath).getOrElse(handle)
+    val partCol = mv.partCol.getOrElse(throw new IllegalArgumentException(
+      s"MV ${mv.name} was not registered with materializePartitioned"))
+    val delta = (partDirs(mv.factPath, partCol) -- mv.covered).toSeq.sorted
+    if (delta.isEmpty) return Nil
+    // scope the rule off like materialize: a rebuild must never be
+    // answered from the summary it is refreshing
+    val prev = s.conf.getOption(EnabledKey)
+    s.conf.set(EnabledKey, "false")
+    try {
+      val aggs = mv.measures.flatMap { m =>
+        Seq(fsum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
+          fmin(col(m)).as(s"mn_$m"), fmax(col(m)).as(s"mx_$m"))
+      } :+ count(lit(1)).as("cnt_rows")
+      // read ONLY the new partition dirs (file-listing-level pruning
+      // via basePath — the compactor's discipline)
+      val deltaSummary = s.read.option("basePath", mv.factPath)
+        .parquet(delta.map(dn => s"${mv.factPath}/$dn"): _*)
+        .groupBy(mv.dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      val old = s.read.parquet(mv.mvPath)
+      val combine = mv.measures.flatMap { m =>
+        Seq(fsum(col(s"s_$m")).as(s"s_$m"), fsum(col(s"c_$m")).as(s"c_$m"),
+          fmin(col(s"mn_$m")).as(s"mn_$m"), fmax(col(s"mx_$m")).as(s"mx_$m"))
+      } :+ fsum(col("cnt_rows")).as("cnt_rows")
+      val merged = old.unionByName(deltaSummary.select(old.columns.map(col): _*))
+        .groupBy(mv.dims.map(col): _*).agg(combine.head, combine.tail: _*)
+        // the re-sum widens partial types (decimal gains precision,
+        // counts go nullable); restate the summary's existing schema
+        // exactly so incremental == full rebuild, bit for bit
+        .select(old.schema.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        .localCheckpoint() // materialize BEFORE overwriting its own input
+      merged.write.mode("overwrite").parquet(mv.mvPath)
+    } finally prev match {
+      case Some(p) => s.conf.set(EnabledKey, p)
+      case None => s.conf.unset(EnabledKey)
+    }
+    val updated = mv.copy(covered = mv.covered ++ delta)
+    registry((graft.Q.sessionToken(s), mv.factPath)) = updated
+    delta
   }
 
   /** Idempotently register the rule on a live session. */

@@ -404,6 +404,63 @@ class PlanRuleSpec extends SparkSpec {
     }
   }
 
+  test("incremental mv rebuild absorbs only new partitions and equals a full rebuild") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_planrule/mvinc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val factPath = s"$base/fact"
+    val mvPath = s"$base/mv"
+    val fullPath = s"$base/mv_full"
+    val o = Tables.t(spark, sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .select(col("o_orderstatus"), Q.dec(col("o_totalprice")).as("o_price"),
+        col("o_year"))
+    o.filter(col("o_year") <= 1996).repartition(col("o_year"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(factPath)
+    val mv = graft.plans.MvRewrite.materializePartitioned(spark, "mv_inc_spec",
+      factPath, "o_year", dims = Seq("o_orderstatus"),
+      measures = Seq("o_price"), mvPath)
+
+    // the later years arrive as INSERT-only new partitions
+    val newDirs = o.filter(col("o_year") >= 1997).select(col("o_year"))
+      .distinct().collect().map(r => s"o_year=${r.getInt(0)}").toSet
+    assert(newDirs.nonEmpty, "fixture needs post-1996 years")
+    o.filter(col("o_year") >= 1997).repartition(col("o_year"))
+      .write.mode("append").partitionBy("o_year").parquet(factPath)
+
+    val delta = graft.plans.MvRewrite.rebuildIncremental(spark, mv)
+    assert(delta.toSet === newDirs, s"must absorb exactly the new dirs: $delta")
+    // already current → no-op, even through the stale handle (the
+    // registry, not the handle, tracks coverage)
+    assert(graft.plans.MvRewrite.rebuildIncremental(spark, mv).isEmpty)
+
+    // the merged-partials summary is indistinguishable from a full
+    // rebuild over the now-complete fact: same schema, same rows
+    graft.plans.MvRewrite.materialize(spark, "mv_inc_spec_full",
+      spark.read.parquet(factPath), s"$base/unscanned_fact_key",
+      dims = Seq("o_orderstatus"), measures = Seq("o_price"), fullPath)
+    val inc = spark.read.parquet(mvPath)
+    val full = spark.read.parquet(fullPath)
+    assert(inc.schema.map(f => (f.name, f.dataType)) ===
+      full.schema.map(f => (f.name, f.dataType)),
+      "incremental rebuild must not drift the summary schema")
+    assert(inc.orderBy(col("o_orderstatus")).collect().toSeq ===
+      full.orderBy(col("o_orderstatus")).collect().toSeq)
+
+    // and the rewrite serves the post-insert query from it, exactly
+    graft.plans.MvRewrite.install(spark)
+    spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+    def q() = spark.read.parquet(factPath)
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("o_price")).as("s"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+    val on = q()
+    assert(scanPaths(on) === Seq(mvPath),
+      s"post-rebuild query must scan only the summary:\n${on.queryExecution.optimizedPlan}")
+    spark.conf.set(graft.plans.MvRewrite.EnabledKey, "false")
+    try assert(on.collect().toSeq === q().collect().toSeq)
+    finally spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+  }
+
   test("mv rewrite serves the GLOBAL aggregate (empty group-by) from the summary too") {
     val (factPath, mvPath) = operators.Aggregates.mvDemo(spark, sf)
     spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
