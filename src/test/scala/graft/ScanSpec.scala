@@ -354,6 +354,45 @@ class ScanSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("runtime bloom-filter semijoin reduction filters the probe side before the shuffle") {
+    // Hive's dynamic semijoin reduction (`hive.tez.dynamic.semijoin
+    // .reduction`: the dim side's join keys are bloom-filtered onto
+    // the fact scan so non-joining fact rows die BEFORE the shuffle)
+    // is Spark's InjectRuntimeFilter, ON by default in 4.x
+    // (`spark.sql.optimizer.runtime.bloomFilter.enabled`). The fact
+    // side must look ≥ applicationSideScanSizeThreshold (10 GB
+    // default — exactly the 100 TB regime); scaled down here so the
+    // tiny fixture qualifies. Broadcast is disabled because a
+    // broadcast join already hash-probes the dim — the bloom filter
+    // targets the shuffle-join path where the fact would otherwise be
+    // shuffled in full.
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") === "true",
+      "runtime bloom filters must be on by default")
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.get(k)).toMap
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def q() = spark.read.parquet(privateLineitem)
+        .join(spark.read.parquet(s"$sf/orders.parquet")
+            .filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"))
+      val withFilter = q()
+      val opt = withFilter.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"no runtime bloom filter was injected on the probe side:\n$opt")
+      val got = withFilter.collect().toSet
+      // the reduction is a pure pre-filter: result identical without it
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      try assert(got === q().collect().toSet)
+      finally spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("exchange reuse: two aggregations over one shuffle scan share a single exchange") {
     // self-union of two aggregates over the same shuffled child: the
     // second branch must read the FIRST branch's shuffle output
