@@ -263,6 +263,51 @@ object Scans {
       partCol: String, pred: org.apache.spark.sql.Column): Seq[String] =
     acidRewrite(s, root, partCol, pred)(_.filter(!coalesce(pred, lit(false))))
 
+  /** Hive's `ALTER TABLE ... DROP PARTITION (spec)` — the partition
+    * lifecycle / retention operation every long-lived partitioned
+    * dataset runs ("drop everything older than N") [Hive:
+    * `ql.ddl.table.partition.drop.AlterTableDropPartitionDesc`;
+    * comparators in the spec, e.g. `PARTITION (year < 1995)`, are
+    * supported exactly as here].
+    *
+    * METADATA-ONLY, like Hive's: the predicate is evaluated against
+    * the PARTITION VALUES (one local row per partition dir — dir
+    * names unescaped, the null-partition sentinel decoded to NULL),
+    * never against the data, and matching dirs are dropped whole. At
+    * 100 TB a retention sweep is O(#partitions) driver work with
+    * ZERO data I/O — routing it through [[acidDelete]] instead would
+    * rewrite-scan every expiring partition for nothing. TRUE-only
+    * match semantics: a NULL predicate (e.g. the null partition
+    * under a `< 1995` comparator) keeps the partition.
+    *
+    * Returns the dropped partition dir names. */
+  private[graft] def dropPartitions(s: SparkSession, root: String,
+      partCol: String, pred: org.apache.spark.sql.Column): Seq[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val dirs = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(s"$partCol="))
+      .map(_.getName).toSeq.sorted
+    if (dirs.isEmpty) return Nil
+    val values = dirs.map { dn =>
+      val raw = dn.stripPrefix(s"$partCol=")
+      if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+      else ExternalCatalogUtils.unescapePathName(raw)
+    }
+    import scala.jdk.CollectionConverters._
+    val matched = s.createDataFrame(
+        values.map(v => org.apache.spark.sql.Row(v)).asJava,
+        StructType(Seq(StructField(partCol, StringType))))
+      .filter(coalesce(pred, lit(false)))
+      .collect().map(r => Option(r.getString(0))).toSet
+    val dropped = dirs.zip(values).collect {
+      case (dn, v) if matched(Option(v)) => dn
+    }
+    dropped.foreach(dn => org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$root/$dn")))
+    dropped
+  }
+
   /** The RegexSerDe demo's declared table shape + line pattern,
     * shared by the DSv2 read (`scan_text_serde`) and the expression
     * cross-check. */
@@ -499,6 +544,30 @@ object Scans {
         .orderBy(col("o_orderkey"))
     },
 
+    // Hive `ALTER TABLE ... DROP PARTITION (o_year < 1997)` — the
+    // retention sweep (see [[dropPartitions]]): seed a
+    // year-partitioned table, drop every pre-1997 partition by
+    // PARTITION VALUE (metadata-only, zero data I/O), read back.
+    // Oracle: the base table filtered to the surviving years.
+    // ScanSpec asserts the dropped-dir list, byte-identical survivors,
+    // idempotence, and the TRUE-only null-partition semantics.
+    "sink_drop_partition" -> { (s, d) =>
+      val out = ioDir("sink_drop_partition", d)
+      Tables.t(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          dec(col("o_totalprice")).as("o_price"), col("o_year"))
+        .repartition(col("o_year"))
+        .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(out)
+      dropPartitions(s, out, "o_year",
+        col("o_year").cast(IntegerType) < 1997)
+      s.read.parquet(out)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          money(col("o_price")).as("o_price"),
+          col("o_year").cast(IntegerType))
+        .orderBy(col("o_orderkey"))
+    },
+
     // The bucket-map-join READ path — the capability Hive bucketing
     // exists for (ConvertJoinMapJoin / SMB join): two tables written
     // co-bucketed + co-sorted on the join key join WITHOUT ANY
@@ -637,6 +706,14 @@ object Scans {
         |  CAST(year(o_orderdate) AS INTEGER) AS o_year
         |FROM orders
         |WHERE NOT (o_orderkey % 7 = 2 AND year(o_orderdate) <= 1996)
+        |ORDER BY o_orderkey""".stripMargin,
+    // the retention sweep's survivors restated against the base table
+    "sink_drop_partition" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_price,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year
+        |FROM orders
+        |WHERE year(o_orderdate) >= 1997
         |ORDER BY o_orderkey""".stripMargin,
     // compaction is a pure layout rewrite: the content restates the
     // base table exactly

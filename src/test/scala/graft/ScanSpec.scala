@@ -683,6 +683,35 @@ class ScanSpec extends SparkSpec {
     assert(partSnapshot(root, "o_year") === afterDel)
   }
 
+  test("drop partition: metadata-only retention by partition value, null partition kept") {
+    val s = spark
+    import s.implicits._
+    val root = s"${sys.props("java.io.tmpdir")}/graft_scanspec/droppart"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val df = Seq[(Long, java.lang.Integer)](
+      (1L, 1992), (2L, 1993), (3L, 1995), (4L, null), (5L, 1996))
+      .toDF("id", "yr")
+    df.repartition(col("yr")).write.mode("overwrite")
+      .partitionBy("yr").parquet(root)
+    val before = partSnapshot(root, "yr")
+    assert(before.keySet.contains("yr=__HIVE_DEFAULT_PARTITION__"))
+
+    val dropped = operators.Scans.dropPartitions(spark, root, "yr",
+      col("yr").cast("int") < 1995)
+    assert(dropped.toSet === Set("yr=1992", "yr=1993"), dropped.toString)
+    // the null partition's predicate is NULL, not TRUE → kept
+    assert(new java.io.File(s"$root/yr=__HIVE_DEFAULT_PARTITION__").exists())
+    // survivors untouched byte-identical; dropped dirs gone
+    val after = partSnapshot(root, "yr")
+    assert(after.keySet === before.keySet -- dropped)
+    after.keySet.foreach(dir => assert(after(dir) === before(dir)))
+    assert(spark.read.parquet(root).select(col("id"))
+      .collect().map(_.getLong(0)).toSet === Set(3L, 4L, 5L))
+    // a second sweep matches nothing
+    assert(operators.Scans.dropPartitions(spark, root, "yr",
+      col("yr").cast("int") < 1995).isEmpty)
+  }
+
   test("acid delete removes an emptied partition dir and keeps NULL-predicate rows") {
     val s = spark
     import s.implicits._

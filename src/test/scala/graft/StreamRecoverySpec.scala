@@ -139,4 +139,65 @@ class StreamRecoverySpec extends SparkSpec {
     assert(got === Seq(1L, 2L, 3L, 4L, 5L),
       "replayed batches must overwrite their own partition, never duplicate")
   }
+
+  test("streaming MV maintenance: batch partitions are absorbed incrementally and served by the rewrite") {
+    // The operational synthesis of the r17 pieces: a stream lands
+    // each micro-batch as its own batchId-keyed fact partition
+    // (dynamic overwrite → replay-idempotent, and insert-only at
+    // partition granularity — exactly rebuildIncremental's
+    // precondition), then refreshes the materialized view
+    // incrementally inside foreachBatch. The MV stays O(new batch)
+    // per refresh instead of O(fact), and the rewrite keeps serving
+    // the fact-table aggregate from it between batches.
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_mv"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val factPath = s"$base/fact"
+    val mvPath = s"$base/mv"
+    Seq((0L, "x", 10L)).toDF("id", "k", "m").withColumn("b", lit(0L))
+      .write.partitionBy("b").parquet(factPath)
+    val mv = graft.plans.MvRewrite.materializePartitioned(spark, "mv_stream",
+      factPath, "b", dims = Seq("k"), measures = Seq("m"), mvPath)
+
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = mem.toDF().toDF("id", "k", "m").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try batch.withColumn("b", lit(id + 1))
+          .write.mode("overwrite").partitionBy("b").parquet(factPath)
+        finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        graft.plans.MvRewrite.rebuildIncremental(spark, mv)
+        ()
+      }.start()
+    mem.addData((1L, "x", 5L), (2L, "y", 7L)); q.processAllAvailable()
+    mem.addData((3L, "y", 1L)); q.processAllAvailable()
+    q.stop()
+
+    graft.plans.MvRewrite.install(spark)
+    spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+    def agg() = spark.read.parquet(factPath)
+      .groupBy(col("k"))
+      .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
+      .orderBy(col("k"))
+    val on = agg()
+    // the maintained summary answers the query (no fact scan) ...
+    val scans = on.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath)
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(scans === Seq(mvPath),
+      s"streamed MV must serve the query:\n${on.queryExecution.optimizedPlan}")
+    // ... and reflects every micro-batch exactly
+    assert(on.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq(("x", 15L, 2L), ("y", 8L, 2L)))
+    spark.conf.set(graft.plans.MvRewrite.EnabledKey, "false")
+  }
 }
