@@ -364,6 +364,32 @@ object Functions {
         .orderBy(col("n").desc, col("following")).limit(5)
     },
 
+    // Hive's XPath UDF family (`ql.udf.xml.*` — `xpath`,
+    // `xpath_string`, `xpath_boolean`, `xpath_long`, `xpath_double`):
+    // the "query XML logs in place" surface. The XML is CONSTRUCTED
+    // from customer columns, so the oracle restates every extraction
+    // from the base columns exactly — if any axis/typing rule drifted
+    // (text() node lists, numeric sum() over a node-set, existence
+    // tests, absent-path defaults), the roundtrip breaks under the
+    // hash. All are codegen-registered builtins through the SQL
+    // registry; at 100 TB this is a per-row scalar map, no shuffle.
+    "fn_xpath" -> ((s, d) =>
+      Tables.t(s, d, "customer")
+        .select(col("c_custkey"),
+          concat(lit("<r><k>"), col("c_custkey"),
+            lit("</k><seg>"), col("c_mktsegment"),
+            lit("</seg><ns><n>"), col("c_custkey") % 5,
+            lit("</n><n>"), col("c_custkey") % 7,
+            lit("</n></ns></r>")).as("xml"))
+        .select(col("c_custkey"),
+          expr("xpath_long(xml, '/r/k')").as("xk"),
+          expr("xpath_string(xml, '/r/seg')").as("xseg"),
+          expr("xpath_boolean(xml, '/r/ns')").as("has_ns"),
+          expr("xpath_boolean(xml, '/r/missing')").as("has_missing"),
+          expr("xpath_double(xml, 'sum(/r/ns/n)')").as("nsum"),
+          array_join(expr("xpath(xml, '/r/ns/n/text()')"), ",").as("ns_list"))
+        .orderBy(col("c_custkey"))),
+
     // inherently engine-specific: properties asserted, no oracle
     "fn_misc" -> { (s, d) =>
       val base = Tables.raw(s, d, "nation").select(
@@ -381,6 +407,19 @@ object Functions {
   )
 
   val oracle: Map[String, String] = Map(
+    // the XML was constructed from these very columns, so each
+    // extraction restates as the source expression (xpath_long →
+    // BIGINT, sum() over the node-set → DOUBLE, text() list →
+    // comma-join, existence → constant booleans)
+    "fn_xpath" ->
+      """SELECT c_custkey,
+        |  CAST(c_custkey AS BIGINT) AS xk,
+        |  c_mktsegment AS xseg,
+        |  TRUE AS has_ns,
+        |  FALSE AS has_missing,
+        |  CAST(c_custkey % 5 + c_custkey % 7 AS DOUBLE) AS nsum,
+        |  CAST(c_custkey % 5 AS VARCHAR) || ',' || CAST(c_custkey % 7 AS VARCHAR) AS ns_list
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // the roundtrip columns restate as the IDENTITY — if either
     // direction of either codec drifted, the rt columns would differ
     "fn_encoding" ->

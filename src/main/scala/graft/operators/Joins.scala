@@ -258,10 +258,48 @@ object Joins {
               |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT count(*) FROM customer)
               |      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer)
               |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Hive `WITH` CTE surface (`ql.parse.SemanticAnalyzer` CTE
+    // handling — the §1.1 views/CTEs row's keyed form): one CTE
+    // defined ONCE and referenced TWICE — directly as the
+    // per-customer spend relation and again through a second CTE
+    // that reduces it to a global max — through the SQL frontend
+    // (CTESubstitution/WithCTE). The identical text runs in DuckDB,
+    // so resolution, scoping, and the double-reference semantics are
+    // all under the hash. Money stays DECIMAL(18,2) to the output
+    // boundary; the share divides two exact decimals as DOUBLE (one
+    // IEEE division on both engines — the avgExact discipline). At
+    // 100 TB the double reference is the part that matters: the
+    // repeated subtree plans per reference and ReuseExchange
+    // collapses the duplicate shuffle (same machinery the
+    // AdaptiveReadSpec exchange-reuse assert pins down).
+    "sql_cte" -> { (s, d) =>
+      Tables.views(s, d)
+      s.sql(cteSql)
     }
   )
 
+  /** One SQL text for both engines — the oracle IS the query. */
+  private val cteSql =
+    """WITH cust_spend AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+      |         count(*) AS n_orders
+      |  FROM orders GROUP BY o_custkey),
+      |top AS (SELECT max(spend) AS max_spend FROM cust_spend)
+      |SELECT c.c_mktsegment AS segment,
+      |  CAST(count(*) AS BIGINT) AS n_cust,
+      |  CAST(sum(cs.n_orders) AS BIGINT) AS n_orders,
+      |  CAST(sum(cs.spend) AS DOUBLE) AS segment_spend,
+      |  CAST(max(cs.spend) AS DOUBLE) / CAST(max(t.max_spend) AS DOUBLE) AS top_share
+      |FROM cust_spend cs
+      |JOIN customer c ON c.c_custkey = cs.o_custkey
+      |CROSS JOIN top t
+      |GROUP BY c.c_mktsegment
+      |ORDER BY segment""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sql_cte" -> cteSql,
     "join_null_safe" ->
       """WITH a AS (SELECT o_orderkey, nullif(o_custkey % 100, 7) AS k
         |           FROM orders WHERE o_orderkey < 500),

@@ -327,6 +327,30 @@ object Scans {
         regexp_extract(col("value"), serdeRegex, 2).as("o_orderstatus"),
         regexp_extract(col("value"), serdeRegex, 3).cast(DoubleType).as("o_totalprice"))
 
+  /** Hive multi-insert dataflow (see the `sink_multi_insert` entry):
+    * the source is localCheckpoint-materialized ONCE, then each
+    * sink's write reads the materialized blocks — a row-level
+    * projection of the high-value orders and an aggregate of the
+    * rest. Returns (hiDir, loDir, stagedSource); the staged frame is
+    * exposed so ScanSpec can assert each sink's physical plan reads
+    * the checkpoint (Scan ExistingRDD), never a second parquet scan. */
+  private[graft] def multiInsert(s: SparkSession, d: String,
+      out: String): (String, String, DataFrame) = {
+    val src = Tables.t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        dec(col("o_totalprice")).as("price"))
+      .localCheckpoint()
+    val hiDir = s"$out/hi"
+    val loDir = s"$out/lo"
+    src.filter(col("price") >= 300000)
+      .write.mode(SaveMode.Overwrite).parquet(hiDir)
+    src.filter(col("price") < 300000)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sum_price"))
+      .write.mode(SaveMode.Overwrite).parquet(loDir)
+    (hiDir, loDir, src)
+  }
+
   val queries: Map[String, Q.QueryFn] = Map(
     // Count-preserving narrow projection (SURVEY.md:149): the contract
     // needs a full scan, not a full-width total re-sort of the fact
@@ -471,6 +495,38 @@ object Scans {
         .orderBy(col("o_orderkey"), col("tag"))
     },
 
+    // Hive multi-insert (`FROM src INSERT OVERWRITE TABLE hi SELECT
+    // ... WHERE ... INSERT OVERWRITE TABLE lo SELECT ... WHERE ...`,
+    // `ql.parse.SemanticAnalyzer` multi-destination query blocks):
+    // Hive's signature single-scan fan-out — ONE pass over the source
+    // feeds N heterogeneous sinks, here a row-level projection of the
+    // high-value orders and an aggregate of the rest, so the two
+    // destinations even disagree on shape. Spark has no multi-insert
+    // statement; the dataflow is the source materialized once
+    // (localCheckpoint) with each sink's write reading the
+    // materialized blocks — ScanSpec asserts neither sink's physical
+    // plan rescans the parquet. The keyed result is the tagged union
+    // of both sinks read back; the oracle restates it from the base
+    // table. At 100 TB materialization-vs-rescan is a cost call
+    // (persist(DISK_ONLY) when the source is an expensive
+    // join/filter chain, two pushed-down scans when it is a raw
+    // table); the fan-out dataflow is this one either way.
+    "sink_multi_insert" -> { (s, d) =>
+      val (hiDir, loDir, _) = multiInsert(s, d, ioDir("sink_multi_insert", d))
+      val hi = s.read.parquet(hiDir)
+        .select(lit("hi").as("sink"), col("o_orderkey").as("k"),
+          col("o_orderpriority").as("pri"), lit(1L).as("n"),
+          money(col("price")).as("v"))
+      val lo = s.read.parquet(loDir)
+        .select(lit("lo").as("sink"), lit(null).cast(LongType).as("k"),
+          col("o_orderpriority").as("pri"), col("n"),
+          money(col("sum_price")).as("v"))
+      // k is NULL only in the 'lo' group, where pri is unique — the
+      // sort never tie-breaks through a NULL, so Spark's NULLS FIRST
+      // vs DuckDB's NULLS LAST default can't diverge
+      hi.unionByName(lo).orderBy(col("sink"), col("pri"), col("k"))
+    },
+
     // Hive 3 ACID `MERGE INTO` expressed as the dataflow it compiles
     // to on an engine without a transactional table format (the
     // classic pre-Delta upsert): target FULL OUTER JOIN source on the
@@ -565,6 +621,41 @@ object Scans {
         .select(col("o_orderkey"), col("o_orderstatus"),
           money(col("o_price")).as("o_price"),
           col("o_year").cast(IntegerType))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // Sorted data layout for min/max data skipping — Hive's
+    // `CLUSTERED BY ... SORTED BY` table layout + the ORC row-group
+    // index it feeds (`hive.optimize.index.filter`), re-expressed on
+    // parquet: range-partition + sort the table on its dominant
+    // filter column so every row group's min/max span is narrow, and
+    // the pushed-down predicate skips WHOLE row groups in the
+    // reader. Layout is semantics-preserving, so the oracle is the
+    // plain filter over the base table; the SKIPPING is the point
+    // and ScanSpec proves it with metrics — the same date filter
+    // over a tiny-row-group copy surfaces far fewer rows from the
+    // sorted layout's scan than from a hash-scrambled one. MEASURED
+    // (r17): the sort key must be a type the reader evaluates
+    // row-group stats for — LONG and DATE skip, TIMESTAMP_NTZ does
+    // NOT (its pushed predicate never reaches the parquet stats
+    // filter: 1500/1500 rows surfaced where DATE read 300) — so the
+    // layout casts the NTZ order date to DATE at write. At 100 TB
+    // this is the single highest-leverage layout decision a
+    // time-series fact table makes: partition by coarse time, SORT
+    // within files by the secondary filter key, and a selective
+    // predicate reads a sliver of each file instead of all of it.
+    "sink_sorted_layout" -> { (s, d) =>
+      val out = ioDir("sink_sorted_layout", d)
+      Tables.t(s, d, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"),
+          dec(col("o_totalprice")).as("price"))
+        .repartitionByRange(4, col("o_date"))
+        .sortWithinPartitions(col("o_date"))
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_date").between("1995-01-01", "1995-12-31"))
+        .select(col("o_orderkey"), dateOut(col("o_date")).as("o_date"),
+          money(col("price")).as("price"))
         .orderBy(col("o_orderkey"))
     },
 
@@ -678,6 +769,27 @@ object Scans {
       """SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // layout is semantics-preserving: the oracle is the plain filter
+    "sink_sorted_layout" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS o_date,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'
+        |ORDER BY o_orderkey""".stripMargin,
+    // both destinations restated from the base table and re-tagged:
+    // the hi sink row-for-row, the lo sink as the same aggregate
+    "sink_multi_insert" ->
+      """SELECT 'hi' AS sink, o_orderkey AS k, o_orderpriority AS pri,
+        |  CAST(1 AS BIGINT) AS n,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+        |FROM orders WHERE CAST(o_totalprice AS DECIMAL(18,2)) >= 300000
+        |UNION ALL
+        |SELECT 'lo', NULL, o_orderpriority, CAST(count(*) AS BIGINT),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE CAST(o_totalprice AS DECIMAL(18,2)) < 300000
+        |GROUP BY o_orderpriority
+        |ORDER BY sink, pri, k""".stripMargin,
     // the merged final state restated row-for-row against the base
     // table: matched keys carry the UPDATE, shifted keys the INSERT,
     // the rest pass through untouched

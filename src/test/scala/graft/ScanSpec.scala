@@ -741,4 +741,75 @@ class ScanSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(ids === Set(3L, 4L))
   }
+
+  test("sink_sorted_layout: a sorted layout's row groups are skipped, a scrambled one's are not") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_scanspec/sorted_layout"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    // DATE, not the raw TIMESTAMP_NTZ: NTZ predicates are listed in
+    // PushedFilters but never evaluated against row-group stats
+    // (measured r17: NTZ surfaced 1500/1500 rows where DATE read
+    // 300), so a layout sorted on an NTZ column skips NOTHING —
+    // exactly the silent trap this test exists to catch
+    val src = Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"))
+    // tiny row groups so the sf0.001 table holds MANY of them — at
+    // real scale the default 128 MiB groups play this role
+    def write(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+      df.coalesce(1).write
+        .option("parquet.block.size", "4096")
+        .option("parquet.page.size", "1024")
+        .mode("overwrite").parquet(s"$base/$dir")
+    write(src.sort(col("o_date")), "sorted")
+    write(src.sort(hash(col("o_orderkey"))), "scrambled")
+
+    // rows the READER surfaces = rows in row groups the pushed
+    // min/max predicate could not skip
+    def scanRows(dir: String): Long = {
+      val df = spark.read.parquet(s"$base/$dir")
+        .filter(col("o_date").between("1995-01-01", "1995-06-30"))
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .find(_.getClass.getSimpleName.contains("FileSourceScan")).get
+      scan.metrics("numOutputRows").value
+    }
+    val total = src.count()
+    val (sorted, scrambled) = (scanRows("sorted"), scanRows("scrambled"))
+    // same result either way (layout is semantics-preserving) ...
+    def filtered(dir: String): Set[Long] =
+      spark.read.parquet(s"$base/$dir")
+        .filter(col("o_date").between("1995-01-01", "1995-06-30"))
+        .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    assert(filtered("sorted") === filtered("scrambled"))
+    // ... but the sorted layout's scan skipped most row groups while
+    // the scrambled one read essentially the whole file: every one of
+    // its row groups spans the full date range, so min/max prunes none
+    assert(sorted < total / 2, s"sorted=$sorted total=$total")
+    assert(scrambled > total / 2, s"scrambled=$scrambled total=$total")
+    assert(sorted < scrambled / 2, s"sorted=$sorted scrambled=$scrambled")
+  }
+
+  test("sink_multi_insert: both sinks read the one materialization, not a second scan") {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_scanspec/multi_insert"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val (hiDir, loDir, staged) = operators.Scans.multiInsert(spark, sf, out)
+    // the staged source is a checkpoint RDD: any consumer's physical
+    // plan scans the materialized blocks (ExistingRDD), never the
+    // orders parquet again — this IS Hive multi-insert's single-scan
+    // contract, so a FileScan here would mean the fan-out silently
+    // degenerated into N full source scans
+    for (sink <- Seq(
+        staged.filter(col("price") >= 300000),
+        staged.filter(col("price") < 300000)
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")))) {
+      val plan = sink.queryExecution.executedPlan.toString
+      assert(plan.contains("ExistingRDD"), plan)
+      assert(!plan.contains("FileScan"), plan)
+    }
+    // and the fan-out really diverged: row-level sink vs aggregate sink
+    val hi = spark.read.parquet(hiDir)
+    val lo = spark.read.parquet(loDir)
+    val nOrders = Tables.t(spark, sf, "orders").count()
+    assert(hi.count() + lo.agg(sum(col("n"))).head.getLong(0) === nOrders)
+    assert(lo.count() === lo.select(col("o_orderpriority")).distinct().count())
+  }
 }
