@@ -33,7 +33,7 @@ object Tables {
     !factTables.contains(name) || {
       val bound = spark.conf.getOption("spark.graft.factCacheMaxBytes")
         .map(_.toLong).getOrElse(4L << 30)
-      new java.io.File(s"$dir/$name.parquet").length() < bound
+      Fs.len(spark, s"$dir/$name.parquet") < bound
     }
 
   private val cache =
@@ -128,18 +128,6 @@ object Tables {
       "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
       "label" -> IntegerType))
 
-  /** Pick one parquet data file under `path` for footer probing
-    * (`path` itself if it is a file, as the generator writes; the
-    * first non-hidden part file if a directory, as Spark writes). */
-  private def probeFile(path: String): Option[java.io.File] = {
-    val f = new java.io.File(path)
-    if (f.isFile) Some(f)
-    else if (f.isDirectory)
-      f.listFiles().filter(p => p.isFile && p.getName.endsWith(".parquet") &&
-        !p.getName.startsWith("_") && !p.getName.startsWith(".")).sortBy(_.getName).headOption
-    else None
-  }
-
   /** Footer probe, cached per file version (path+length+mtime): does
     * the parquet schema carry any TIMESTAMP(NANOS) column? Spark 4
     * rejects ns files outright ([PARQUET_TYPE_ILLEGAL]) unless the
@@ -154,14 +142,15 @@ object Tables {
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   private[graft] def footerHasNanos(spark: SparkSession, path: String): Boolean =
-    probeFile(path).exists { f =>
-      nsFooterCache.getOrElseUpdate(s"${f.getAbsolutePath}|${f.length}|${f.lastModified}",
+    // probe selection via graft.Fs (scheme-agnostic — a 100 TB table
+    // root is hdfs:/s3a:, where java.io.File sees nothing; r17 #1)
+    Fs.probeFile(spark, path).exists { case (p, plen, pmtime) =>
+      nsFooterCache.getOrElseUpdate(s"$p|$plen|$pmtime",
         try {
           import org.apache.parquet.hadoop.ParquetFileReader
           import org.apache.parquet.hadoop.util.HadoopInputFile
           import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
-          val in = HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          val in = HadoopInputFile.fromPath(p,
             spark.sessionState.newHadoopConf())
           val reader = ParquetFileReader.open(in)
           try reader.getFileMetaData.getSchema.getColumns.asScala.exists {

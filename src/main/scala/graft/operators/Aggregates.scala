@@ -281,9 +281,17 @@ object Aggregates {
           count(lit(1)).as("n"),
           count(col("l_quantity")).as("n_qty"),
           min(col("l_quantity")).as("min_qty"),
-          max(col("l_quantity")).as("max_qty"))
+          max(col("l_quantity")).as("max_qty"),
+          // avg through the rewrite (r17 verdict #3): served as
+          // Σ s_qty / Σ c_qty over the summary. l_quantity is
+          // integer-valued doubles, so sum is exact in float64 and
+          // the division is the identical IEEE op on both engines —
+          // hash-safe without rounding games. The decimal-measure
+          // avg (engine-specific oracle rounding) is bit-identity-
+          // asserted against the rule-off plan in PlanRuleSpec.
+          avg(col("l_quantity")).as("avg_qty"))
         .select(col("l_returnflag"), money(col("sum_price_dec")).as("sum_price"),
-          col("n"), col("n_qty"), col("min_qty"), col("max_qty"))
+          col("n"), col("n_qty"), col("min_qty"), col("max_qty"), col("avg_qty"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -515,7 +523,8 @@ object Aggregates {
       s"""SELECT l_returnflag,
          |  CAST(sum($P2) AS DOUBLE) AS sum_price,
          |  count(*) AS n, count(l_quantity) AS n_qty,
-         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         |  avg(l_quantity) AS avg_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

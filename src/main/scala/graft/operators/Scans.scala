@@ -70,7 +70,7 @@ object Scans {
       val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
       for (t <- Seq(liTbl, ordTbl)) {
         s.sql(s"DROP TABLE IF EXISTS $t")
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/$t"))
+        graft.Fs.deleteDir(s, s"$wh/$t")
       }
       Tables.t(s, d, "lineitem").filter(col("l_orderkey") < 2000)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -120,20 +120,15 @@ object Scans {
   private[graft] def compactPartitions(s: SparkSession, root: String,
       partCol: String, targetFileBytes: Long,
       salt: org.apache.spark.sql.Column): Map[String, (Int, Int)] = {
-    def dataFiles(d: java.io.File): Array[java.io.File] =
-      Option(d.listFiles()).getOrElse(Array.empty).filter(f =>
-        f.isFile && f.getName.endsWith(".parquet") &&
-          !f.getName.startsWith("_") && !f.getName.startsWith("."))
-    val partDirs = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith(s"$partCol="))
-    val plan = partDirs.flatMap { d =>
-      val files = dataFiles(d)
-      val bytes = files.map(_.length).sum
+    // sizing via the Hadoop FS API (graft.Fs): scheme-agnostic —
+    // identical on file:/, hdfs:/ and s3a:/ table roots (r17 #1)
+    val plan = graft.Fs.partDirs(s, root, partCol).flatMap { dn =>
+      val files = graft.Fs.dataFiles(s, s"$root/$dn")
+      val bytes = files.map(_._2).sum
       val target = math.max(1L,
         (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       if (files.length > target)
-        Some(d.getName -> (files.length, target)) else None
+        Some(dn -> (files.length, target)) else None
     }.toMap
     if (plan.nonEmpty) {
       // per-partition target file count as an expression, so ONE
@@ -233,8 +228,7 @@ object Scans {
     val survivors = out.select(col(partCol).cast(StringType)).distinct()
       .collect().map(r => Option(r.getString(0))).toSet
     affected.filterNot(survivors).foreach { v =>
-      org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(s"$root/${dirName(v)}"))
+      graft.Fs.deleteDir(s, s"$root/${dirName(v)}")
     }
     dirs
   }
@@ -284,10 +278,7 @@ object Scans {
   private[graft] def dropPartitions(s: SparkSession, root: String,
       partCol: String, pred: org.apache.spark.sql.Column): Seq[String] = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    val dirs = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith(s"$partCol="))
-      .map(_.getName).toSeq.sorted
+    val dirs = graft.Fs.partDirs(s, root, partCol)
     if (dirs.isEmpty) return Nil
     val values = dirs.map { dn =>
       val raw = dn.stripPrefix(s"$partCol=")
@@ -303,8 +294,7 @@ object Scans {
     val dropped = dirs.zip(values).collect {
       case (dn, v) if matched(Option(v)) => dn
     }
-    dropped.foreach(dn => org.apache.commons.io.FileUtils
-      .deleteDirectory(new java.io.File(s"$root/$dn")))
+    dropped.foreach(dn => graft.Fs.deleteDir(s, s"$root/$dn"))
     dropped
   }
 
@@ -735,7 +725,7 @@ object Scans {
       // a fresh session's in-memory catalog forgets the table but its
       // warehouse dir survives — clear it or saveAsTable refuses
       val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/graft_bucketed"))
+      graft.Fs.deleteDir(s, s"$wh/graft_bucketed")
       Tables.t(s, d, "lineitem")
         .filter(col("l_orderkey") < 1000)
         .select(col("l_orderkey"), col("l_linenumber"), dec(col("l_extendedprice")).as("l_price"))

@@ -26,14 +26,20 @@ import org.apache.spark.sql.types.LongType
   *     touching a measure selects within groups and declines);
   *   - its group-by columns are a subset of the MV's dimensions;
   *   - each aggregate is `sum(m)` / `count(1)` / `count(m)` /
-  *     `min(m)` / `max(m)` over a registered measure, no DISTINCT,
-  *     no FILTER clause.
+  *     `min(m)` / `max(m)` / `avg(m)` over a registered measure, no
+  *     DISTINCT, no FILTER clause.
   * Then sum rolls up as sum-of-partial-sums, count as sum-of-counts,
-  * min/max as min/max-of-partials — the re-aggregation identities
-  * that make the rewrite EXACT (decimal sums stay exact; this is the
-  * same mergeability discipline as `agg_hll_sketch`). Anything
-  * outside the scope is left untouched — a rewrite that cannot be
-  * proven identical must not fire.
+  * min/max as min/max-of-partials, and avg as sum-of-sums over
+  * sum-of-counts (`avg(m)` = `Σ s_m / Σ c_m`, Calcite's summary-
+  * rewrite decomposition — r17 verdict #3; the division mirrors
+  * Spark's own `Average.evaluateExpression` operand types so decimal
+  * rounding is bit-identical to the fact-side plan). These
+  * re-aggregation identities make the rewrite EXACT (decimal sums
+  * stay exact; this is the same mergeability discipline as
+  * `agg_hll_sketch`). Still out of scope (declined, never rewritten
+  * wrong): DISTINCT aggregates, FILTER clauses, measure-referencing
+  * predicates, stddev/variance (no Σm² partial in the summary),
+  * percentile/median (not decomposable from group partials).
   *
   * Freshness contract: like Hive's, rewrite answers are as fresh as
   * the last materialization (`hive.materializedview.rewriting` serves
@@ -51,7 +57,7 @@ case class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   import MvRewrite._
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (conf.getConfString(EnabledKey, "false") != "true") plan
+    if (isSuppressed || conf.getConfString(EnabledKey, "false") != "true") plan
     else plan.transformUp {
       case agg @ Aggregate(groups, aggExprs, child, _) if agg.resolved =>
         (for {
@@ -115,6 +121,30 @@ case class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         Some(Min(mvAttr(s"mn_${a.name}")).toAggregateExpression())
       case Max(a: AttributeReference) if mv.measures.contains(a.name) =>
         Some(Max(mvAttr(s"mx_${a.name}")).toAggregateExpression())
+      // avg(m) = Σ s_m / Σ c_m (r17 verdict #3). Division operand
+      // types mirror Average.evaluateExpression's exactly:
+      //  - decimal(p,s) measure: the fact side divides its sum buffer
+      //    decimal(p+10,s) by count cast decimal(20,0) — s_m's COLUMN
+      //    type IS that buffer type (materialize wrote sum(m)), so
+      //    casting Σ s_m back to it reproduces the identical divide
+      //    result type and rounding (a wider dividend would round at
+      //    a different intermediate scale → double-rounding drift in
+      //    the last digit);
+      //  - anything else: double / double, as Average does.
+      // The caller's Cast-to-original-type restates avg's declared
+      // output type (decimal(p+4,s+4) / double).
+      case Average(a: AttributeReference, _) if mv.measures.contains(a.name) =>
+        val sCol = mvAttr(s"s_${a.name}")
+        val sumAgg = Sum(sCol).toAggregateExpression()
+        val cntAgg = Sum(mvAttr(s"c_${a.name}")).toAggregateExpression()
+        Some(sCol.dataType match {
+          case d: org.apache.spark.sql.types.DecimalType =>
+            Divide(Cast(sumAgg, d),
+              Cast(cntAgg, org.apache.spark.sql.types.DecimalType(20, 0)))
+          case _ =>
+            Divide(Cast(sumAgg, org.apache.spark.sql.types.DoubleType),
+              Cast(cntAgg, org.apache.spark.sql.types.DoubleType))
+        })
       case _ => None
     }
     val newAggs = aggExprs.map {
@@ -157,16 +187,43 @@ object MvRewrite {
     * later fact writes. Within-scope rewrites are otherwise exact. */
   val EnabledKey = "spark.graft.mv.rewrite.enabled"
 
-  /** One registered materialized view: a summary at `mvPath` holding,
-    * per `dims` group, `s_<m>`/`c_<m>`/`mn_<m>`/`mx_<m>` for every
-    * measure plus `cnt_rows`. When the fact is partitioned and was
-    * registered via [[materializePartitioned]], `partCol` names its
-    * partition column and `covered` the partition dirs the summary
-    * currently reflects — the bookkeeping [[rebuildIncremental]]
-    * needs (Hive keeps the same watermark in the metastore as the
-    * MV's "valid txn list"). */
+  /** Rebuild-scoped rule suppression (r17 verdict #6). A rebuild's own
+    * aggregate matches the rewrite pattern, so with the rule enabled
+    * it would recompute the summary FROM the stale summary; the
+    * pre-r18 fix flipped the session-global conf off, which a
+    * CONCURRENT query on the same session could observe (briefly
+    * losing the rewrite — or, with two racing rebuilds, a racing
+    * restore re-enabling it mid-rebuild). Catalyst optimization runs
+    * on the thread that triggers the action (DataFrameWriter /
+    * localCheckpoint both plan synchronously on the caller), so a
+    * thread-local depth counter scopes the rule off for exactly the
+    * rebuild's own plans and nothing else — a concurrent reader on
+    * another thread keeps the rewrite throughout (spec-asserted with
+    * a rebuild racing a rewritten query). Depth (not boolean): a
+    * materialize nested under another suppressed block must not
+    * un-suppress on exit. */
+  private val suppressDepth: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
+  private[plans] def isSuppressed: Boolean = suppressDepth.get() > 0
+  private def suppressed[T](body: => T): T = {
+    suppressDepth.set(suppressDepth.get() + 1)
+    try body finally suppressDepth.set(suppressDepth.get() - 1)
+  }
+
+  /** One registered materialized view. `mvPath` is the CURRENT
+    * version's data directory (`<baseMvPath>/v=<version>`) — the dir
+    * the rewrite rule actually scans — holding, per `dims` group,
+    * `s_<m>`/`c_<m>`/`mn_<m>`/`mx_<m>` for every measure plus
+    * `cnt_rows`; `baseMvPath` is the user-declared summary root under
+    * which rebuild versions rotate. When the fact is partitioned and
+    * was registered via [[materializePartitioned]], `partCol` names
+    * its partition column and `covered` the partition dirs the
+    * summary currently reflects — the bookkeeping
+    * [[rebuildIncremental]] needs (Hive keeps the same watermark in
+    * the metastore as the MV's "valid txn list"). */
   case class Mv(name: String, factPath: String, dims: Seq[String],
       measures: Seq[String], mvPath: String,
+      baseMvPath: String = "", version: Long = 0L,
       partCol: Option[String] = None, covered: Set[String] = Set.empty)
 
   /** (session token, canonical fact path) -> MV. Per-session like the
@@ -181,11 +238,44 @@ object MvRewrite {
   private[plans] def lookup(s: SparkSession, path: String): Option[Mv] =
     registry.get((graft.Q.sessionToken(s), canon(path)))
 
+  /** The currently registered view for a fact path (test/ops
+    * introspection — e.g. "which data dir is serving rewrites?"). */
+  def registered(s: SparkSession, factPath: String): Option[Mv] =
+    lookup(s, factPath)
+
+  /** Monotonic version source for summary data dirs — globally unique
+    * so two RACING rebuilds of the same view can never write into the
+    * same directory. */
+  private val versionCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Retire summary versions older than `olderThan` under `base`.
+    * Deliberately keeps the immediately-previous version alive: a
+    * reader that planned against it microseconds ago must still find
+    * its files at execution; the old version dies one rebuild later,
+    * long after any in-flight plan. Never deletes NEWER versions, so
+    * a slow rebuild's prune can't destroy a faster racer's data. */
+  private def pruneVersions(s: SparkSession, base: String, olderThan: Long): Unit =
+    graft.Fs.partDirs(s, base, "v")
+      .filter(_.stripPrefix("v=").toLongOption.exists(_ < olderThan))
+      .foreach(dn => graft.Fs.deleteDir(s, s"$base/$dn"))
+
   /** Compute and write the summary for (`dims`, `measures`) over
     * `fact`, then register it for rewrite. The summary carries every
     * partial the supported aggregates need (sum/count/min/max per
     * measure + row count) — ONE pass over the fact table serves them
-    * all. Returns the registered view. */
+    * all.
+    *
+    * Rebuild atomicity (r17 verdict #6): each build writes a FRESH
+    * `v=<n>` data dir under `mvPath` and then swaps the registry
+    * pointer — the manifest pattern every object-store table format
+    * uses, because an in-place `mode(overwrite)` deletes the dir
+    * before rewriting it and a concurrent reader would plan (or
+    * execute) against a half-missing summary. A reader therefore
+    * always sees a COMPLETE version: the old one until the swap, the
+    * new one after; versions older than the previous are retired
+    * ([[pruneVersions]]). Racing rebuilds get unique dirs
+    * ([[versionCounter]]) and last-swap-wins on the pointer.
+    * Returns the registered view. */
   def materialize(s: SparkSession, name: String, fact: DataFrame,
       factPath: String, dims: Seq[String], measures: Seq[String],
       mvPath: String): Mv = {
@@ -193,28 +283,33 @@ object MvRewrite {
       Seq(fsum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
         fmin(col(m)).as(s"mn_$m"), fmax(col(m)).as(s"mx_$m"))
     } :+ count(lit(1)).as("cnt_rows")
+    val key = (graft.Q.sessionToken(s), canon(factPath))
+    val prev = registry.get(key)
+    val v = versionCounter.incrementAndGet()
+    val dataPath = s"$mvPath/v=$v"
     // The rebuild's own aggregate matches the rewrite pattern, so with
     // the rule enabled a REBUILD would recompute the summary FROM the
     // stale summary and never see new fact rows (caught by the
     // freshness-contract spec). Scope the rule off for the rebuild —
-    // a materialization must always read the fact table.
-    val prev = s.conf.getOption(EnabledKey)
-    s.conf.set(EnabledKey, "false")
-    try fact.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(mvPath)
-    finally prev match {
-      case Some(p) => s.conf.set(EnabledKey, p)
-      case None => s.conf.unset(EnabledKey)
+    // thread-locally, so a concurrent reader never loses the rewrite
+    // (see [[suppressed]]) — a materialization must always read the
+    // fact table.
+    suppressed {
+      fact.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(dataPath)
     }
-    val mv = Mv(name, canon(factPath), dims, measures, mvPath)
-    registry((graft.Q.sessionToken(s), mv.factPath)) = mv
+    val mv = Mv(name, canon(factPath), dims, measures, dataPath, mvPath, v)
+    registry(key) = mv
+    pruneVersions(s, mvPath,
+      olderThan = prev.filter(_.baseMvPath == mvPath).map(_.version).getOrElse(0L))
     mv
   }
 
-  private def partDirs(root: String, partCol: String): Set[String] =
-    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith(s"$partCol="))
-      .map(_.getName).toSet
+  /** Partition-dir coverage via the Hadoop FS API (graft.Fs) —
+    * scheme-agnostic, so an hdfs:/s3a: fact root reports its real
+    * dirs instead of java.io.File's silent empty set (r17 #1). */
+  private def partDirs(s: SparkSession, root: String, partCol: String): Set[String] =
+    graft.Fs.partDirs(s, root, partCol).toSet
 
   /** [[materialize]] over a PARTITIONED fact root, recording which
     * partition dirs the summary covers so later inserts can be
@@ -223,7 +318,7 @@ object MvRewrite {
   def materializePartitioned(s: SparkSession, name: String,
       factRoot: String, partCol: String, dims: Seq[String],
       measures: Seq[String], mvPath: String): Mv = {
-    val covered = partDirs(factRoot, partCol)
+    val covered = partDirs(s, factRoot, partCol)
     val mv = materialize(s, name, s.read.parquet(factRoot), factRoot,
         dims, measures, mvPath)
       .copy(partCol = Some(partCol), covered = covered)
@@ -251,8 +346,10 @@ object MvRewrite {
     * The merged partials are cast back to the summary's existing
     * column types, so an incremental rebuild is indistinguishable
     * from a full one — including for a summary already read by the
-    * rewrite rule. The merge materializes (localCheckpoint) before
-    * overwriting `mvPath`: it reads the very summary it replaces.
+    * rewrite rule. The merge writes a fresh `v=<n>` dir and swaps the
+    * registry pointer (same rebuild-atomicity discipline as
+    * [[materialize]]), so it never overwrites the version it reads
+    * and a concurrent reader always sees a complete summary.
     *
     * Returns the partition dirs it absorbed (empty → already
     * current, nothing touched). The registry is authoritative for
@@ -262,13 +359,14 @@ object MvRewrite {
     val mv = lookup(s, handle.factPath).getOrElse(handle)
     val partCol = mv.partCol.getOrElse(throw new IllegalArgumentException(
       s"MV ${mv.name} was not registered with materializePartitioned"))
-    val delta = (partDirs(mv.factPath, partCol) -- mv.covered).toSeq.sorted
+    val delta = (partDirs(s, mv.factPath, partCol) -- mv.covered).toSeq.sorted
     if (delta.isEmpty) return Nil
-    // scope the rule off like materialize: a rebuild must never be
-    // answered from the summary it is refreshing
-    val prev = s.conf.getOption(EnabledKey)
-    s.conf.set(EnabledKey, "false")
-    try {
+    val v = versionCounter.incrementAndGet()
+    val dataPath = s"${mv.baseMvPath}/v=$v"
+    // scope the rule off like materialize (thread-local — concurrent
+    // readers keep the rewrite): a rebuild must never be answered
+    // from the summary it is refreshing
+    suppressed {
       val aggs = mv.measures.flatMap { m =>
         Seq(fsum(col(m)).as(s"s_$m"), count(col(m)).as(s"c_$m"),
           fmin(col(m)).as(s"mn_$m"), fmax(col(m)).as(s"mx_$m"))
@@ -290,14 +388,16 @@ object MvRewrite {
         // exactly so incremental == full rebuild, bit for bit
         .select(old.schema.fields.map(f =>
           col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-        .localCheckpoint() // materialize BEFORE overwriting its own input
-      merged.write.mode("overwrite").parquet(mv.mvPath)
-    } finally prev match {
-      case Some(p) => s.conf.set(EnabledKey, p)
-      case None => s.conf.unset(EnabledKey)
+      // a fresh version dir: the merge reads the OLD version and
+      // writes the NEW one, so no read-then-overwrite hazard exists
+      // (pre-r18 this needed a localCheckpoint to survive overwriting
+      // its own input) and in-flight readers keep a complete summary
+      merged.write.mode("overwrite").parquet(dataPath)
     }
-    val updated = mv.copy(covered = mv.covered ++ delta)
+    val updated = mv.copy(mvPath = dataPath, version = v,
+      covered = mv.covered ++ delta)
     registry((graft.Q.sessionToken(s), mv.factPath)) = updated
+    pruneVersions(s, mv.baseMvPath, olderThan = mv.version)
     delta
   }
 

@@ -316,11 +316,21 @@ class PlanRuleSpec extends SparkSpec {
         }
     }.flatten
 
+  /** The CURRENT summary data dir serving rewrites for a fact path
+    * (rebuilds rotate `v=<n>` dirs under the declared summary root and
+    * swap the registry pointer — r18). */
+  private def mvDataPath(factPath: String): String =
+    graft.plans.MvRewrite.registered(spark, factPath)
+      .getOrElse(fail(s"no MV registered for $factPath")).mvPath
+
   test("mv rewrite: the roll-up aggregate scans the summary, never the fact") {
     val (factPath, mvPath) = operators.Aggregates.mvDemo(spark, sf)
     spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
     val on = mvQuery(factPath)
-    assert(scanPaths(on) === Seq(mvPath), s"expected only the summary scan:\n${on.queryExecution.optimizedPlan}")
+    assert(scanPaths(on) === Seq(mvDataPath(factPath)),
+      s"expected only the summary scan:\n${on.queryExecution.optimizedPlan}")
+    assert(mvDataPath(factPath).startsWith(mvPath),
+      "summary versions must live under the declared summary root")
 
     // row identity vs the unrewritten plan, bit-exact (decimal sums)
     spark.conf.set(graft.plans.MvRewrite.EnabledKey, "false")
@@ -332,29 +342,32 @@ class PlanRuleSpec extends SparkSpec {
   }
 
   test("mv rewrite declines out-of-scope queries: filters, unknown aggs, unregistered scans") {
-    val (factPath, mvPath) = operators.Aggregates.mvDemo(spark, sf)
+    val (factPath, _) = operators.Aggregates.mvDemo(spark, sf)
     spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+    val mvData = mvDataPath(factPath)
     // a filtered fact scan must NOT be served from whole-table totals
     val filtered = spark.read.parquet(factPath)
       .filter(col("l_quantity") > 10)
       .groupBy(col("l_returnflag")).agg(sum(col("l_price")).as("s"))
-    assert(!scanPaths(filtered).contains(mvPath))
-    // an aggregate outside the mergeable set (avg) declines
-    val avgQ = spark.read.parquet(factPath)
-      .groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("a"))
-    assert(!scanPaths(avgQ).contains(mvPath))
+    assert(!scanPaths(filtered).contains(mvData))
+    // an aggregate outside the mergeable set declines: stddev needs a
+    // Σm² partial the summary does not carry (avg, by contrast, IS
+    // decomposable and rewrites — see the dedicated avg tests)
+    val sd = spark.read.parquet(factPath)
+      .groupBy(col("l_returnflag")).agg(stddev(col("l_quantity")).as("sd"))
+    assert(!scanPaths(sd).contains(mvData))
     // distinct aggregation declines (not derivable from partials)
     val dist = spark.read.parquet(factPath)
       .groupBy(col("l_returnflag")).agg(countDistinct(col("l_quantity")).as("d"))
-    assert(!scanPaths(dist).contains(mvPath))
+    assert(!scanPaths(dist).contains(mvData))
     // an unregistered parquet scan of the same shape is untouched
     val other = Tables.raw(spark, sf, "lineitem")
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-    assert(!scanPaths(other).contains(mvPath))
+    assert(!scanPaths(other).contains(mvData))
   }
 
   test("mv rewrite serves a DIMENSION-filtered aggregate from the summary (exact group selection)") {
-    val (factPath, mvPath) = operators.Aggregates.mvDemo(spark, sf)
+    val (factPath, _) = operators.Aggregates.mvDemo(spark, sf)
     spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
     def dimFiltered() = spark.read.parquet(factPath)
       .filter(col("l_linestatus") === "F")
@@ -362,7 +375,7 @@ class PlanRuleSpec extends SparkSpec {
       .agg(sum(col("l_price")).as("s"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
     val on = dimFiltered()
-    assert(scanPaths(on) === Seq(mvPath),
+    assert(scanPaths(on) === Seq(mvDataPath(factPath)),
       s"dim-only filter must move onto the summary:\n${on.queryExecution.optimizedPlan}")
     spark.conf.set(graft.plans.MvRewrite.EnabledKey, "false")
     try assert(on.collect().toSeq === dimFiltered().collect().toSeq)
@@ -393,7 +406,9 @@ class PlanRuleSpec extends SparkSpec {
         dims = Seq("l_returnflag", "l_linestatus"),
         measures = Seq("l_price", "l_quantity"), mvPath)
       val fresh = q()
-      assert(scanPaths(fresh) === Seq(mvPath))
+      // the rebuild rotated to a new version dir under the same root
+      assert(scanPaths(fresh) === Seq(mvDataPath(factPath)))
+      assert(mvDataPath(factPath).startsWith(mvPath))
       val freshRows = fresh.collect().map(r => (r.getString(0), r.getLong(1))).toMap
       val beforeRows = before.map(r => (r.getString(0), r.getLong(1))).toMap
       assert(freshRows.values.sum === beforeRows.values.sum + 7,
@@ -438,8 +453,8 @@ class PlanRuleSpec extends SparkSpec {
     graft.plans.MvRewrite.materialize(spark, "mv_inc_spec_full",
       spark.read.parquet(factPath), s"$base/unscanned_fact_key",
       dims = Seq("o_orderstatus"), measures = Seq("o_price"), fullPath)
-    val inc = spark.read.parquet(mvPath)
-    val full = spark.read.parquet(fullPath)
+    val inc = spark.read.parquet(mvDataPath(factPath))
+    val full = spark.read.parquet(mvDataPath(s"$base/unscanned_fact_key"))
     assert(inc.schema.map(f => (f.name, f.dataType)) ===
       full.schema.map(f => (f.name, f.dataType)),
       "incremental rebuild must not drift the summary schema")
@@ -454,22 +469,140 @@ class PlanRuleSpec extends SparkSpec {
       .agg(sum(col("o_price")).as("s"), count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
     val on = q()
-    assert(scanPaths(on) === Seq(mvPath),
+    assert(scanPaths(on) === Seq(mvDataPath(factPath)),
       s"post-rebuild query must scan only the summary:\n${on.queryExecution.optimizedPlan}")
+    assert(mvDataPath(factPath).startsWith(mvPath))
     spark.conf.set(graft.plans.MvRewrite.EnabledKey, "false")
     try assert(on.collect().toSeq === q().collect().toSeq)
     finally spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
   }
 
   test("mv rewrite serves the GLOBAL aggregate (empty group-by) from the summary too") {
-    val (factPath, mvPath) = operators.Aggregates.mvDemo(spark, sf)
+    val (factPath, _) = operators.Aggregates.mvDemo(spark, sf)
     spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
     def global() = spark.read.parquet(factPath)
       .agg(sum(col("l_price")).as("total"), count(lit(1)).as("n"))
     val on = global()
-    assert(scanPaths(on) === Seq(mvPath))
+    assert(scanPaths(on) === Seq(mvDataPath(factPath)))
     spark.conf.set(graft.plans.MvRewrite.EnabledKey, "false")
     try assert(on.collect().toSeq === global().collect().toSeq)
     finally spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+  }
+
+  test("mv rewrite serves grouped avg — decimal AND double measures — bit-identically (r17 #3)") {
+    val (factPath, _) = operators.Aggregates.mvDemo(spark, sf)
+    spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+    // l_price is decimal(18,2) (the decimal-division typing the r17
+    // verdict called out: avg → decimal(22,6), internal divide
+    // decimal(28,2)/decimal(20,0)); l_quantity is double
+    def q() = spark.read.parquet(factPath)
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_price")).as("avg_price"),
+        avg(col("l_quantity")).as("avg_qty"),
+        sum(col("l_price")).as("s"))
+      .orderBy(col("l_returnflag"))
+    val on = q()
+    assert(scanPaths(on) === Seq(mvDataPath(factPath)),
+      s"avg must be served from the summary:\n${on.queryExecution.optimizedPlan}")
+    // output types must be exactly the fact-side avg's declared types
+    assert(on.schema("avg_price").dataType ===
+      org.apache.spark.sql.types.DecimalType(22, 6))
+    assert(on.schema("avg_qty").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    spark.conf.set(graft.plans.MvRewrite.EnabledKey, "false")
+    try {
+      val off = q()
+      assert(scanPaths(off) === Seq(factPath))
+      // bit-exact, decimal rounding included: Σs_m is cast back to the
+      // fact-side sum-buffer type before the divide, so the rewrite
+      // rounds at the same intermediate scale as Average itself
+      assert(on.collect().toSeq === off.collect().toSeq)
+    } finally spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+  }
+
+  test("mv rewrite serves the GLOBAL avg from the summary bit-identically") {
+    val (factPath, _) = operators.Aggregates.mvDemo(spark, sf)
+    spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+    def q() = spark.read.parquet(factPath)
+      .agg(avg(col("l_price")).as("avg_price"),
+        avg(col("l_quantity")).as("avg_qty"))
+    val on = q()
+    assert(scanPaths(on) === Seq(mvDataPath(factPath)))
+    spark.conf.set(graft.plans.MvRewrite.EnabledKey, "false")
+    try assert(on.collect().toSeq === q().collect().toSeq)
+    finally spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+  }
+
+  test("mv rewrite serves a dim-FILTERED avg from the summary bit-identically") {
+    val (factPath, _) = operators.Aggregates.mvDemo(spark, sf)
+    spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+    def q() = spark.read.parquet(factPath)
+      .filter(col("l_linestatus") === "F")
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_price")).as("avg_price"))
+      .orderBy(col("l_returnflag"))
+    val on = q()
+    assert(scanPaths(on) === Seq(mvDataPath(factPath)))
+    spark.conf.set(graft.plans.MvRewrite.EnabledKey, "false")
+    try assert(on.collect().toSeq === q().collect().toSeq)
+    finally spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+  }
+
+  test("mv rebuild suppression is THREAD-scoped: a concurrent reader never loses the rewrite (r17 #6)") {
+    // dedicated fixture — racing a rebuild on mvDemo's view would
+    // perturb the keys' staged state
+    val base = s"${sys.props("java.io.tmpdir")}/graft_planrule/mvrace"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val factPath = s"$base/fact"
+    val mvPath = s"$base/mv"
+    Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        Q.dec(col("l_extendedprice")).as("l_price"))
+      .write.mode("overwrite").parquet(factPath)
+    def rebuild(): Unit =
+      graft.plans.MvRewrite.materialize(spark, "mv_race_spec",
+        spark.read.parquet(factPath), factPath,
+        dims = Seq("l_returnflag"), measures = Seq("l_price"), mvPath)
+    rebuild()
+    graft.plans.MvRewrite.install(spark)
+    spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+    def plannedScans() = scanPaths(
+      spark.read.parquet(factPath)
+        .groupBy(col("l_returnflag")).agg(sum(col("l_price")).as("s")))
+    // reader thread: PLANS the rewritten query continuously (plan-only
+    // — executing would race the summary files the rebuild overwrites,
+    // a filesystem concern orthogonal to rule visibility) and records
+    // any planning pass that lost the rewrite. Pre-r18, materialize
+    // flipped the session conf off and this reader observed fact-path
+    // scans mid-rebuild.
+    val lost = new java.util.concurrent.atomic.AtomicInteger(0)
+    val passes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val reader = new Thread(() => {
+      try while (!stop.get()) {
+        // any registered VERSION dir is a correct (complete) summary;
+        // planning against the fact — or failing to plan — is a loss
+        val ps = plannedScans()
+        if (!(ps.length == 1 && ps.head.startsWith(s"$mvPath/v="))) lost.incrementAndGet()
+        passes.incrementAndGet()
+      } catch { case t: Throwable => readerErr.set(t) }
+    })
+    reader.start()
+    try (1 to 5).foreach(_ => rebuild())
+    finally { stop.set(true); reader.join(30000) }
+    assert(readerErr.get() == null, s"reader failed: ${readerErr.get()}")
+    assert(passes.get() > 0, "reader never ran")
+    assert(lost.get() === 0,
+      s"${lost.get()}/${passes.get()} planning passes lost the rewrite during rebuilds")
+    // and the rebuilds themselves stayed suppressed on their own
+    // thread: the refreshed summary reflects the fact, not itself
+    val served = spark.read.parquet(factPath)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    assert(scanPaths(served) === Seq(mvDataPath(factPath)))
+    val expected = Tables.t(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(served.collect().map(r => (r.getString(0), r.getLong(1))).toMap === expected)
   }
 }

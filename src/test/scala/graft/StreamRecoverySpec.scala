@@ -193,7 +193,10 @@ class StreamRecoverySpec extends SparkSpec {
           case _ => Seq.empty
         }
     }.flatten
-    assert(scans === Seq(mvPath),
+    val mvData = graft.plans.MvRewrite.registered(spark, factPath).get.mvPath
+    assert(mvData.startsWith(s"$mvPath/v="),
+      "summary versions must rotate under the declared root")
+    assert(scans === Seq(mvData),
       s"streamed MV must serve the query:\n${on.queryExecution.optimizedPlan}")
     // ... and reflects every micro-batch exactly
     assert(on.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
