@@ -458,6 +458,44 @@ object Streams {
         .orderBy(col("p_id"), col("c_id"))
     },
 
+    // Stream-stream LEFT OUTER join (r17 verdict #4): the
+    // semantically tricky half of stream-stream joins — an unmatched
+    // left row cannot emit its null-extended result when it arrives
+    // (a matching click may still be in flight); it emits EXACTLY
+    // ONCE, when the watermark proves no future right row can land in
+    // its ±10 min window (p_ts + 10 min below the right-side
+    // watermark → state eviction emits the null row). Matched rows
+    // emit immediately, inner-join style. Purchases near the end of
+    // the stream whose window the final watermark (max ts − 1 h)
+    // never clears stay in state and never emit — the oracle
+    // reproduces that cutoff with the engine's ms-granular watermark
+    // arithmetic, so the key is hash-exact (same discipline as
+    // stream_session_timers). The late-null-emission TIMING (no null
+    // before the watermark passes, exactly one after) is
+    // MemoryStream-scripted in StreamRecoverySpec. At 100 TB the
+    // outer join's state is bounded exactly like the inner's — both
+    // sides watermark-evicted — plus the unmatched-left bookkeeping;
+    // no unbounded growth.
+    "stream_stream_join_outer" -> { (s, d) =>
+      val p = eventsStream(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val c = eventsStream(s, d).filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = p.join(c,
+        col("p_user") === col("c_user")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES")
+          && col("c_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+      // c_id is NULL only on unmatched rows, whose p_id carries no
+      // matched sibling — the sort never tie-breaks through a NULL,
+      // so Spark NULLS FIRST vs DuckDB NULLS LAST cannot diverge
+      drain(joined.select(col("p_id"), col("c_id"), col("p_user")),
+        "append", "g_ss_join_outer")
+        .orderBy(col("p_id"), col("c_id"))
+    },
+
     "stream_foreachbatch_sink" -> { (s, d) =>
       // keyed by the input dir like Scans.ioDir — concurrent runs at
       // different SFs must never clobber each other's sink (ADVICE r4)
@@ -554,6 +592,39 @@ object Streams {
         |ORDER BY p_id, c_id""".stripMargin,
     "stream_foreachbatch_sink" ->
       """SELECT event_type, count(*) AS n FROM events
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // inner matches as stream_stream_join; an unmatched purchase
+    // null-extends ONLY if the final watermark clears its window's
+    // upper edge (p_ts + 10 min, ms-floored) — mirroring the engine's
+    // ms-granular state-eviction arithmetic exactly (the
+    // stream_session_timers discipline). The watermark is the MIN of
+    // the two streams' own watermarks (each tracks the max event time
+    // of ITS filtered rows, ms-floored, minus 1 h — Spark's
+    // multiple-watermark global-min policy), NOT max(ts) over all
+    // events: measured at sf0.001, the purchase stream runs ~1.9 h
+    // past the click stream, and an all-events watermark wrongly
+    // evicts one extra purchase
+    "stream_stream_join_outer" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+        |      FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT least(
+        |    (SELECT epoch_us(max(ts)) // 1000 FROM events WHERE event_type = 'purchase'),
+        |    (SELECT epoch_us(max(ts)) // 1000 FROM events WHERE event_type = 'click'))
+        |  - 3600000 AS wm_ms)
+        |SELECT p.p_id, c.c_id, p.p_user
+        |FROM p JOIN c ON p.p_user = c.c_user
+        | AND c.c_ts >= p.p_ts - INTERVAL '10 minutes'
+        | AND c.c_ts <= p.p_ts + INTERVAL '10 minutes'
+        |UNION ALL
+        |SELECT p.p_id, NULL, p.p_user
+        |FROM p, wm
+        |WHERE NOT EXISTS (SELECT 1 FROM c
+        |        WHERE c.c_user = p.p_user
+        |          AND c.c_ts >= p.p_ts - INTERVAL '10 minutes'
+        |          AND c.c_ts <= p.p_ts + INTERVAL '10 minutes')
+        |  AND (epoch_us(p.p_ts) + 600000000) // 1000 < wm.wm_ms
+        |ORDER BY p_id, c_id""".stripMargin
   )
 }

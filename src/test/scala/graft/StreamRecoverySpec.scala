@@ -203,4 +203,63 @@ class StreamRecoverySpec extends SparkSpec {
       === Seq(("x", 15L, 2L), ("y", 8L, 2L)))
     spark.conf.set(graft.plans.MvRewrite.EnabledKey, "false")
   }
+
+  test("stream-stream LEFT OUTER: null extension emits only after the watermark clears the window, exactly once (r17 #4)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = 1704103200L // 2024-01-01 10:00:00 UTC
+    val lMem = MemoryStream[(Long, Long, Long)] // (p_id, user, secOffset)
+    val rMem = MemoryStream[(Long, Long, Long)]
+    val l = lMem.toDF().toDF("p_id", "p_user", "p_off")
+      .select(col("p_id"), col("p_user"),
+        timestamp_seconds(col("p_off") + base).as("p_ts"))
+      .withWatermark("p_ts", "0 seconds")
+    val r = rMem.toDF().toDF("c_id", "c_user", "c_off")
+      .select(col("c_id"), col("c_user"),
+        timestamp_seconds(col("c_off") + base).as("c_ts"))
+      .withWatermark("c_ts", "0 seconds")
+    val joined = l.join(r,
+      col("p_user") === col("c_user")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES")
+        && col("c_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+      .select(col("p_id"), col("c_id"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = joined.writeStream.format("memory").queryName("g_ssj_outer_spec")
+        .outputMode("append").start()
+      // multiset, not set: a double-emitted null row must be caught
+      def out() = spark.table("g_ssj_outer_spec").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toSeq.sorted
+      // batch 1: P1 (user 1, 10:00) matches C10 (10:05) immediately;
+      // P2 (user 2, 10:00) has no click — its window closes at 10:10,
+      // which the watermark (min of both streams = 10:00) has NOT
+      // cleared, so NO null row yet
+      lMem.addData((1L, 1L, 0L), (2L, 2L, 0L))
+      rMem.addData((10L, 1L, 300L))
+      q.processAllAvailable()
+      assert(out() === Seq((1L, 10L)),
+        "unmatched row must not null-extend before the watermark clears its window")
+      // batch 2: advance BOTH watermarks to 12:00 with disjoint users
+      // (8/9 — match nothing); P2's window edge 10:10 < 12:00 → its
+      // null row emits now, exactly once. P3 (user 8, 12:00) is held:
+      // its window edge 12:10 is above the new watermark.
+      lMem.addData((3L, 8L, 7200L))
+      rMem.addData((11L, 9L, 7200L))
+      q.processAllAvailable()
+      assert(out() === Seq((1L, 10L), (2L, -1L)),
+        "exactly one null extension, only after the watermark passed")
+      // batch 3: advance to 14:00 → P3 evicts unmatched (3, null);
+      // P2's null row must NOT re-emit
+      lMem.addData((4L, 8L, 14400L))
+      rMem.addData((12L, 9L, 14400L))
+      q.processAllAvailable()
+      assert(out() === Seq((1L, 10L), (2L, -1L), (3L, -1L)),
+        "late nulls emit once each; earlier nulls never replay")
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
