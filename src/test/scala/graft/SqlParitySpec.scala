@@ -203,6 +203,61 @@ class SqlParitySpec extends SparkSpec {
         |ORDER BY k""".stripMargin)
   }
 
+  test("transform_script twin: Hive SELECT TRANSFORM ... USING as SQL text") {
+    // Spark executes TRANSFORM natively (no-serde mode, SPARK-32388):
+    // same forked-process dataflow as Hive's ScriptOperator and as
+    // our RDD.pipe key. TRANSFORM emits strings in no-serde mode, so
+    // the twin casts back to the DSL key's (bigint, string, int)
+    // schema. Only meaningful where the script binary exists — the
+    // DSL key itself falls back in-process on hosts without it.
+    assume(new java.io.File(graft.operators.Generators.transformCmd.head).canExecute)
+    Tables.views(spark, sf)
+    // TRANSFORM's USING string runs under `bash -c` (Hive semantics),
+    // so the awk invocation is shell-quoted here, unlike the
+    // RDD.pipe Seq form which execs argv directly. The explicit ROW
+    // FORMAT DELIMITED tab on BOTH sides matters: Spark's no-serde
+    // default field delimiter is Hive's \u0001 ctrl-A (probed — an
+    // awk expecting tabs sees one unsplit line), and our script
+    // speaks TSV like Hive's canonical `FIELDS TERMINATED BY '\t'`
+    // TRANSFORM examples.
+    val script =
+      "/usr/bin/awk -F'\\t' '{ n = split($2, a, / /); " +
+        "print $1 \"\\t\" toupper(substr($2, 1, 20)) \"\\t\" n }'"
+    val cmd = script.replace("'", "''")
+    val a = dsl("transform_script")
+    val b = spark.sql(
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, head_uc,
+         |  CAST(n_toks AS INT) AS n_toks FROM (
+         |  SELECT TRANSFORM(doc_id, text)
+         |    ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t'
+         |    USING '$cmd'
+         |    AS (doc_id, head_uc, n_toks)
+         |    ROW FORMAT DELIMITED FIELDS TERMINATED BY '\t'
+         |  FROM documents) t
+         |ORDER BY doc_id""".stripMargin)
+    assert(b.columns.toSeq === a.columns.toSeq)
+    assert(b.collect().map(_.toSeq).toSeq === a.collect().map(_.toSeq).toSeq,
+      "TRANSFORM text form differs from the RDD.pipe DSL form")
+  }
+
+  test("MAPJOIN hint spelling drives a broadcast join from SQL text") {
+    // Hive's /*+ MAPJOIN(dim) */ is accepted verbatim by Spark's hint
+    // resolver (ResolveJoinStrategyHints lists MAPJOIN as an alias of
+    // BROADCAST) — the join_broadcast key's plan, reachable from the
+    // HiveQL spelling a migrating user already has in their scripts.
+    Tables.views(spark, sf)
+    val hinted = spark.sql(
+      """SELECT /*+ MAPJOIN(part) */ l_orderkey, l_linenumber, p_brand,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber, p_brand, price""".stripMargin)
+    val plan = hinted.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"MAPJOIN hint did not produce a broadcast join:\n$plan")
+    val a = dsl("join_broadcast").collect().map(_.toSeq)
+    assert(hinted.collect().map(_.toSeq).toSeq === a.toSeq)
+  }
+
   test("text and DSL forms meet at the same optimized plan (SURVEY §3.2)") {
     Tables.views(spark, sf)
     // sameResult on the canonicalized optimized plans — the strongest
