@@ -496,6 +496,34 @@ object Streams {
         .orderBy(col("p_id"), col("c_id"))
     },
 
+    // FULL OUTER completes the stream-stream family: BOTH sides
+    // null-extend on state eviction — an unmatched purchase when the
+    // watermark clears p_ts + 10 min, an unmatched click when it
+    // clears c_ts + 10 min (the condition's symmetric bound: a future
+    // purchase could still match a click until wm > c_ts + 10 min).
+    // Matched rows emit inner-style. Null p_id rows exist here (the
+    // right-unmatched side), so the output order must stay
+    // deterministic THROUGH nulls: Spark's default asc is NULLS
+    // FIRST, restated explicitly in the oracle. State bounding at
+    // 100 TB is identical to the inner form — both sides
+    // watermark-evicted, plus one unmatched flag per buffered row.
+    "stream_stream_join_full_outer" -> { (s, d) =>
+      val p = eventsStream(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val c = eventsStream(s, d).filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = p.join(c,
+        col("p_user") === col("c_user")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES")
+          && col("c_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"),
+        "full_outer")
+      drain(joined.select(col("p_id"), col("c_id"), col("p_user"), col("c_user")),
+        "append", "g_ss_join_full")
+        .orderBy(col("p_id"), col("c_id"))
+    },
+
     "stream_foreachbatch_sink" -> { (s, d) =>
       // keyed by the input dir like Scans.ioDir — concurrent runs at
       // different SFs must never clobber each other's sink (ADVICE r4)
@@ -625,6 +653,40 @@ object Streams {
         |          AND c.c_ts >= p.p_ts - INTERVAL '10 minutes'
         |          AND c.c_ts <= p.p_ts + INTERVAL '10 minutes')
         |  AND (epoch_us(p.p_ts) + 600000000) // 1000 < wm.wm_ms
-        |ORDER BY p_id, c_id""".stripMargin
+        |ORDER BY p_id, c_id""".stripMargin,
+    // full outer = inner matches + BOTH watermark-gated null
+    // extensions; the same ms-floored min-of-stream-watermarks
+    // cutoff, applied to each side's own window edge. NULLS FIRST
+    // restated for DuckDB (Spark's asc default).
+    "stream_stream_join_full_outer" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+        |      FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT least(
+        |    (SELECT epoch_us(max(ts)) // 1000 FROM events WHERE event_type = 'purchase'),
+        |    (SELECT epoch_us(max(ts)) // 1000 FROM events WHERE event_type = 'click'))
+        |  - 3600000 AS wm_ms)
+        |SELECT p.p_id, c.c_id, p.p_user, c.c_user
+        |FROM p JOIN c ON p.p_user = c.c_user
+        | AND c.c_ts >= p.p_ts - INTERVAL '10 minutes'
+        | AND c.c_ts <= p.p_ts + INTERVAL '10 minutes'
+        |UNION ALL
+        |SELECT p.p_id, NULL, p.p_user, NULL
+        |FROM p, wm
+        |WHERE NOT EXISTS (SELECT 1 FROM c
+        |        WHERE c.c_user = p.p_user
+        |          AND c.c_ts >= p.p_ts - INTERVAL '10 minutes'
+        |          AND c.c_ts <= p.p_ts + INTERVAL '10 minutes')
+        |  AND (epoch_us(p.p_ts) + 600000000) // 1000 < wm.wm_ms
+        |UNION ALL
+        |SELECT NULL, c.c_id, NULL, c.c_user
+        |FROM c, wm
+        |WHERE NOT EXISTS (SELECT 1 FROM p
+        |        WHERE p.p_user = c.c_user
+        |          AND c.c_ts >= p.p_ts - INTERVAL '10 minutes'
+        |          AND c.c_ts <= p.p_ts + INTERVAL '10 minutes')
+        |  AND (epoch_us(c.c_ts) + 600000000) // 1000 < wm.wm_ms
+        |ORDER BY p_id NULLS FIRST, c_id NULLS FIRST""".stripMargin
   )
 }

@@ -262,4 +262,53 @@ class StreamRecoverySpec extends SparkSpec {
       q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("stream-stream FULL OUTER: both sides null-extend on their own watermark-cleared window edge") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = 1704103200L // 2024-01-01 10:00:00 UTC
+    val lMem = MemoryStream[(Long, Long, Long)] // (p_id, user, secOffset)
+    val rMem = MemoryStream[(Long, Long, Long)] // (c_id, user, secOffset)
+    val l = lMem.toDF().toDF("p_id", "p_user", "p_off")
+      .select(col("p_id"), col("p_user"),
+        timestamp_seconds(col("p_off") + base).as("p_ts"))
+      .withWatermark("p_ts", "0 seconds")
+    val r = rMem.toDF().toDF("c_id", "c_user", "c_off")
+      .select(col("c_id"), col("c_user"),
+        timestamp_seconds(col("c_off") + base).as("c_ts"))
+      .withWatermark("c_ts", "0 seconds")
+    val joined = l.join(r,
+      col("p_user") === col("c_user")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES")
+        && col("c_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"),
+      "full_outer")
+      .select(col("p_id"), col("c_id"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = joined.writeStream.format("memory").queryName("g_ssj_full_spec")
+        .outputMode("append").start()
+      def out() = spark.table("g_ssj_full_spec").collect()
+        .map(x => (if (x.isNullAt(0)) -1L else x.getLong(0),
+          if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toSeq.sorted
+      // batch 1: P1/C10 (user 1) match; P2 (user 2) and C11 (user 3)
+      // both unmatched — neither null-extends yet (wm = 10:00)
+      lMem.addData((1L, 1L, 0L), (2L, 2L, 0L))
+      rMem.addData((10L, 1L, 300L), (11L, 3L, 0L))
+      q.processAllAvailable()
+      assert(out() === Seq((1L, 10L)),
+        "no null extension before the watermark clears either window")
+      // batch 2: advance both to 12:00 (disjoint users 8/9) → BOTH
+      // P2's edge (10:10) and C11's edge (10:10) are cleared; each
+      // side emits its null row exactly once
+      lMem.addData((3L, 8L, 7200L))
+      rMem.addData((12L, 9L, 7200L))
+      q.processAllAvailable()
+      assert(out() === Seq((-1L, 11L), (1L, 10L), (2L, -1L)),
+        "both sides null-extend exactly once after the watermark passes")
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
