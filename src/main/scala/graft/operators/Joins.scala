@@ -277,6 +277,33 @@ object Joins {
     "sql_cte" -> { (s, d) =>
       Tables.views(s, d)
       s.sql(cteSql)
+    },
+
+    // WITH RECURSIVE (r18; Spark 4.x UnionLoop execution): calendar
+    // densification — a recursive month spine from min to max
+    // o_orderdate, LEFT-joined back so empty months surface as
+    // zero rows (the gaps-and-spine pattern every revenue-over-time
+    // dashboard needs; a plain GROUP BY silently drops empty months).
+    // HiveQL has no recursive CTE, so this is a deliberate
+    // Spark-surface EXTENSION of the §1.1 views/CTEs row, not a
+    // contract transliteration. Scale shape: the recursion generates
+    // one row per month (bounded by the date span, ~tens of
+    // iterations of constant work — never data-sized), and the one
+    // data-sized pass is the LEFT JOIN's shuffle of orders grouped by
+    // month; at 100 TB the spine broadcasts.
+    "sql_cte_recursive" -> { (s, d) =>
+      Tables.views(s, d)
+      s.sql("""WITH RECURSIVE months(m) AS (
+              |  SELECT trunc((SELECT min(o_orderdate) FROM orders), 'MM')
+              |  UNION ALL
+              |  SELECT add_months(m, 1) FROM months
+              |  WHERE m < trunc((SELECT max(o_orderdate) FROM orders), 'MM')
+              |)
+              |SELECT CAST(m.m AS TIMESTAMP_NTZ) AS month_start,
+              |  count(o.o_orderkey) AS n_orders,
+              |  CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total
+              |FROM months m LEFT JOIN orders o ON trunc(o.o_orderdate, 'MM') = m.m
+              |GROUP BY m.m ORDER BY month_start""".stripMargin)
     }
   )
 
@@ -300,6 +327,21 @@ object Joins {
 
   val oracle: Map[String, String] = Map(
     "sql_cte" -> cteSql,
+    // DuckDB dialect twin of the recursive spine (date_trunc +
+    // interval arithmetic in place of trunc/add_months; the CAST back
+    // to DATE keeps the recursive union's column type stable)
+    "sql_cte_recursive" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        |  WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+        |)
+        |SELECT CAST(m.m AS TIMESTAMP) AS month_start,
+        |  count(o.o_orderkey) AS n_orders,
+        |  CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total
+        |FROM months m LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m.m
+        |GROUP BY m.m ORDER BY month_start""".stripMargin,
     "join_null_safe" ->
       """WITH a AS (SELECT o_orderkey, nullif(o_custkey % 100, 7) AS k
         |           FROM orders WHERE o_orderkey < 500),
