@@ -649,6 +649,48 @@ object Scans {
         .orderBy(col("o_orderkey"))
     },
 
+    // Transactional snapshot isolation (the seat Hive ACID's
+    // base/delta + ValidTxnList fills; previously a declared
+    // non-goal): the versioned table in sources/Snapshots.scala gives
+    // immutable data dirs + one atomic commit-marker creation per
+    // version, so readers resolve a snapshot once and never see a
+    // torn or shifting state, writers get optimistic write-write
+    // conflict detection, and old versions stay time-travel readable
+    // until expired. The key runs a 2-commit history — v1 a base
+    // load, v2 a transactional UPDATE (+10% on 'O' rows) + DELETE
+    // ('F' rows) + INSERT (the next key range) through the OCC
+    // transform — then reads BOTH snapshots back, time-travel v1 and
+    // latest v2, tagged. Money stays exact decimal through commit
+    // and multiply (DECIMAL(18,2) × DECIMAL(3,2) literal — natural
+    // scale, no decimal down-cast) to the DOUBLE boundary. The
+    // protocol's atomicity/conflict/expiry guarantees are
+    // thread-raced in SnapshotSpec; this key puts the dataflow and
+    // both snapshot states under the DuckDB hash.
+    "sink_snapshot_isolation" -> { (s, d) =>
+      import graft.sources.Snapshots
+      val root = s"${ioDir("sink_snapshot_isolation", d)}/tbl"
+      graft.Fs.deleteDir(s, root) // the protocol itself re-runs fresh
+      val o = Tables.t(s, d, "orders")
+      def slice(lo: Long, hi: Long) =
+        o.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            dec(col("o_totalprice")).as("price"))
+      Snapshots.commit(s, root, slice(0L, 800L), expectedParent = 0L)
+      Snapshots.commitTransform(s, root) { cur =>
+        cur.get.filter(col("o_orderstatus") =!= "F")
+          .withColumn("price",
+            when(col("o_orderstatus") === "O",
+              col("price") * lit(BigDecimal("1.10")))
+              .otherwise(col("price")))
+          .unionByName(slice(800L, 1200L))
+      }
+      Snapshots.readAsOf(s, root, 1L).withColumn("snap", lit(1))
+        .unionByName(Snapshots.read(s, root).withColumn("snap", lit(2)))
+        .select(col("snap"), col("o_orderkey"), col("o_orderstatus"),
+          money(col("price")).as("price"))
+        .orderBy(col("snap"), col("o_orderkey"))
+    },
+
     // The bucket-map-join READ path — the capability Hive bucketing
     // exists for (ConvertJoinMapJoin / SMB join): two tables written
     // co-bucketed + co-sorted on the join key join WITHOUT ANY
@@ -767,6 +809,30 @@ object Scans {
         |FROM orders
         |WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'
         |ORDER BY o_orderkey""".stripMargin,
+    // both snapshot states restated from the base table: snap 1 the
+    // v1 base slice, snap 2 the post-UPDATE/DELETE/INSERT state —
+    // exact decimal through the 1.10 multiply, DOUBLE at the boundary
+    "sink_snapshot_isolation" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey >= 0 AND o_orderkey < 800),
+        |nxt AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'O'
+        |         THEN CAST(price * CAST(1.10 AS DECIMAL(3,2)) AS DECIMAL(22,4))
+        |         ELSE CAST(price AS DECIMAL(22,4)) END AS price
+        |  FROM base WHERE o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(22,4))
+        |  FROM orders WHERE o_orderkey >= 800 AND o_orderkey < 1200)
+        |SELECT 1 AS snap, o_orderkey, o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price FROM base
+        |UNION ALL
+        |SELECT 2 AS snap, o_orderkey, o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price FROM nxt
+        |ORDER BY snap, o_orderkey""".stripMargin,
     // both destinations restated from the base table and re-tagged:
     // the hi sink row-for-row, the lo sink as the same aggregate
     "sink_multi_insert" ->

@@ -1,0 +1,222 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Fs
+
+/** Snapshot-isolated versioned tables — the transactional seat the
+  * ACID dataflow family (`sink_merge_upsert`, `sink_acid_update_delete`,
+  * `sink_drop_partition`) deliberately left open: those rewrite
+  * partitions in place, correct for a single writer but giving a
+  * concurrent reader a torn view mid-rewrite. This object supplies
+  * the missing isolation with the commit-log protocol every public
+  * object-store table format converges on (Delta's `_delta_log`,
+  * Iceberg's metadata pointer, Hive ACID's base/delta + ValidTxnList):
+  *
+  *   - **Data is immutable.** Every commit stages its full snapshot
+  *     under a fresh `data/<uuid>/` directory; nothing ever rewrites
+  *     a published file.
+  *   - **Commit = one atomic file creation.** `_commits/<N>` is
+  *     created with create-exclusive semantics (O_CREAT|O_EXCL via
+  *     `java.nio` on `file:`, `FileSystem.create(p, overwrite=false)`
+  *     on `hdfs:`); its content names the staged data dir. The create
+  *     either fully succeeds or fully fails — there is no pointer
+  *     rename and therefore no window where readers see a half-swap.
+  *   - **Readers resolve once, then read immutable files.** A reader
+  *     resolves `latest` (max committed N) or `versionAsOf` to a data
+  *     dir at DataFrame-construction time; concurrent commits create
+  *     NEW dirs, so the resolved DataFrame keeps returning the same
+  *     rows however long the query runs — snapshot isolation.
+  *   - **Optimistic concurrency.** A writer declares the parent
+  *     version its new snapshot was derived from and claims
+  *     `parent+1`. If another writer won that number first, the
+  *     create-exclusive fails, the staged dir is cleaned up, and
+  *     [[SnapshotConflictException]] tells the caller to re-derive
+  *     from the new latest — exactly Hive ACID's write-conflict
+  *     abort, Delta's ConcurrentModificationException.
+  *
+  * At 100 TB nothing here touches data size: a commit is one
+  * `listStatus` of `_commits` (O(#versions) names, bounded by
+  * [[expire]]) plus one small file creation; the data write itself is
+  * the same distributed parquet job any sink runs. On S3, create-
+  * exclusive maps to conditional PUT (If-None-Match) — the same
+  * primitive public formats document for their S3 commit service.
+  */
+object Snapshots {
+
+  final class SnapshotConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  private def commitsDir(root: String) = s"$root/_commits"
+  private def dataRoot(root: String) = s"$root/data"
+
+  /** All committed versions under `root`, ascending. One metadata
+    * listing — never touches data files. */
+  def versions(s: SparkSession, root: String): Seq[Long] = {
+    val f = Fs.fs(s, root)
+    val p = new Path(commitsDir(root))
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(_.isFile)
+      .flatMap(st => st.getPath.getName.toLongOption)
+      .sorted
+  }
+
+  /** Latest committed version, if any commit exists. */
+  def latest(s: SparkSession, root: String): Option[Long] =
+    versions(s, root).lastOption
+
+  /** Atomically create `path` with `content`, failing if it already
+    * exists. `java.nio.Files.createFile` gives true O_CREAT|O_EXCL on
+    * local paths (the Hadoop LocalFileSystem emulates the check
+    * non-atomically); remote schemes go through the FileSystem API,
+    * where HDFS's namenode makes the create atomic. */
+  private def createExclusive(
+      s: SparkSession, path: String, content: String): Boolean = {
+    val p = new Path(path)
+    val f = Fs.fs(s, path)
+    val uri = f.getUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      try {
+        java.nio.file.Files.write(local, content.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val out = f.create(p, false)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  private def readSmall(s: SparkSession, path: String): String = {
+    val f = Fs.fs(s, path)
+    val in = f.open(new Path(path))
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+  }
+
+  /** Commit `df` as the snapshot FOLLOWING `expectedParent` (0 = the
+    * table must be empty). Returns the committed version number.
+    * Stages the data first — the expensive distributed write happens
+    * with no lock held — then claims `_commits/<parent+1>` with one
+    * atomic create. On conflict the staged dir is deleted and
+    * [[SnapshotConflictException]] is thrown; the caller re-reads the
+    * new latest, re-derives, and retries (see [[commitTransform]]). */
+  def commit(s: SparkSession, root: String, df: DataFrame,
+             expectedParent: Long): Long = {
+    val v = expectedParent + 1
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataDir = s"${dataRoot(root)}/$uuid"
+    df.write.mode("errorifexists").parquet(dataDir)
+    val meta = s"""{"data":"$uuid","parent":$expectedParent}"""
+    if (!createExclusive(s, s"${commitsDir(root)}/$v", meta)) {
+      Fs.deleteDir(s, dataDir)
+      throw new SnapshotConflictException(
+        s"version $v already committed under $root " +
+          s"(expected parent $expectedParent is no longer latest)")
+    }
+    v
+  }
+
+  private def dataDirOf(s: SparkSession, root: String, v: Long): String = {
+    val marker = s"${commitsDir(root)}/$v"
+    val f = Fs.fs(s, root)
+    if (!f.exists(new Path(marker)))
+      throw new NoSuchElementException(
+        s"snapshot version $v does not exist under $root " +
+          s"(committed: ${versions(s, root).mkString(",")})")
+    val meta = readSmall(s, marker)
+    val uuid = meta.split("\"data\":\"")(1).split("\"")(0)
+    s"${dataRoot(root)}/$uuid"
+  }
+
+  /** Read snapshot `v` (time travel). The data dir is resolved NOW
+    * and is immutable — the returned DataFrame yields the same rows
+    * for its whole lifetime regardless of later commits. */
+  def readAsOf(s: SparkSession, root: String, v: Long): DataFrame =
+    s.read.parquet(dataDirOf(s, root, v))
+
+  /** Read the latest committed snapshot. */
+  def read(s: SparkSession, root: String): DataFrame = {
+    val v = latest(s, root).getOrElse(
+      throw new NoSuchElementException(s"no committed snapshot under $root"))
+    readAsOf(s, root, v)
+  }
+
+  /** Read-modify-write with OCC retry: derive the next snapshot from
+    * the current latest via `f` (None input = empty table), commit
+    * against that parent, and on conflict re-derive from the NEW
+    * latest — never blind-retry the stale result. This is the
+    * transactional UPDATE/DELETE/MERGE seat: `f` is the rewrite
+    * (the same dataflows sink_acid_update_delete runs), and isolation
+    * plus conflict detection come from the commit protocol. */
+  def commitTransform(s: SparkSession, root: String,
+                      maxAttempts: Int = 10)
+                     (f: Option[DataFrame] => DataFrame): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val parent = latest(s, root).getOrElse(0L)
+      val cur = if (parent == 0L) None else Some(readAsOf(s, root, parent))
+      val next = f(cur)
+      try return commit(s, root, next, parent)
+      catch {
+        case e: SnapshotConflictException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Retire every committed version strictly older than
+    * `latest - keepLast + 1`, plus any staged data dir no surviving
+    * commit references (a crashed or conflicted writer's orphan).
+    * Commit markers are removed FIRST, then data dirs — a concurrent
+    * reader that already resolved an old version keeps reading its
+    * immutable files until the dir deletion lands, the same
+    * in-flight-plan grace the MV version rotation gives. Orphans are
+    * only swept once older than `orphanGraceMs` — a writer that is
+    * STILL STAGING (data written, marker not yet created) must never
+    * lose its dir to a concurrent expire; this is the retention
+    * window every public format's VACUUM documents. Returns the
+    * retired versions. */
+  def expire(s: SparkSession, root: String, keepLast: Int,
+             orphanGraceMs: Long = 24L * 3600 * 1000): Seq[Long] = {
+    val vs = versions(s, root)
+    if (vs.isEmpty) return Seq.empty
+    val cutoff = vs.last - keepLast + 1
+    val (dead, live) = vs.partition(_ < cutoff)
+    val liveDirs = live.map(v => dataDirOf(s, root, v)).toSet
+    dead.foreach { v =>
+      val dir = dataDirOf(s, root, v)
+      Fs.deleteDir(s, s"${commitsDir(root)}/$v")
+      if (!liveDirs.contains(dir)) Fs.deleteDir(s, dir)
+    }
+    // orphan sweep: staged dirs never published by any live commit,
+    // aged past the grace window (never an in-flight staging dir)
+    val f = Fs.fs(s, root)
+    val dr = new Path(dataRoot(root))
+    val now = System.currentTimeMillis()
+    // compare fully-qualified URIs: listStatus returns scheme-
+    // qualified paths (file:/...), the live set holds raw strings
+    val liveQualified = liveDirs.map(d => f.makeQualified(new Path(d)).toString)
+    if (f.exists(dr)) f.listStatus(dr).toSeq
+      .filter(st => st.isDirectory &&
+        now - st.getModificationTime > orphanGraceMs)
+      .map(_.getPath.toString)
+      .filterNot(liveQualified.contains)
+      .foreach(Fs.deleteDir(s, _))
+    dead
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Snapshots
+
+/** Commit-log protocol of the snapshot-isolated versioned table
+  * (sources/Snapshots.scala): atomic publish, reader isolation,
+  * optimistic concurrency with conflict detection, transform-retry
+  * linearization under real thread races, and retention. */
+class SnapshotSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_snap_").toString + "/tbl"
+
+  test("commit, latest, time travel, and reader snapshot isolation") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    assert(Snapshots.latest(spark, root).isEmpty)
+    val v1 = Snapshots.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), expectedParent = 0L)
+    assert(v1 === 1L)
+    val v2 = Snapshots.commit(spark, root,
+      Seq((1L, "a2"), (3L, "c")).toDF("k", "v"), expectedParent = 1L)
+    assert(v2 === 2L)
+    assert(Snapshots.versions(spark, root) === Seq(1L, 2L))
+    // latest reflects v2
+    assert(Snapshots.read(spark, root).orderBy("k").as[(Long, String)]
+      .collect().toSeq === Seq((1L, "a2"), (3L, "c")))
+    // time travel reflects v1
+    assert(Snapshots.readAsOf(spark, root, 1L).orderBy("k").as[(Long, String)]
+      .collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    // ISOLATION: a DataFrame resolved at v2 keeps returning v2's rows
+    // after a later commit lands — immutable data dirs, no re-resolve
+    val pinned = Snapshots.read(spark, root)
+    Snapshots.commit(spark, root, Seq((9L, "z")).toDF("k", "v"), 2L)
+    assert(pinned.orderBy("k").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a2"), (3L, "c")),
+      "a resolved snapshot must not observe a later commit")
+    assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSeq
+      === Seq((9L, "z")))
+  }
+
+  test("write-write conflict: the second commit against a stale parent aborts cleanly") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root, Seq((1L, "a")).toDF("k", "v"), 0L)
+    // two writers both derive from parent 1
+    Snapshots.commit(spark, root, Seq((2L, "b")).toDF("k", "v"), 1L)
+    val e = intercept[Snapshots.SnapshotConflictException] {
+      Snapshots.commit(spark, root, Seq((3L, "c")).toDF("k", "v"), 1L)
+    }
+    assert(e.getMessage.contains("version 2"))
+    // loser's staged dir was cleaned: data dirs == committed dirs
+    val dataDirs = new java.io.File(s"$root/data").listFiles().count(_.isDirectory)
+    assert(dataDirs === 2, "conflicted writer must delete its staged dir")
+    // winner's state intact
+    assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSeq
+      === Seq((2L, "b")))
+  }
+
+  test("commitTransform linearizes racing read-modify-write transactions") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root, Seq((0L, 0L)).toDF("k", "n"), 0L)
+    // 4 threads each append their own key and bump every existing n
+    // by 1; OCC retry must linearize all 4 on top of one another
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        Snapshots.commitTransform(spark, root, maxAttempts = 20) { cur =>
+          cur.get.select(col("k"), (col("n") + 1).as("n"))
+            .unionByName(Seq((i.toLong, 0L)).toDF("k", "n"))
+        }: Unit
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(Snapshots.versions(spark, root) === (1L to 5L),
+      "4 racing transactions + seed = versions 1..5, no gaps")
+    val fin = Snapshots.read(spark, root).as[(Long, Long)].collect().toMap
+    assert(fin.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    // every row was bumped once per transaction that followed it:
+    // total increments = sum over rows of (#txns after its insert)
+    assert(fin(0L) === 4L, "seed row must see all 4 increments")
+    assert(fin.values.sum === (0 to 4).sum.toLong,
+      s"increment totals must linearize, got $fin")
+  }
+
+  test("expire retires old versions and sweeps aged orphans, keeping live reads intact") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    (1 to 4).foreach { i =>
+      Snapshots.commit(spark, root, Seq((i.toLong, i.toLong)).toDF("k", "n"),
+        expectedParent = i - 1L)
+    }
+    // plant a crashed-writer orphan (staged, never committed)
+    val orphan = s"$root/data/orphan-test"
+    Seq((99L, 99L)).toDF("k", "n").write.parquet(orphan)
+    val dead = Snapshots.expire(spark, root, keepLast = 2, orphanGraceMs = 0L)
+    assert(dead === Seq(1L, 2L))
+    assert(Snapshots.versions(spark, root) === Seq(3L, 4L))
+    assert(!new java.io.File(orphan).exists(), "aged orphan must be swept")
+    intercept[NoSuchElementException] {
+      Snapshots.readAsOf(spark, root, 1L)
+    }
+    assert(Snapshots.readAsOf(spark, root, 3L).as[(Long, Long)]
+      .collect().toSeq === Seq((3L, 3L)))
+    assert(Snapshots.read(spark, root).as[(Long, Long)]
+      .collect().toSeq === Seq((4L, 4L)))
+    // a fresh (un-aged) staging dir survives the sweep
+    val staging = s"$root/data/in-flight"
+    Seq((7L, 7L)).toDF("k", "n").write.parquet(staging)
+    Snapshots.expire(spark, root, keepLast = 2)
+    assert(new java.io.File(staging).exists(),
+      "an in-grace staging dir must never be swept")
+  }
+}
