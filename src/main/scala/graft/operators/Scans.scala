@@ -27,6 +27,32 @@ object Scans {
     new java.io.File(d).mkdirs(); d
   }
 
+  /** The shared 2-commit snapshot history behind
+    * `sink_snapshot_isolation` and `sink_snapshot_cdc` (one builder
+    * so the two keys' oracles can never drift apart): v1 = the
+    * orderkey<800 base slice; v2 = one OCC transaction deleting 'F'
+    * rows, bumping 'O' prices by the exact DECIMAL(3,2) literal 1.10,
+    * and inserting the 800..1200 slice. Rebuilt from scratch per call
+    * — the commit protocol itself is part of what the keys exercise. */
+  private def snapshotHistory(s: SparkSession, d: String, root: String): Unit = {
+    import graft.sources.Snapshots
+    graft.Fs.deleteDir(s, root)
+    val o = Tables.t(s, d, "orders")
+    def slice(lo: Long, hi: Long) =
+      o.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          dec(col("o_totalprice")).as("price"))
+    Snapshots.commit(s, root, slice(0L, 800L), expectedParent = 0L)
+    Snapshots.commitTransform(s, root) { cur =>
+      cur.get.filter(col("o_orderstatus") =!= "F")
+        .withColumn("price",
+          when(col("o_orderstatus") === "O",
+            col("price") * lit(BigDecimal("1.10")))
+            .otherwise(col("price")))
+        .unionByName(slice(800L, 1200L))
+    }: Unit
+  }
+
   /** Columns that survive csv/json text roundtrips losslessly.
     * Decimal + date are exercised through the roundtrip; the output
     * boundary re-casts them to hash-safe types (Q.scala contract). */
@@ -665,30 +691,39 @@ object Scans {
     // scale, no decimal down-cast) to the DOUBLE boundary. The
     // protocol's atomicity/conflict/expiry guarantees are
     // thread-raced in SnapshotSpec; this key puts the dataflow and
-    // both snapshot states under the DuckDB hash.
+    // both snapshot states under the DuckDB hash. The same 2-commit
+    // history feeds sink_snapshot_cdc ([[snapshotHistory]]).
     "sink_snapshot_isolation" -> { (s, d) =>
       import graft.sources.Snapshots
       val root = s"${ioDir("sink_snapshot_isolation", d)}/tbl"
-      graft.Fs.deleteDir(s, root) // the protocol itself re-runs fresh
-      val o = Tables.t(s, d, "orders")
-      def slice(lo: Long, hi: Long) =
-        o.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
-          .select(col("o_orderkey"), col("o_orderstatus"),
-            dec(col("o_totalprice")).as("price"))
-      Snapshots.commit(s, root, slice(0L, 800L), expectedParent = 0L)
-      Snapshots.commitTransform(s, root) { cur =>
-        cur.get.filter(col("o_orderstatus") =!= "F")
-          .withColumn("price",
-            when(col("o_orderstatus") === "O",
-              col("price") * lit(BigDecimal("1.10")))
-              .otherwise(col("price")))
-          .unionByName(slice(800L, 1200L))
-      }
+      snapshotHistory(s, d, root)
       Snapshots.readAsOf(s, root, 1L).withColumn("snap", lit(1))
         .unionByName(Snapshots.read(s, root).withColumn("snap", lit(2)))
         .select(col("snap"), col("o_orderkey"), col("o_orderstatus"),
           money(col("price")).as("price"))
         .orderBy(col("snap"), col("o_orderkey"))
+    },
+
+    // Row-level CDC between two committed snapshots — what an
+    // incremental downstream consumer (a derived table, an index, a
+    // feature store) reads instead of re-scanning the full snapshot:
+    // Snapshots.cdc full-outer-joins the immutable v1/v2 manifests on
+    // the key and classifies insert (the 800..1200 load), delete (the
+    // dropped 'F' rows) and update (the +10% 'O' rows), null-safely;
+    // unchanged rows never surface. The oracle restates all three
+    // change classes straight from the base table. ('O' prices are
+    // strictly positive, so every bumped row really changes —
+    // price = 0 would classify unchanged on both engines alike.)
+    "sink_snapshot_cdc" -> { (s, d) =>
+      import graft.sources.Snapshots
+      val root = s"${ioDir("sink_snapshot_cdc", d)}/tbl"
+      snapshotHistory(s, d, root)
+      Snapshots.cdc(s, root, 1L, 2L, Seq("o_orderkey"))
+        .select(col("change_type"), col("o_orderkey"),
+          col("old_o_orderstatus"), col("new_o_orderstatus"),
+          money(col("old_price")).as("old_price"),
+          money(col("new_price")).as("new_price"))
+        .orderBy(col("change_type"), col("o_orderkey"))
     },
 
     // The bucket-map-join READ path — the capability Hive bucketing
@@ -833,6 +868,31 @@ object Scans {
         |SELECT 2 AS snap, o_orderkey, o_orderstatus,
         |  CAST(price AS DOUBLE) AS price FROM nxt
         |ORDER BY snap, o_orderkey""".stripMargin,
+    // the three change classes restated straight from the base table:
+    // deletes = the 'F' rows of the v1 slice, inserts = the v2 load
+    // slice, updates = the 'O' rows with old and bumped price
+    "sink_snapshot_cdc" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey >= 0 AND o_orderkey < 800)
+        |SELECT 'delete' AS change_type, o_orderkey,
+        |  o_orderstatus AS old_o_orderstatus,
+        |  CAST(NULL AS VARCHAR) AS new_o_orderstatus,
+        |  CAST(price AS DOUBLE) AS old_price,
+        |  CAST(NULL AS DOUBLE) AS new_price
+        |FROM base WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 'insert', o_orderkey, CAST(NULL AS VARCHAR), o_orderstatus,
+        |  CAST(NULL AS DOUBLE),
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |FROM orders WHERE o_orderkey >= 800 AND o_orderkey < 1200
+        |UNION ALL
+        |SELECT 'update', o_orderkey, o_orderstatus, o_orderstatus,
+        |  CAST(price AS DOUBLE),
+        |  CAST(price * CAST(1.10 AS DECIMAL(3,2)) AS DOUBLE)
+        |FROM base WHERE o_orderstatus = 'O'
+        |ORDER BY change_type, o_orderkey""".stripMargin,
     // both destinations restated from the base table and re-tagged:
     // the hi sink row-for-row, the lo sink as the same aggregate
     "sink_multi_insert" ->

@@ -114,12 +114,35 @@ object Snapshots {
     * [[SnapshotConflictException]] is thrown; the caller re-reads the
     * new latest, re-derives, and retries (see [[commitTransform]]). */
   def commit(s: SparkSession, root: String, df: DataFrame,
-             expectedParent: Long): Long = {
+             expectedParent: Long,
+             extraMeta: Map[String, String] = Map.empty): Long =
+    commitDirs(s, root, df, expectedParent, Seq.empty, extraMeta)
+
+  /** APPEND commit: the new version's manifest = the parent's data
+    * dirs PLUS one fresh dir holding only `df`'s rows — no rewrite of
+    * existing data, the additive file-manifest pattern every log/CDC
+    * ingest needs (a 100 TB table appends a micro-batch by writing
+    * just the batch and one marker, never touching standing files). */
+  def appendCommit(s: SparkSession, root: String, df: DataFrame,
+                   expectedParent: Long,
+                   extraMeta: Map[String, String] = Map.empty): Long = {
+    val parentDirs =
+      if (expectedParent == 0L) Seq.empty
+      else dataDirsOf(s, root, expectedParent)
+        .map(_.stripPrefix(s"${dataRoot(root)}/"))
+    commitDirs(s, root, df, expectedParent, parentDirs, extraMeta)
+  }
+
+  private def commitDirs(s: SparkSession, root: String, df: DataFrame,
+                         expectedParent: Long, inheritDirs: Seq[String],
+                         extraMeta: Map[String, String]): Long = {
     val v = expectedParent + 1
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = s"${dataRoot(root)}/$uuid"
     df.write.mode("errorifexists").parquet(dataDir)
-    val meta = s"""{"data":"$uuid","parent":$expectedParent}"""
+    val dirs = (inheritDirs :+ uuid).mkString(" ")
+    val extras = extraMeta.map { case (k, x) => s""","$k":"$x"""" }.mkString
+    val meta = s"""{"data":"$dirs","parent":$expectedParent$extras}"""
     if (!createExclusive(s, s"${commitsDir(root)}/$v", meta)) {
       Fs.deleteDir(s, dataDir)
       throw new SnapshotConflictException(
@@ -129,23 +152,35 @@ object Snapshots {
     v
   }
 
-  private def dataDirOf(s: SparkSession, root: String, v: Long): String = {
+  private def metaOf(s: SparkSession, root: String, v: Long): String = {
     val marker = s"${commitsDir(root)}/$v"
     val f = Fs.fs(s, root)
     if (!f.exists(new Path(marker)))
       throw new NoSuchElementException(
         s"snapshot version $v does not exist under $root " +
           s"(committed: ${versions(s, root).mkString(",")})")
-    val meta = readSmall(s, marker)
-    val uuid = meta.split("\"data\":\"")(1).split("\"")(0)
-    s"${dataRoot(root)}/$uuid"
+    readSmall(s, marker)
   }
 
-  /** Read snapshot `v` (time travel). The data dir is resolved NOW
-    * and is immutable — the returned DataFrame yields the same rows
-    * for its whole lifetime regardless of later commits. */
+  /** One string field out of the marker's (self-written, flat) JSON. */
+  private def metaField(meta: String, key: String): Option[String] =
+    meta.split(s""""$key":"""").drop(1).headOption.map(_.split("\"")(0))
+
+  private def dataDirsOf(s: SparkSession, root: String, v: Long): Seq[String] =
+    metaField(metaOf(s, root, v), "data").get
+      .split(" ").toSeq.map(u => s"${dataRoot(root)}/$u")
+
+  /** The value a commit recorded under `key` in its marker, if any —
+    * the exactly-once sink's replay ledger (see [[txnAppend]]). */
+  def commitMeta(s: SparkSession, root: String, v: Long,
+                 key: String): Option[String] =
+    metaField(metaOf(s, root, v), key)
+
+  /** Read snapshot `v` (time travel). The manifest is resolved NOW
+    * and its dirs are immutable — the returned DataFrame yields the
+    * same rows for its whole lifetime regardless of later commits. */
   def readAsOf(s: SparkSession, root: String, v: Long): DataFrame =
-    s.read.parquet(dataDirOf(s, root, v))
+    s.read.parquet(dataDirsOf(s, root, v): _*)
 
   /** Read the latest committed snapshot. */
   def read(s: SparkSession, root: String): DataFrame = {
@@ -197,11 +232,15 @@ object Snapshots {
     if (vs.isEmpty) return Seq.empty
     val cutoff = vs.last - keepLast + 1
     val (dead, live) = vs.partition(_ < cutoff)
-    val liveDirs = live.map(v => dataDirOf(s, root, v)).toSet
+    // a dir stays alive while ANY surviving manifest references it —
+    // append commits share their parents' dirs, so liveness is
+    // manifest-union, not per-version (the same refcount-by-manifest
+    // rule public formats' VACUUM applies)
+    val liveDirs = live.flatMap(v => dataDirsOf(s, root, v)).toSet
     dead.foreach { v =>
-      val dir = dataDirOf(s, root, v)
+      val dirs = dataDirsOf(s, root, v)
       Fs.deleteDir(s, s"${commitsDir(root)}/$v")
-      if (!liveDirs.contains(dir)) Fs.deleteDir(s, dir)
+      dirs.filterNot(liveDirs.contains).foreach(Fs.deleteDir(s, _))
     }
     // orphan sweep: staged dirs never published by any live commit,
     // aged past the grace window (never an in-flight staging dir)
@@ -218,5 +257,67 @@ object Snapshots {
       .filterNot(liveQualified.contains)
       .foreach(Fs.deleteDir(s, _))
     dead
+  }
+
+  /** Row-level change-data-capture between two snapshots, keyed on
+    * `keys`: full-outer join the two immutable versions and classify
+    * each key as insert (absent before), delete (absent after) or
+    * update (any non-key column differs, null-safely); unchanged rows
+    * are dropped. Output: `change_type`, the key columns, and every
+    * non-key column twice as `old_`/`new_`. One shuffle per side on
+    * the key — the row-level CDC plan; at 100 TB the join prunes to
+    * the partitions the manifests say changed. */
+  def cdc(s: SparkSession, root: String, fromV: Long, toV: Long,
+          keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = readAsOf(s, root, fromV)
+    val b = readAsOf(s, root, toV)
+    val nonKey = a.columns.toSeq.filterNot(keys.contains)
+    require(b.columns.toSeq.sorted == a.columns.toSeq.sorted,
+      "cdc requires both snapshots to share a schema")
+    val aP = nonKey.foldLeft(a)((df, c) => df.withColumnRenamed(c, s"old_$c"))
+      .withColumn("_old_present", lit(true))
+    val bP = nonKey.foldLeft(b)((df, c) => df.withColumnRenamed(c, s"new_$c"))
+      .withColumn("_new_present", lit(true))
+    val changed = nonKey
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    aP.join(bP, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_old_present").isNull, lit("insert"))
+          .when(col("_new_present").isNull, lit("delete"))
+          .when(changed, lit("update"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_type") =!= "unchanged")
+      .drop("_old_present", "_new_present")
+  }
+
+  /** Exactly-once transactional append for a streaming sink: commit
+    * the micro-batch ONLY IF its `batchId` is beyond the last one the
+    * table recorded — a replayed batch (foreachBatch re-delivery
+    * after failure recovery) is detected from the commit ledger and
+    * skipped, so the table never double-appends. The batch id rides
+    * in the commit marker itself, so the ledger and the data are one
+    * atomic unit (Delta's txn appId/version idempotence, Hive ACID's
+    * write-id dedup). Returns true when the batch committed, false on
+    * replay skip. Conflicts (another writer landing between read and
+    * claim) re-check the ledger and retry. */
+  def txnAppend(s: SparkSession, root: String, df: DataFrame,
+                batchId: Long, maxAttempts: Int = 10): Boolean = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val parent = latest(s, root).getOrElse(0L)
+      val lastBatch =
+        if (parent == 0L) -1L
+        else commitMeta(s, root, parent, "batch").map(_.toLong).getOrElse(-1L)
+      if (batchId <= lastBatch) return false
+      try {
+        appendCommit(s, root, df, parent, Map("batch" -> batchId.toString))
+        return true
+      } catch { case _: SnapshotConflictException => () }
+    }
+    throw new SnapshotConflictException(
+      s"txnAppend gave up after $maxAttempts conflicts under $root")
   }
 }

@@ -540,6 +540,38 @@ object Streams {
         .start()
       q.awaitTermination()
       s.read.parquet(out).orderBy(col("event_type"))
+    },
+
+    // Transactional EXACTLY-ONCE streaming sink (r18): each
+    // micro-batch lands as ONE atomic append commit on the
+    // snapshot-isolated table (sources/Snapshots.scala), the batchId
+    // riding in the commit marker itself — ledger and data are one
+    // atomic unit, so a batch replayed by failure recovery is
+    // detected and skipped (Delta's txn appId/version idempotence;
+    // the replay skip is unit-raced in SnapshotSpec). This upgrades
+    // stream_foreachbatch_sink's overwrite-idempotence to true
+    // transactional append: concurrent readers of the table see
+    // complete snapshots only, never a half-written batch. At 100 TB
+    // each commit writes just the batch plus one marker — standing
+    // data is never rewritten (manifest append).
+    "stream_snapshot_sink" -> { (s, d) =>
+      import graft.sources.Snapshots
+      val root = s"${sys.props("java.io.tmpdir")}/graft_io/${Q.pathKey(d)}/stream_snap/tbl"
+      graft.Fs.deleteDir(s, root)
+      val rows = eventsStream(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      val q = rows.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          Snapshots.txnAppend(batch.sparkSession, root, batch, batchId): Unit
+        }
+        .start()
+      q.awaitTermination()
+      Snapshots.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nu"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -621,6 +653,12 @@ object Streams {
     "stream_foreachbatch_sink" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // every event landed in the versioned table exactly once, so the
+    // table aggregates to the batch truth
+    "stream_snapshot_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS nu
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // inner matches as stream_stream_join; an unmatched purchase
     // null-extends ONLY if the final watermark clears its window's
     // upper edge (p_ts + 10 min, ms-floored) — mirroring the engine's

@@ -119,4 +119,65 @@ class SnapshotSpec extends SparkSpec {
     assert(new java.io.File(staging).exists(),
       "an in-grace staging dir must never be swept")
   }
+
+  test("appendCommit is additive: manifests share parent dirs, no rewrite, expire honors sharing") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root, Seq((1L, "a")).toDF("k", "v"), 0L)
+    Snapshots.appendCommit(spark, root, Seq((2L, "b")).toDF("k", "v"), 1L)
+    Snapshots.appendCommit(spark, root, Seq((3L, "c")).toDF("k", "v"), 2L)
+    // three commits wrote exactly three data dirs — appends never
+    // rewrote standing data
+    assert(new java.io.File(s"$root/data").listFiles().count(_.isDirectory) === 3)
+    assert(Snapshots.read(spark, root).orderBy("k").as[(Long, String)]
+      .collect().toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(Snapshots.readAsOf(spark, root, 2L).orderBy("k").as[(Long, String)]
+      .collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    // expiring v1/v2 must NOT delete the dirs v3's manifest inherits
+    Snapshots.expire(spark, root, keepLast = 1, orphanGraceMs = 0L)
+    assert(Snapshots.versions(spark, root) === Seq(3L))
+    assert(Snapshots.read(spark, root).orderBy("k").as[(Long, String)]
+      .collect().toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "dirs shared into the live manifest must survive expire")
+    assert(new java.io.File(s"$root/data").listFiles().count(_.isDirectory) === 3)
+  }
+
+  test("cdc classifies insert/delete/update between snapshots, null-safely") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root,
+      Seq((1L, Some("a"), 10L), (2L, None, 20L), (3L, Some("c"), 30L),
+        (4L, Some("d"), 40L)).toDF("k", "v", "n"), 0L)
+    Snapshots.commit(spark, root,
+      Seq((1L, Some("a"), 10L),          // unchanged -> dropped
+        (2L, Some("b2"), 20L),           // null -> value: update
+        (4L, None, 40L),                 // value -> null: update
+        (5L, Some("e"), 50L)).toDF("k", "v", "n"), 1L) // 3 deleted, 5 inserted
+    val out = Snapshots.cdc(spark, root, 1L, 2L, Seq("k"))
+      .select(col("change_type"), col("k"), col("old_v"), col("new_v"))
+      .as[(String, Long, Option[String], Option[String])]
+      .collect().sortBy(_._2).toSeq
+    assert(out === Seq(
+      ("update", 2L, None, Some("b2")),
+      ("delete", 3L, Some("c"), None),
+      ("update", 4L, Some("d"), None),
+      ("insert", 5L, None, Some("e"))))
+  }
+
+  test("txnAppend: replayed batch ids are skipped exactly-once-style") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    assert(Snapshots.txnAppend(spark, root, Seq((1L, "a")).toDF("k", "v"), batchId = 0L))
+    assert(Snapshots.txnAppend(spark, root, Seq((2L, "b")).toDF("k", "v"), batchId = 1L))
+    // failure recovery replays batch 1 — must be a no-op
+    assert(!Snapshots.txnAppend(spark, root, Seq((2L, "b")).toDF("k", "v"), batchId = 1L))
+    assert(Snapshots.txnAppend(spark, root, Seq((3L, "c")).toDF("k", "v"), batchId = 2L))
+    assert(Snapshots.versions(spark, root) === Seq(1L, 2L, 3L))
+    assert(Snapshots.read(spark, root).orderBy("k").as[(Long, String)]
+      .collect().toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "the replayed batch must not double-append")
+  }
 }
