@@ -178,9 +178,14 @@ object Snapshots {
 
   /** Read snapshot `v` (time travel). The manifest is resolved NOW
     * and its dirs are immutable — the returned DataFrame yields the
-    * same rows for its whole lifetime regardless of later commits. */
+    * same rows for its whole lifetime regardless of later commits.
+    * `mergeSchema` makes appended columns visible: an append commit
+    * may carry a WIDER schema than the standing dirs (schema
+    * evolution), and old rows surface the new column as null — the
+    * add-column semantics every public format ships. */
   def readAsOf(s: SparkSession, root: String, v: Long): DataFrame =
-    s.read.parquet(dataDirsOf(s, root, v): _*)
+    s.read.option("mergeSchema", "true")
+      .parquet(dataDirsOf(s, root, v): _*)
 
   /** Read the latest committed snapshot. */
   def read(s: SparkSession, root: String): DataFrame = {
@@ -320,4 +325,18 @@ object Snapshots {
     throw new SnapshotConflictException(
       s"txnAppend gave up after $maxAttempts conflicts under $root")
   }
+
+  /** OPTIMIZE: collapse an append-heavy manifest back to one data dir
+    * — same rows, one commit whose manifest no longer inherits the
+    * accumulated small dirs (the many-small-files tax appends build
+    * up). Readers are unaffected throughout (they hold immutable
+    * resolved manifests); the superseded dirs die at the next
+    * [[expire]] once no live manifest references them. Semantics-
+    * preserving by construction — it is literally `commitTransform`
+    * of the identity. */
+  def compact(s: SparkSession, root: String): Long =
+    commitTransform(s, root) { cur =>
+      cur.getOrElse(throw new NoSuchElementException(
+        s"nothing to compact under $root"))
+    }
 }

@@ -166,6 +166,47 @@ class SnapshotSpec extends SparkSpec {
       ("insert", 5L, None, Some("e"))))
   }
 
+  test("schema evolution: an append with a wider schema surfaces nulls on old rows") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root, Seq((1L, "a")).toDF("k", "v"), 0L)
+    Snapshots.appendCommit(spark, root,
+      Seq((2L, "b", 99L)).toDF("k", "v", "extra"), 1L)
+    val out = Snapshots.read(spark, root).orderBy("k")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(out === Seq((1L, "a", None), (2L, "b", Some(99L))),
+      "old rows must surface the evolved column as null")
+    // time travel to v1 still sees the ORIGINAL schema
+    assert(Snapshots.readAsOf(spark, root, 1L).columns.toSeq === Seq("k", "v"))
+  }
+
+  test("compact collapses an append-heavy manifest; expire then drops the small dirs") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root, Seq((1L, "a")).toDF("k", "v"), 0L)
+    (2 to 4).foreach { i =>
+      Snapshots.appendCommit(spark, root,
+        Seq((i.toLong, i.toString)).toDF("k", "v"), i - 1L)
+    }
+    def dirCount() = new java.io.File(s"$root/data").listFiles().count(_.isDirectory)
+    assert(dirCount() === 4)
+    // a reader resolved BEFORE the compaction keeps its manifest
+    val pinned = Snapshots.read(spark, root)
+    val v5 = Snapshots.compact(spark, root)
+    assert(v5 === 5L)
+    Snapshots.expire(spark, root, keepLast = 1, orphanGraceMs = 0L)
+    assert(dirCount() === 1, "superseded small dirs die at expire")
+    assert(Snapshots.read(spark, root).orderBy("k").as[(Long, String)]
+      .collect().toSeq === Seq((1L, "a"), (2L, "2"), (3L, "3"), (4L, "4")),
+      "compaction must preserve every row")
+    // the pinned reader's dirs are gone only because expire ran with
+    // zero grace in-test; its guarantee is manifest immutability, and
+    // its PLAN still names only the old dirs
+    assert(pinned.queryExecution.logical.toString.contains("parquet"))
+  }
+
   test("txnAppend: replayed batch ids are skipped exactly-once-style") {
     val root = freshRoot()
     val s = spark
