@@ -195,6 +195,14 @@ class SqlParitySpec extends SparkSpec {
         |DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber""".stripMargin)
   }
 
+  test("distribute_cluster twin 2: Hive CLUSTER BY shorthand (row-set identity)") {
+    // CLUSTER BY k = DISTRIBUTE BY k SORT BY k — the one-word Hive
+    // spelling; same row set as the DSL repartition+sortWithin form
+    assertSetParity("distribute_cluster",
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |CLUSTER BY l_orderkey""".stripMargin)
+  }
+
   test("set_except_all twin: EXCEPT ALL text form") {
     assertParity("set_except_all",
       """SELECT o_custkey AS k FROM orders WHERE o_custkey < 30
