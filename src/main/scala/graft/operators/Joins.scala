@@ -280,24 +280,35 @@ object Joins {
     },
 
     // WITH RECURSIVE (r18; Spark 4.x UnionLoop execution): calendar
-    // densification — a recursive month spine from min to max
-    // o_orderdate, LEFT-joined back so empty months surface as
-    // zero rows (the gaps-and-spine pattern every revenue-over-time
-    // dashboard needs; a plain GROUP BY silently drops empty months).
-    // HiveQL has no recursive CTE, so this is a deliberate
-    // Spark-surface EXTENSION of the §1.1 views/CTEs row, not a
-    // contract transliteration. Scale shape: the recursion generates
-    // one row per month (bounded by the date span, ~tens of
-    // iterations of constant work — never data-sized), and the one
-    // data-sized pass is the LEFT JOIN's shuffle of orders grouped by
-    // month; at 100 TB the spine broadcasts.
+    // densification — a recursive spine from min to max o_orderdate,
+    // LEFT-joined back so empty months surface as zero rows (the
+    // gaps-and-spine pattern every revenue-over-time dashboard needs;
+    // a plain GROUP BY silently drops empty months). HiveQL has no
+    // recursive CTE, so this is a deliberate Spark-surface EXTENSION
+    // of the §1.1 views/CTEs row, not a contract transliteration.
+    // RECURSION GRANULARITY IS THE COST MODEL: UnionLoop runs one
+    // Spark job per iteration (~0.1-0.15 s fixed overhead each), so
+    // the first cut — one iteration per MONTH, 80 iterations —
+    // MEASURED 11.7 s in-suite with the join itself worth ~0.5 s.
+    // Recursing per YEAR (7-8 iterations) and densifying months with
+    // a LATERAL VIEW explode inside the CTE chain keeps the query
+    // genuinely recursive and cuts the reading to ~1.5 s. Same rows.
+    // Scale shape: the spine is bounded by the date span (never
+    // data-sized) and broadcasts; the one data-sized pass is the
+    // orders-by-month join.
     "sql_cte_recursive" -> { (s, d) =>
       Tables.views(s, d)
-      s.sql("""WITH RECURSIVE months(m) AS (
-              |  SELECT trunc((SELECT min(o_orderdate) FROM orders), 'MM')
+      s.sql("""WITH RECURSIVE years(y) AS (
+              |  SELECT trunc((SELECT min(o_orderdate) FROM orders), 'YYYY')
               |  UNION ALL
-              |  SELECT add_months(m, 1) FROM months
-              |  WHERE m < trunc((SELECT max(o_orderdate) FROM orders), 'MM')
+              |  SELECT add_months(y, 12) FROM years
+              |  WHERE y < trunc((SELECT max(o_orderdate) FROM orders), 'YYYY')
+              |),
+              |months AS (
+              |  SELECT add_months(y, k) AS m
+              |  FROM years LATERAL VIEW explode(sequence(0, 11)) t AS k
+              |  WHERE add_months(y, k) >= trunc((SELECT min(o_orderdate) FROM orders), 'MM')
+              |    AND add_months(y, k) <= trunc((SELECT max(o_orderdate) FROM orders), 'MM')
               |)
               |SELECT CAST(m.m AS TIMESTAMP_NTZ) AS month_start,
               |  count(o.o_orderkey) AS n_orders,
@@ -328,14 +339,22 @@ object Joins {
   val oracle: Map[String, String] = Map(
     "sql_cte" -> cteSql,
     // DuckDB dialect twin of the recursive spine (date_trunc +
-    // interval arithmetic in place of trunc/add_months; the CAST back
-    // to DATE keeps the recursive union's column type stable)
+    // interval arithmetic in place of trunc/add_months, unnest of
+    // generate_series for the month densification; the CAST back to
+    // DATE keeps the recursive union's column type stable)
     "sql_cte_recursive" ->
-      """WITH RECURSIVE months(m) AS (
-        |  SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+      """WITH RECURSIVE years(y) AS (
+        |  SELECT date_trunc('year', (SELECT min(o_orderdate) FROM orders))
         |  UNION ALL
-        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
-        |  WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+        |  SELECT CAST(y + INTERVAL 12 MONTH AS DATE) FROM years
+        |  WHERE y < date_trunc('year', (SELECT max(o_orderdate) FROM orders))
+        |),
+        |months AS (
+        |  SELECT CAST(y + k * INTERVAL 1 MONTH AS DATE) AS m
+        |  FROM years, (SELECT unnest(generate_series(0, 11)) AS k)
+        |  WHERE CAST(y + k * INTERVAL 1 MONTH AS DATE)
+        |        BETWEEN date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+        |        AND date_trunc('month', (SELECT max(o_orderdate) FROM orders))
         |)
         |SELECT CAST(m.m AS TIMESTAMP) AS month_start,
         |  count(o.o_orderkey) AS n_orders,
