@@ -245,8 +245,22 @@ object MvRewrite {
 
   /** Monotonic version source for summary data dirs — globally unique
     * so two RACING rebuilds of the same view can never write into the
-    * same directory. */
+    * same directory. Process-local, so on a PERSISTENT summary root
+    * it must be seeded past any `v=<n>` dirs a previous process left
+    * behind — otherwise a restarted process's first materialize
+    * overwrites the old run's `v=1` in place (the exact tear the
+    * versioning exists to prevent) and strands `v=2..n` forever
+    * (pruneVersions never deletes newer versions). [[nextVersion]]
+    * CAS-bumps the counter above the max on-disk version per root. */
   private val versionCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def nextVersion(s: SparkSession, mvPath: String): Long = {
+    val onDisk = graft.Fs.partDirs(s, mvPath, "v")
+      .flatMap(_.stripPrefix("v=").toLongOption)
+      .foldLeft(0L)(math.max)
+    versionCounter.updateAndGet(c => math.max(c, onDisk))
+    versionCounter.incrementAndGet()
+  }
 
   /** Retire summary versions older than `olderThan` under `base`.
     * Deliberately keeps the immediately-previous version alive: a
@@ -285,7 +299,7 @@ object MvRewrite {
     } :+ count(lit(1)).as("cnt_rows")
     val key = (graft.Q.sessionToken(s), canon(factPath))
     val prev = registry.get(key)
-    val v = versionCounter.incrementAndGet()
+    val v = nextVersion(s, mvPath)
     val dataPath = s"$mvPath/v=$v"
     // The rebuild's own aggregate matches the rewrite pattern, so with
     // the rule enabled a REBUILD would recompute the summary FROM the
@@ -361,7 +375,7 @@ object MvRewrite {
       s"MV ${mv.name} was not registered with materializePartitioned"))
     val delta = (partDirs(s, mv.factPath, partCol) -- mv.covered).toSeq.sorted
     if (delta.isEmpty) return Nil
-    val v = versionCounter.incrementAndGet()
+    val v = nextVersion(s, mv.baseMvPath)
     val dataPath = s"${mv.baseMvPath}/v=$v"
     // scope the rule off like materialize (thread-local — concurrent
     // readers keep the rewrite): a rebuild must never be answered

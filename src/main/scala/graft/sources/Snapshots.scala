@@ -86,11 +86,22 @@ object Snapshots {
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } else {
+      // only an already-exists failure is a CONFLICT; any other
+      // IOException (write/close failing AFTER the namenode created
+      // the marker) would otherwise leave an empty marker bricking
+      // every later latest() — best-effort-remove it and rethrow so
+      // the caller sees an error, not a phantom conflict
       try {
         val out = f.create(p, false)
         try out.write(content.getBytes("UTF-8")) finally out.close()
         true
-      } catch { case _: java.io.IOException => false }
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.io.IOException =>
+          try f.delete(p, false) catch { case _: java.io.IOException => () }
+          throw e
+      }
     }
   }
 
@@ -136,6 +147,23 @@ object Snapshots {
   private def commitDirs(s: SparkSession, root: String, df: DataFrame,
                          expectedParent: Long, inheritDirs: Seq[String],
                          extraMeta: Map[String, String]): Long = {
+    // a STALE parent is caught atomically by the marker claim below;
+    // a parent AHEAD of latest would silently claim past a gap, so
+    // reject it up front (racy-read is fine — the claim is the gate)
+    val cur = latest(s, root).getOrElse(0L)
+    if (expectedParent > cur)
+      throw new IllegalArgumentException(
+        s"expectedParent $expectedParent is ahead of latest $cur under $root")
+    // the marker is parsed by string-split, so meta entries must not
+    // smuggle quotes/braces, and the manifest's own fields are
+    // reserved (a crafted earlier "data" occurrence would win the
+    // first-match parse and redirect reads)
+    extraMeta.foreach { case (k, x) =>
+      require(k.matches("[A-Za-z0-9_-]+") && !Set("data", "parent")(k),
+        s"invalid or reserved extraMeta key: $k")
+      require(x.matches("[A-Za-z0-9_.: -]*"),
+        s"extraMeta value for $k must stay in the JSON-safe charset")
+    }
     val v = expectedParent + 1
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = s"${dataRoot(root)}/$uuid"
@@ -233,6 +261,10 @@ object Snapshots {
     * retired versions. */
   def expire(s: SparkSession, root: String, keepLast: Int,
              orphanGraceMs: Long = 24L * 3600 * 1000): Seq[Long] = {
+    // keepLast 0 would wipe the table AND let version numbers be
+    // reused by the next commit — stale references would silently
+    // resolve to unrelated data
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val vs = versions(s, root)
     if (vs.isEmpty) return Seq.empty
     val cutoff = vs.last - keepLast + 1
@@ -313,9 +345,15 @@ object Snapshots {
     while (attempt < maxAttempts) {
       attempt += 1
       val parent = latest(s, root).getOrElse(0L)
-      val lastBatch =
-        if (parent == 0L) -1L
-        else commitMeta(s, root, parent, "batch").map(_.toLong).getOrElse(-1L)
+      // the ledger is the most recent commit CARRYING a batch id, not
+      // merely the latest commit — an interleaved non-batch commit
+      // (compact, a manual transform) must not reset replay detection
+      // and let a redelivered batch double-append. Walk back from the
+      // newest marker; expire bounds the walk.
+      val lastBatch = versions(s, root).reverseIterator
+        .map(v => commitMeta(s, root, v, "batch"))
+        .collectFirst { case Some(b) => b.toLong }
+        .getOrElse(-1L)
       if (batchId <= lastBatch) return false
       try {
         appendCommit(s, root, df, parent, Map("batch" -> batchId.toString))

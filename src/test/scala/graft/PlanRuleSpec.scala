@@ -477,6 +477,29 @@ class PlanRuleSpec extends SparkSpec {
     finally spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
   }
 
+  test("version counter reseeds past on-disk v= dirs left by a previous process") {
+    // simulate a restart onto a persistent summary root: a prior
+    // process left v=9; the first materialize after restart must land
+    // ABOVE it, never overwrite v=1..9 in place (code-review finding)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_planrule/mvreseed"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val factPath = s"$base/fact"
+    val mvPath = s"$base/mv"
+    Tables.t(spark, sf, "orders")
+      .select(col("o_orderstatus"), Q.dec(col("o_totalprice")).as("o_price"))
+      .write.mode("overwrite").parquet(factPath)
+    val stale = s"$mvPath/v=9/marker.txt"
+    new java.io.File(s"$mvPath/v=9").mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(stale), "old".getBytes)
+    val mv = graft.plans.MvRewrite.materialize(spark, "mv_reseed_spec",
+      spark.read.parquet(factPath), factPath,
+      dims = Seq("o_orderstatus"), measures = Seq("o_price"), mvPath)
+    assert(mv.version > 9L,
+      s"materialize after restart must reseed past on-disk v=9, got v=${mv.version}")
+    assert(new java.io.File(stale).exists(),
+      "the previous process's newest version must not be overwritten")
+  }
+
   test("mv rewrite serves the GLOBAL aggregate (empty group-by) from the summary too") {
     val (factPath, _) = operators.Aggregates.mvDemo(spark, sf)
     spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")

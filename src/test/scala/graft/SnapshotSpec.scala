@@ -220,5 +220,37 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).orderBy("k").as[(Long, String)]
       .collect().toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")),
       "the replayed batch must not double-append")
+    // an interleaved NON-batch commit (compact, manual transform)
+    // must not reset the replay ledger (code-review finding): the
+    // ledger is the newest commit CARRYING a batch id
+    Snapshots.compact(spark, root)
+    assert(!Snapshots.txnAppend(spark, root, Seq((3L, "c")).toDF("k", "v"), batchId = 2L),
+      "a replay after compaction must still be detected")
+    assert(Snapshots.txnAppend(spark, root, Seq((4L, "d")).toDF("k", "v"), batchId = 3L))
+    assert(Snapshots.read(spark, root).orderBy("k").as[(Long, String)]
+      .collect().toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("guards: keepLast>=1, JSON-safe extraMeta, no commits ahead of latest") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root, Seq((1L, "a")).toDF("k", "v"), 0L)
+    intercept[IllegalArgumentException] {
+      Snapshots.expire(spark, root, keepLast = 0)
+    }
+    intercept[IllegalArgumentException] { // quote would corrupt the marker
+      Snapshots.commit(spark, root, Seq((2L, "b")).toDF("k", "v"), 1L,
+        extraMeta = Map("note" -> "say \"hi\""))
+    }
+    intercept[IllegalArgumentException] { // manifest fields are reserved
+      Snapshots.commit(spark, root, Seq((2L, "b")).toDF("k", "v"), 1L,
+        extraMeta = Map("data" -> "evil"))
+    }
+    intercept[IllegalArgumentException] { // parent ahead of latest = gap
+      Snapshots.commit(spark, root, Seq((2L, "b")).toDF("k", "v"), 5L)
+    }
+    assert(Snapshots.versions(spark, root) === Seq(1L),
+      "every rejected commit must leave the log untouched")
   }
 }
