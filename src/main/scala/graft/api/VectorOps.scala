@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.functions.Graft
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Public embedding-similarity API over arbitrary DataFrames with an
@@ -179,6 +179,32 @@ object VectorOps {
       .withColumn("cells", transform(cellRank(cent), s => s.getField("i")))
       .withColumn("cell", element_at(col("cells"), 1))
     IvfIndex(cent, assigned)
+  }
+
+  /** Persist a built index through the snapshot table format — the
+    * "build once, serve across jobs" durability the IvfIndex doc
+    * promises: the trained centroids and the cell-assigned corpus
+    * each become a snapshot-isolated table under `root`, so a serving
+    * job reloads the index instead of re-training the quantizer and
+    * re-assigning the corpus (a full rescan), a rebuild is one
+    * atomic commit readers never see half of, and old index versions
+    * stay time-travel readable until expired. */
+  def saveIvfIndex(s: SparkSession, root: String, index: IvfIndex): Unit = {
+    import s.implicits._
+    val centDf = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell_id", "centroid")
+    graft.sources.Snapshots.commitTransform(s, s"$root/centroids")(_ => centDf)
+    graft.sources.Snapshots.commitTransform(s, s"$root/assigned")(_ => index.assigned)
+  }
+
+  /** Reload a persisted index: the centroid table is tiny (numCells
+    * rows — one bounded collect), the assigned corpus stays
+    * distributed (a snapshot read, lazily planned). */
+  def loadIvfIndex(s: SparkSession, root: String): IvfIndex = {
+    val cent = graft.sources.Snapshots.read(s, s"$root/centroids")
+      .orderBy(col("cell_id")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    IvfIndex(cent, graft.sources.Snapshots.read(s, s"$root/assigned"))
   }
 
   /** Probe a built index: explode each query onto its `nprobe`

@@ -73,6 +73,28 @@ object LlmVector {
         .orderBy(col("pid"), col("rk"))
     },
 
+    // index persistence — the "build once, serve across jobs" half
+    // of the ANN story: the trained quantizer + cell-assigned corpus
+    // are committed as snapshot tables, reloaded, and THE LOADED
+    // index serves the probes. LlmSpec asserts the loaded index's
+    // top-k is row-identical to the in-memory one's (same centroids,
+    // same assignments, same tie-breaks) and that a rebuild is one
+    // atomic commit. Approximate by construction like every IVF key
+    // -> rows-only; at 100 TB this is the difference between ONE
+    // quantizer training + corpus assignment and one PER JOB.
+    "llm_sim_index_persist" -> { (s, d) =>
+      val emb = Tables.t(s, d, "embeddings")
+      val root = s"${sys.props("java.io.tmpdir")}/graft_io/${graft.Q.pathKey(d)}/ivf_index"
+      val idx = graft.api.VectorOps.buildIvfIndex(emb, "vec_id", "embedding")
+      graft.api.VectorOps.saveIvfIndex(s, root, idx)
+      val loaded = graft.api.VectorOps.loadIvfIndex(s, root)
+      graft.api.VectorOps.ivfProbe(
+          loaded, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("pid"), col("rk"), col("cid"),
+          col("score").cast(FloatType).as("score"))
+        .orderBy(col("pid"), col("rk"))
+    },
+
     // the threshold-join scale path as a first-class key: candidates
     // from shared IVF cells, exact confirm. Approximate by
     // construction -> rows-only key; LlmSpec asserts approx ⊆ exact

@@ -78,6 +78,28 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8 bar")
   }
 
+  test("IVF index persistence: the reloaded index serves identical top-k") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.t(spark, sf, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_").toString + "/idx"
+    val idx = graft.api.VectorOps.buildIvfIndex(emb, "vec_id", "embedding")
+    graft.api.VectorOps.saveIvfIndex(spark, root, idx)
+    val loaded = graft.api.VectorOps.loadIvfIndex(spark, root)
+    assert(loaded.centroids.length === idx.centroids.length)
+    assert(loaded.centroids.map(_.toSeq).toSeq === idx.centroids.map(_.toSeq).toSeq,
+      "centroids must roundtrip bit-identically")
+    def probe(i: graft.api.VectorOps.IvfIndex) =
+      graft.api.VectorOps.ivfProbe(i, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("pid"), col("rk"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(probe(loaded) === probe(idx),
+      "the loaded index must serve exactly the in-memory index's answers")
+    // a rebuild is one atomic commit: version advances, old readable
+    graft.api.VectorOps.saveIvfIndex(spark, root, idx)
+    assert(graft.sources.Snapshots.versions(spark, s"$root/centroids") === Seq(1L, 2L))
+  }
+
   test("pairwise llm plans: no BNLJ/cartesian, no forced corpus broadcast, no member arrays") {
     // with the size-based broadcast threshold disabled, any
     // BroadcastExchange left in the initial plan can only come from an
