@@ -59,9 +59,9 @@ object Bench {
     // 0.30-0.66 s warm on a healthy phase where the 100M probe read
     // 0.39-0.56 s) — which is the right probe shape, because the
     // documented slow phase hits exactly that threaded scheduling /
-    // shuffle overhead (~30% kernel time), not raw arithmetic. 124
-    // probes add ~45 s of wall-clock; they are OUTSIDE every query's
-    // measured time and outside `value`.
+    // shuffle overhead (~30% kernel time), not raw arithmetic. The
+    // probes are OUTSIDE every query's measured time and outside
+    // `value`.
     def calFull(): Double = calSpark(100000000L)
     def calQuick(): Double = calSpark(10000000L)
     // healthy-phase MEDIAN of the quick probe on the bench host,
@@ -84,17 +84,6 @@ object Bench {
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
     calFull(); calQuick() // compile/JIT both probe plans outside the readings
-    val calStart = calFull()
-    // SORTED iteration: Map order is hash-bucket order, so first-touch
-    // costs (table cache materialization, residual JIT) landed on a
-    // different key each build — r7→r8 showed ±6 s single-query swings
-    // on byte-identical code. Alphabetical order pins attribution so
-    // per-query numbers are comparable round over round.
-    // A crashed query is NOT a timing: BENCH_r13 recorded 15
-    // time-to-exception readings as if the queries ran (the events
-    // encoding regression), poisoning the round total. Per
-    // BASELINE.md's contract a failure is reported as the -1 marker,
-    // excluded from every total, and named in a "failed" list.
     case class R(name: String, sec: Double, cal: Double, gcSec: Double,
                  failed: Boolean)
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): R = {
@@ -117,47 +106,6 @@ object Bench {
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def mapJson(entries: Iterable[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    // A fatal JVM error mid-suite (timed rethrows it) must not erase
-    // the readings already taken: flush the partial per-query map
-    // before propagating, mirroring Verify's finally-flush (Harness
-    // policy) — an aborted run with 119 good readings is auditable,
-    // an empty stdout is not.
-    val resultsBuf = scala.collection.mutable.ArrayBuffer.empty[R]
-    try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      resultsBuf += timed(name, fn)
-    } catch { case e: Throwable =>
-      if (!NonFatal(e))
-        println(s"""{"metric":"queries_partial","queries":${mapJson(resultsBuf.map(r => (r.name, r.sec)))},"sf":"$sfDir"}""")
-      throw e
-    }
-    val results = resultsBuf.toSeq
-    // The last query's closing probe bracket must be taken BEFORE the
-    // retry pass: 20+ s of retry work in between would let a phase
-    // flip the last query never saw leak into its normalization.
-    val calQuickFinal = calQuick()
-    // emit the two full per-query maps NOW, before the retry pass: a
-    // fatal error during a retry (timed rethrows) must not take the
-    // suite's readings down with it
-    val cals = results.map(r => (r.name, r.cal))
-    println(s"""{"metric":"queries","queries":${mapJson(results.map(r => (r.name, r.sec)))},"sf":"$sfDir"}""")
-    println(s"""{"metric":"query_cals","cal_healthy_quick_sec":$calHealthyQuick,"cal_quick_final_sec":${fmt(calQuickFinal)},"cals":${mapJson(cals)},"sf":"$sfDir"}""")
-    // Stall-free retry pass: a query whose reading stays large even
-    // after subtracting its own attributable GC (a mostly-GC reading
-    // is already explained by the query_gc map) is re-run ONCE. The
-    // retry is WARM (the dedup caches are materialized), so
-    // min(first, retry) is a lower bound on cold suite time —
-    // value_stallfree is the "no transient stall" reading, emitted
-    // ALONGSIDE the raw total (never replacing it) for exactly the
-    // audit the r12 artifact needed: exact_text read 16.0 s in-suite
-    // with healthy brackets and 0.4 s isolated. The pass is capped by
-    // RETRY-TIME BUDGET, not by count: r14's count-of-5 cap left its
-    // 6th outlier (join_full_outer, 6.5 s raw on a ≤25-row full outer)
-    // unexplained while the five bigger readings consumed every slot
-    // (VERDICT r14 "What's wrong" #1). A warm healthy retry costs
-    // ~1-2 s, so a 60 s budget covers every plausible stall cluster;
-    // a genuinely slow engine burns its budget on the first few
-    // retries (which re-read slow) and cannot buy itself unlimited
-    // warm second chances.
     // Last-round per-key readings (the slowest-keys map the driver
     // stored in the newest BENCH_r*.json, cwd = repo root under the
     // driver): a key reading ≥2× its own last-round time is a stall
@@ -165,15 +113,9 @@ object Bench {
     // r15's absolute-ranked budget re-measured two big keys but
     // missed agg_grouping_sets at 2.4× its untouched-code r14 reading
     // (VERDICT r15 #4). The stored map keeps only the slowest ~40
-    // keys; absent keys fall back to the absolute criterion.
-    // Last-round artifact: both the per-key timings ("queries", the
-    // parsed final map AND its escaped twin in the tail) and the
-    // per-key GC ("gc", escaped inside the tail's query_gc line) —
-    // the ratio below subtracts GC on BOTH sides, because a
-    // GC-corrected numerator over a raw (GC-inclusive) denominator
-    // deflates the ratio for any key whose prior reading was
-    // GC-inflated and can let a real 2× stall slip the trigger
-    // (ADVICE r16).
+    // keys; absent keys fall back to the absolute criterion. The
+    // per-key GC twin is subtracted on BOTH sides of the ratio
+    // (ADVICE r16; see BenchPolicy.ratioVsLast).
     val (lastRound, lastGc): (Map[String, Double], Map[String, Double]) = try {
       Option(new java.io.File(".").listFiles()).toSeq.flatten
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
@@ -183,41 +125,151 @@ object Bench {
           (BenchPolicy.parseMap(txt, "queries"), BenchPolicy.parseMap(txt, "gc"))
         }.getOrElse((Map.empty[String, Double], Map.empty[String, Double]))
     } catch { case NonFatal(_) => (Map.empty[String, Double], Map.empty[String, Double]) }
-    // Degraded-host self-diagnosis (VERDICT r16 #4): BENCH_r16's
-    // in-suite probes spanned 0.27-1.76 s against the 0.4 s healthy
-    // constant, every key carried a 0.3-1.0 s uniform inflation, and
-    // the ≥3 s retry floor exempted 14 of the 15 largest apparent
-    // regressions — a polluted artifact masqueraded as a regression.
-    // When any probe exceeds 2× healthy the run flags itself
-    // (host_degraded in the contract line) and the retry thresholds
-    // drop (ratio 2.0→1.5, absolute entry 0.8→0.4 s) so uniform
-    // small inflation gets re-measured instead of exempted.
-    val hostDegraded =
-      BenchPolicy.hostDegraded(cals.map(_._2) :+ calQuickFinal, calHealthyQuick)
-    // rank by the regression RATIO vs last round where known (largest
-    // relative stall first), falling back to unexplained-time/3 as a
-    // pseudo-ratio for keys with no prior — so a mostly-GC giant
-    // can't displace a smaller pure stall and a 2× regression on a
-    // 1.2 s key outranks a flat 6 s heavyweight; failed queries are
-    // never retried (their -1 is a marker, not a reading) and a retry
-    // that itself fails is discarded
-    val retryBudgetSec = 60.0
-    def toReading(r: R) = BenchPolicy.Reading(r.name, r.sec, r.gcSec, r.failed)
-    val retried = {
-      val out = scala.collection.mutable.Map.empty[String, Double]
-      var spent = 0.0
-      BenchPolicy.retryOrder(results.map(toReading), lastRound, lastGc, hostDegraded)
-        .foreach { candidate =>
-          if (spent < retryBudgetSec) {
-            val t0 = System.nanoTime()
-            val rr = timed(candidate.name, SparkEntry.queries(candidate.name))
-            spent += (System.nanoTime() - t0) / 1e9
-            if (!rr.failed) out(candidate.name) = rr.sec
-          }
-        }
-      out.toMap
+
+    // ---- Pre-flight host-health gate (VERDICT r18 #1) ----
+    // Two consecutive rounds shipped a host_degraded:true artifact
+    // while the healthy evidence hid in SURVEY prose: the bench only
+    // FLAGGED degradation after the fact. Now it refuses to start
+    // measuring into a known-slow phase: probe first, and if the
+    // probe is already ≥2× healthy, wait-and-reprobe (bounded) until
+    // the phase flips back. Documented phase flips last minutes, not
+    // hours (r10: slow at 23:28, healthy at 23:35), so a few bounded
+    // waits buy a healthy start at the cost of idle wall-clock that
+    // was never part of any measured number.
+    val gateAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_ATTEMPTS", "5").toInt
+    val gateWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_WAIT_SEC", "90").toInt
+    var gateWaitedSec = 0.0
+    def preflightGate(): Double = {
+      var attempt = 0
+      var probe = calQuick()
+      while (!BenchPolicy.gateHealthy(probe, calHealthyQuick)
+          && attempt < gateAttempts - 1) {
+        attempt += 1
+        System.err.println(f"[bench] pre-flight probe $probe%.3f s >= 2x healthy " +
+          s"($calHealthyQuick) — waiting ${gateWaitSec}s (attempt $attempt/${gateAttempts - 1})")
+        Thread.sleep(gateWaitSec * 1000L)
+        gateWaitedSec += gateWaitSec
+        probe = calQuick()
+      }
+      probe
     }
-    val calEnd = calFull()
+
+    case class Suite(results: Seq[R], calStart: Double, calQuickFinal: Double,
+                     retried: Map[String, Double], calEnd: Double,
+                     hostDegraded: Boolean) {
+      def calMax: Double = (results.map(_.cal) :+ calQuickFinal).max
+    }
+
+    def runSuite(): Suite = {
+      val calStart = calFull()
+      // SORTED iteration: Map order is hash-bucket order, so first-touch
+      // costs (table cache materialization, residual JIT) landed on a
+      // different key each build — r7→r8 showed ±6 s single-query swings
+      // on byte-identical code. Alphabetical order pins attribution so
+      // per-query numbers are comparable round over round.
+      // A crashed query is NOT a timing: BENCH_r13 recorded 15
+      // time-to-exception readings as if the queries ran (the events
+      // encoding regression), poisoning the round total. Per
+      // BASELINE.md's contract a failure is reported as the -1 marker,
+      // excluded from every total, and named in a "failed" list.
+      // A fatal JVM error mid-suite (timed rethrows it) must not erase
+      // the readings already taken: flush the partial per-query map
+      // before propagating, mirroring Verify's finally-flush (Harness
+      // policy) — an aborted run with 119 good readings is auditable,
+      // an empty stdout is not.
+      val resultsBuf = scala.collection.mutable.ArrayBuffer.empty[R]
+      try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        resultsBuf += timed(name, fn)
+      } catch { case e: Throwable =>
+        if (!NonFatal(e))
+          println(s"""{"metric":"queries_partial","queries":${mapJson(resultsBuf.map(r => (r.name, r.sec)))},"sf":"$sfDir"}""")
+        throw e
+      }
+      val results = resultsBuf.toSeq
+      // The last query's closing probe bracket must be taken BEFORE the
+      // retry pass: 20+ s of retry work in between would let a phase
+      // flip the last query never saw leak into its normalization.
+      val calQuickFinal = calQuick()
+      // emit the two full per-query maps NOW, before the retry pass: a
+      // fatal error during a retry (timed rethrows) must not take the
+      // suite's readings down with it. On a rerun these lines are
+      // emitted again — the driver parses the LAST occurrence in its
+      // tail window, so later (chosen-run) lines supersede.
+      val cals = results.map(r => (r.name, r.cal))
+      println(s"""{"metric":"queries","queries":${mapJson(results.map(r => (r.name, r.sec)))},"sf":"$sfDir"}""")
+      println(s"""{"metric":"query_cals","cal_healthy_quick_sec":$calHealthyQuick,"cal_quick_final_sec":${fmt(calQuickFinal)},"cals":${mapJson(cals)},"sf":"$sfDir"}""")
+      // Degraded-host self-diagnosis (VERDICT r16 #4): BENCH_r16's
+      // in-suite probes spanned 0.27-1.76 s against the 0.4 s healthy
+      // constant, every key carried a 0.3-1.0 s uniform inflation, and
+      // the ≥3 s retry floor exempted 14 of the 15 largest apparent
+      // regressions — a polluted artifact masqueraded as a regression.
+      // When any probe exceeds 2× healthy the run flags itself
+      // (host_degraded in the contract line) and the retry thresholds
+      // drop (ratio 2.0→1.5, absolute entry 0.8→0.4 s) so uniform
+      // small inflation gets re-measured instead of exempted.
+      val hostDegraded =
+        BenchPolicy.hostDegraded(cals.map(_._2) :+ calQuickFinal, calHealthyQuick)
+      // Stall-free retry pass: a query whose reading stays large even
+      // after subtracting its own attributable GC (a mostly-GC reading
+      // is already explained by the query_gc map) is re-run ONCE. The
+      // retry is WARM (the dedup caches are materialized), so
+      // min(first, retry) is a lower bound on cold suite time —
+      // value_stallfree is the "no transient stall" reading, emitted
+      // ALONGSIDE the raw total (never replacing it). The pass is
+      // capped by RETRY-TIME BUDGET, not by count: r14's count-of-5
+      // cap left its 6th outlier unexplained while the five bigger
+      // readings consumed every slot (VERDICT r14 #1). Ranked by
+      // regression ratio vs last round (BenchPolicy.retryOrder).
+      val retryBudgetSec = 60.0
+      def toReading(r: R) = BenchPolicy.Reading(r.name, r.sec, r.gcSec, r.failed)
+      val retried = {
+        val out = scala.collection.mutable.Map.empty[String, Double]
+        var spent = 0.0
+        BenchPolicy.retryOrder(results.map(toReading), lastRound, lastGc, hostDegraded)
+          .foreach { candidate =>
+            if (spent < retryBudgetSec) {
+              val t0 = System.nanoTime()
+              val rr = timed(candidate.name, SparkEntry.queries(candidate.name))
+              spent += (System.nanoTime() - t0) / 1e9
+              if (!rr.failed) out(candidate.name) = rr.sec
+            }
+          }
+        out.toMap
+      }
+      val calEnd = calFull()
+      Suite(results, calStart, calQuickFinal, retried, calEnd, hostDegraded)
+    }
+
+    preflightGate()
+    val first = runSuite()
+    // ---- Degraded-run auto-rerun (VERDICT r18 #1) ----
+    // The pre-flight gate cannot see a phase flip that starts MID-run.
+    // If the suite still self-diagnosed degraded, gate again (wait out
+    // the slow phase) and re-measure the whole suite once, publishing
+    // whichever run is healthier (BenchPolicy.pickFirst). The rerun is
+    // WARM (caches + JIT hot), so a warm healthy rerun can under-read
+    // a cold suite slightly — the runs/picked_run fields keep that
+    // auditable, and a warm healthy number still beats a 2-10x
+    // host-polluted one for the 2x gate this artifact feeds.
+    val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "1").toInt
+    val (chosen, runs, pickedRun) =
+      if (!first.hostDegraded || maxReruns < 1) (first, 1, 1)
+      else {
+        System.err.println("[bench] run self-diagnosed host_degraded — gating then re-running once")
+        preflightGate()
+        val second = runSuite()
+        if (BenchPolicy.pickFirst(first.hostDegraded, first.calMax,
+            second.hostDegraded, second.calMax)) (first, 2, 1)
+        else (second, 2, 2)
+      }
+    import chosen.{results, retried}
+    // on a rerun the last-emitted per-query maps are the SECOND run's;
+    // if the first was picked, re-emit the chosen run's maps so the
+    // driver's last-occurrence parse matches the contract line below
+    if (runs == 2 && pickedRun == 1) {
+      println(s"""{"metric":"queries","queries":${mapJson(results.map(r => (r.name, r.sec)))},"sf":"$sfDir"}""")
+      println(s"""{"metric":"query_cals","cal_healthy_quick_sec":$calHealthyQuick,"cal_quick_final_sec":${fmt(chosen.calQuickFinal)},"cals":${mapJson(results.map(r => (r.name, r.cal)))},"sf":"$sfDir"}""")
+    }
     val ok = results.filter(!_.failed)
     val failedNames = results.filter(_.failed).map(_.name)
     val total = ok.map(_.sec).sum
@@ -225,19 +277,19 @@ object Bench {
     // BRACKET vs the healthy constant, never upward. Each query is
     // bracketed by its pre-probe and the NEXT query's pre-probe (the
     // last by one extra probe) and normalized by the slower of the
-    // two: a phase flip DURING a query (observed this round: a 0.40 s
-    // pre-probe followed by a 58 s reading and a 1.2 s next probe)
-    // is caught by the closing bracket, at zero extra probe cost. A
-    // query on a healthy host counts as measured; a 10x-slow phase
-    // counts ~1/10. Known one-sided error: a genuine engine
-    // regression in query i followed by a phase flip BETWEEN i and
-    // probe i+1 gets discounted too — the normalized total can
-    // under-read but the raw total and per-query maps are always
-    // emitted alongside for exactly this audit.
+    // two: a phase flip DURING a query (observed: a 0.40 s pre-probe
+    // followed by a 58 s reading and a 1.2 s next probe) is caught by
+    // the closing bracket, at zero extra probe cost. A query on a
+    // healthy host counts as measured; a 10x-slow phase counts ~1/10.
+    // Known one-sided error: a genuine engine regression in query i
+    // followed by a phase flip BETWEEN i and probe i+1 gets discounted
+    // too — the normalized total can under-read but the raw total and
+    // per-query maps are always emitted alongside for exactly this
+    // audit.
     def norm(raw: Double, cal: Double): Double =
       raw * math.min(1.0, calHealthyQuick / math.max(cal, 1e-9))
     val totalNorm = results.zipWithIndex.map { case (r, i) =>
-      val calClose = if (i + 1 < results.length) results(i + 1).cal else calQuickFinal
+      val calClose = if (i + 1 < results.length) results(i + 1).cal else chosen.calQuickFinal
       if (r.failed) 0.0 else norm(r.sec, math.max(r.cal, calClose))
     }.sum
     val totalStallfree = ok
@@ -245,10 +297,10 @@ object Bench {
     val gcTotal = results.map(_.gcSec).sum
     // The driver keeps only the LAST ~2000 chars of stdout and parses
     // the final JSON line. The full per-query map and probe map were
-    // already emitted before the retry pass (fatal-flush ordering);
-    // what remains is the gc/retries line and the contract line LAST,
-    // whose embedded queries map is capped to the slowest entries so
-    // the whole line always fits inside the tail window untruncated.
+    // already emitted per-suite (fatal-flush ordering); what remains
+    // is the gc/retries line and the contract line LAST, whose
+    // embedded queries map is capped to the slowest entries so the
+    // whole line always fits inside the tail window untruncated.
     println(s"""{"metric":"query_gc","gc_total_sec":${fmt(gcTotal)},"gc":${mapJson(results.filter(_.gcSec >= 0.05).map(r => (r.name, r.gcSec)))},"retries":${mapJson(retried)},"sf":"$sfDir"}""")
     // failed queries keep their -1 marker in the map; the "_other"
     // remainder sums only real readings (a -1 must never shrink it)
@@ -261,7 +313,7 @@ object Bench {
       val kept = bySlowest.take(k)
       val rest = bySlowest.drop(k).map(_._2).filter(_ >= 0).sum
       val entries = if (k < bySlowest.length) kept :+ ("_other" -> rest) else kept
-      s"""{"metric":"graft_bench","value":${fmt(total)},"value_cal_norm":${fmt(totalNorm)},"value_stallfree":${fmt(totalStallfree)},"host_degraded":$hostDegraded,"gc_total_sec":${fmt(gcTotal)},"cache_warm_sec":${fmt(cacheWarmSec)},"unit":"sec","n":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"cal_start_sec":${fmt(calStart)},"cal_end_sec":${fmt(calEnd)},"cal_quick_min_sec":${fmt(cals.map(_._2).min)},"cal_quick_max_sec":${fmt(cals.map(_._2).max)},"cal_healthy_quick_sec":$calHealthyQuick,"queries":${mapJson(entries)},"sf":"$sfDir"}"""
+      s"""{"metric":"graft_bench","value":${fmt(total)},"value_cal_norm":${fmt(totalNorm)},"value_stallfree":${fmt(totalStallfree)},"host_degraded":${chosen.hostDegraded},"runs":$runs,"picked_run":$pickedRun,"gate_waited_sec":${fmt(gateWaitedSec)},"gc_total_sec":${fmt(gcTotal)},"cache_warm_sec":${fmt(cacheWarmSec)},"unit":"sec","n":${results.size},"n_failed":${failedNames.size},"failed":$failedJson,"cal_start_sec":${fmt(chosen.calStart)},"cal_end_sec":${fmt(chosen.calEnd)},"cal_quick_min_sec":${fmt(results.map(_.cal).min)},"cal_quick_max_sec":${fmt(chosen.calMax)},"cal_healthy_quick_sec":$calHealthyQuick,"queries":${mapJson(entries)},"sf":"$sfDir"}"""
     }
     while (keep > 1 && finalLine(keep).length > budget) keep -= 1
     println(finalLine(keep))
@@ -286,6 +338,24 @@ object BenchPolicy {
     * margin on every artifact observed to date. */
   def hostDegraded(cals: Seq[Double], healthy: Double): Boolean =
     cals.exists(_ >= 2.0 * healthy)
+
+  /** Pre-flight gate: start measuring only when the probe is under
+    * the SAME 2× threshold hostDegraded flags — a run allowed to
+    * start is by definition not born degraded (VERDICT r18 #1). */
+  def gateHealthy(probe: Double, healthy: Double): Boolean =
+    probe < 2.0 * healthy
+
+  /** Which of two runs to publish: a healthy run always beats a
+    * degraded one; between two degraded runs the lower worst-probe
+    * (least polluted) wins; between two healthy runs the FIRST (cold,
+    * unbiased) wins. Returns true to keep the first run. */
+  def pickFirst(firstDegraded: Boolean, firstCalMax: Double,
+                secondDegraded: Boolean, secondCalMax: Double): Boolean =
+    (firstDegraded, secondDegraded) match {
+      case (false, _) => true
+      case (true, false) => false
+      case (true, true) => firstCalMax <= secondCalMax
+    }
 
   /** Regression ratio with GC subtracted on BOTH sides: the persisted
     * last-round reading includes that round's GC, so correcting only

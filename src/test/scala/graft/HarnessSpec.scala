@@ -89,6 +89,21 @@ class HarnessSpec extends AnyFunSuite {
       None, degraded = false))
   }
 
+  test("pre-flight gate and run-pick mirror the degraded threshold (VERDICT r18 #1)") {
+    // the gate admits exactly what hostDegraded would not flag
+    assert(BenchPolicy.gateHealthy(0.664, 0.40), "healthy-band max must pass")
+    assert(!BenchPolicy.gateHealthy(0.80, 0.40), "2x is the shared boundary")
+    assert(!BenchPolicy.gateHealthy(1.454, 0.40), "the r18 artifact's probe must gate")
+    // run choice: healthy beats degraded in either order; two degraded
+    // runs pick the least-polluted; two healthy runs keep the cold first
+    assert(!BenchPolicy.pickFirst(firstDegraded = true, 1.5, secondDegraded = false, 0.5))
+    assert(BenchPolicy.pickFirst(firstDegraded = false, 0.5, secondDegraded = true, 1.5))
+    assert(BenchPolicy.pickFirst(firstDegraded = false, 0.5, secondDegraded = false, 0.4),
+      "two healthy runs: the cold first run is the unbiased reading")
+    assert(!BenchPolicy.pickFirst(firstDegraded = true, 3.0, secondDegraded = true, 1.0))
+    assert(BenchPolicy.pickFirst(firstDegraded = true, 1.0, secondDegraded = true, 3.0))
+  }
+
   test("parseMap reads both plain and tail-escaped artifact maps") {
     val txt = """{"tail":"{\"metric\":\"query_gc\",\"gc\":{\"k1\":0.25,\"k2\":1.5},\"sf\":\"x\"}",
       |"parsed":{"queries":{"k1":2.0,"k2":3.5},"sf":"y"}}""".stripMargin
