@@ -231,6 +231,217 @@ class SnapshotSpec extends SparkSpec {
       .collect().toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
+  test("commitReplace stages only the affected partitions and reuses untouched dirs byte-identically") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    // partition-granular seed over p in {1,2,3}
+    Snapshots.commitPartitioned(spark, root,
+      Seq((1L, 1, "a"), (2L, 2, "b"), (3L, 3, "c"), (4L, 2, "b2"))
+        .toDF("k", "p", "v"), "p", expectedParent = 0L)
+    def entries(v: Long) = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/_commits/$v")), "UTF-8")
+      txt.split("\"data\":\"")(1).split("\"")(0).split(" ").toSeq
+    }
+    val v1Entries = entries(1L)
+    assert(v1Entries.size === 3 && v1Entries.forall(_.contains("/__gp=")),
+      "the seed manifest must be partition-granular")
+    // snapshot of the untouched partitions' physical files (path -> len)
+    def filesUnder(rel: String): Map[String, Long] = {
+      val d = new java.io.File(s"$root/data/$rel")
+      d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.length).toMap
+    }
+    val untouched = v1Entries.filterNot(_.endsWith("__gp=2"))
+    val before = untouched.map(e => e -> filesUnder(e)).toMap
+    // COW: replace ONLY partition 2 (k=2 row updated, k=4 row deleted)
+    val v2 = Snapshots.commitReplace(spark, root,
+      Seq((2L, 2, "B!")).toDF("k", "p", "v"), "p", expectedParent = 1L)
+    assert(v2 === 2L)
+    val v2Entries = entries(2L)
+    // the untouched partitions are the SAME manifest entries (reuse by
+    // reference, zero bytes rewritten), only p=2 points at a new dir
+    assert(v2Entries.filterNot(_.endsWith("__gp=2")).toSet === untouched.toSet,
+      "untouched partitions must be inherited by reference")
+    assert(v2Entries.count(_.endsWith("__gp=2")) === 1)
+    assert(!v1Entries.filter(_.endsWith("__gp=2")).toSet
+      .contains(v2Entries.find(_.endsWith("__gp=2")).get))
+    untouched.foreach { e =>
+      assert(filesUnder(e) === before(e), s"$e must stay byte-identical")
+    }
+    // write volume: exactly one NEW uuid dir holding only __gp=2
+    assert(new java.io.File(s"$root/data").listFiles().count(_.isDirectory) === 2)
+    val newUuid = v2Entries.find(_.endsWith("__gp=2")).get.split("/")(0)
+    assert(new java.io.File(s"$root/data/$newUuid").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq === Seq("__gp=2"),
+      "the replace commit must stage only the replaced partition")
+    // semantics: latest = untouched rows + new p=2 content; v1 intact
+    assert(Snapshots.read(spark, root).orderBy("k")
+      .as[(Long, Int, String)].collect().toSeq
+      === Seq((1L, 1, "a"), (2L, 2, "B!"), (3L, 3, "c")))
+    assert(Snapshots.readAsOf(spark, root, 1L).orderBy("k")
+      .as[(Long, Int, String)].collect().toSeq
+      === Seq((1L, 1, "a"), (2L, 2, "b"), (3L, 3, "c"), (4L, 2, "b2")))
+    // expire with the COW history: v2's manifest keeps v1's shared
+    // subdirs alive even though their parent uuid dir is "old"
+    Snapshots.expire(spark, root, keepLast = 1, orphanGraceMs = 0L)
+    assert(Snapshots.read(spark, root).orderBy("k")
+      .as[(Long, Int, String)].collect().toSeq
+      === Seq((1L, 1, "a"), (2L, 2, "B!"), (3L, 3, "c")),
+      "shared partition dirs must survive expire of the parent version")
+    // the superseded __gp=2 subdir of the seed IS reclaimed
+    val seedUuid = v1Entries.head.split("/")(0)
+    assert(!new java.io.File(s"$root/data/$seedUuid/__gp=2").exists(),
+      "the replaced partition's old dir must be reclaimed")
+  }
+
+  test("replaceTransform: partition-scoped OCC update-in-place dataflow") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commitPartitioned(spark, root,
+      Seq((1L, 1, 10L), (2L, 2, 20L), (3L, 2, 30L)).toDF("k", "p", "n"),
+      "p", 0L)
+    Snapshots.replaceTransform(spark, root, "p") { cur =>
+      cur.filter(col("p") === 2).withColumn("n", col("n") * 10)
+    }: Unit
+    assert(Snapshots.read(spark, root).orderBy("k")
+      .as[(Long, Int, Long)].collect().toSeq
+      === Seq((1L, 1, 10L), (2L, 2, 200L), (3L, 2, 300L)))
+  }
+
+  test("cdc aligns schema evolution: update rows expose null for the added column (r18 #4)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 0L)
+    // v2 adds a column AND changes row 2, drops nothing
+    Snapshots.commit(spark, root,
+      Seq((1L, "a", Some(7L)), (2L, "b2", None)).toDF("k", "v", "extra"), 1L)
+    val out = Snapshots.cdc(spark, root, 1L, 2L, Seq("k"))
+      .select(col("change_type"), col("k"), col("old_v"), col("new_v"),
+        col("old_extra"), col("new_extra"))
+      .as[(String, Long, Option[String], Option[String], Option[Long], Option[Long])]
+      .collect().sortBy(_._2).toSeq
+    // row 1: only the evolved column "changed" null->7 => update with
+    // old_extra null; row 2: v changed, extra stays null both sides
+    assert(out === Seq(
+      ("update", 1L, Some("a"), Some("a"), None, Some(7L)),
+      ("update", 2L, Some("b"), Some("b2"), None, None)))
+  }
+
+  test("cdc matches null keys null-safely (r18 advice)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root,
+      Seq((Some(1L), "a"), (None, "nullkey")).toDF("k", "v"), 0L)
+    Snapshots.commit(spark, root,
+      Seq((Some(1L), "a"), (None, "nullkey")).toDF("k", "v"), 1L)
+    assert(Snapshots.cdc(spark, root, 1L, 2L, Seq("k")).count() === 0L,
+      "an unchanged null-keyed row must NOT be reported as delete+insert")
+    Snapshots.commit(spark, root,
+      Seq((Some(1L), "a"), (None, "nullkey2")).toDF("k", "v"), 2L)
+    val out = Snapshots.cdc(spark, root, 2L, 3L, Seq("k"))
+      .select(col("change_type"), col("k"), col("old_v"), col("new_v"))
+      .as[(String, Option[Long], Option[String], Option[String])]
+      .collect().toSeq
+    assert(out === Seq(("update", None, Some("nullkey"), Some("nullkey2"))),
+      "a changed null-keyed row is ONE update, not delete+insert")
+  }
+
+  test("cdc prunes to the manifests' symmetric difference (r18 #7)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 0L)
+    Snapshots.appendCommit(spark, root, Seq((3L, "c")).toDF("k", "v"), 1L)
+    val diff = Snapshots.cdc(spark, root, 1L, 2L, Seq("k"))
+    // the append shares v1's dir: CDC must scan ONLY the appended dir
+    val v1Dirs = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/_commits/1")), "UTF-8")
+      txt.split("\"data\":\"")(1).split("\"")(0).split(" ").toSet
+    }
+    val scanned = diff.inputFiles.toSeq
+    assert(scanned.nonEmpty && scanned.forall(f =>
+      !v1Dirs.exists(d => f.contains(s"/data/$d/"))),
+      s"CDC after an append must not rescan the shared dir: $scanned")
+    assert(diff.select(col("change_type"), col("k"), col("new_v"))
+      .as[(String, Long, String)].collect().toSeq === Seq(("insert", 3L, "c")))
+  }
+
+  test("exactly-once ledger survives compact + aggressive expire (r18 advice)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    assert(Snapshots.txnAppend(spark, root, Seq((1L, "a")).toDF("k", "v"), batchId = 0L))
+    assert(Snapshots.txnAppend(spark, root, Seq((2L, "b")).toDF("k", "v"), batchId = 1L))
+    // maintenance: compact (a NON-batch commit) then retire EVERY
+    // batch-carrying marker — the ledger must ride the survivor
+    Snapshots.compact(spark, root)
+    Snapshots.expire(spark, root, keepLast = 1, orphanGraceMs = 0L)
+    assert(Snapshots.versions(spark, root) === Seq(3L))
+    assert(!Snapshots.txnAppend(spark, root, Seq((2L, "b")).toDF("k", "v"), batchId = 1L),
+      "a replay after compact+expire(keepLast=1) must still be detected")
+    assert(Snapshots.txnAppend(spark, root, Seq((3L, "c")).toDF("k", "v"), batchId = 2L))
+    assert(Snapshots.read(spark, root).orderBy("k").as[(Long, String)]
+      .collect().toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("readers tolerate an in-flight marker; a dead claim is a named error (r18 advice)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root, Seq((1L, "a")).toDF("k", "v"), 0L)
+    // simulate a claimed-but-content-pending marker for version 2
+    val marker = java.nio.file.Paths.get(s"$root/_commits/2")
+    java.nio.file.Files.write(marker, Array.empty[Byte])
+    // a racing writer completes the content shortly after the reader
+    // starts resolving — the reader must wait it out, not crash
+    val dataDirs = new java.io.File(s"$root/data").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    val filler = new Thread(() => {
+      Thread.sleep(300)
+      java.nio.file.Files.write(marker,
+        s"""{"data":"${dataDirs.head}","parent":1,"lb":"-1"}""".getBytes("UTF-8"))
+    })
+    filler.start()
+    assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSeq
+      === Seq((1L, "a")), "the reader must wait out an in-flight marker")
+    filler.join()
+    // a marker whose writer died never completes: bounded retries end
+    // in a NAMED error, not a NoSuchElementException from a .get
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/_commits/3"),
+      Array.empty[Byte])
+    val e = intercept[IllegalStateException] { Snapshots.read(spark, root) }
+    assert(e.getMessage.contains("_commits/3"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/_commits/3"))
+  }
+
+  test("commits fail fast on schemes without atomic create-exclusive (r18 #5)") {
+    val s = spark
+    import s.implicits._
+    spark.sparkContext.hadoopConfiguration.set("fs.mock.impl",
+      classOf[MockSchemeFs].getName)
+    val root = s"mock:${Files.createTempDirectory("graft_snap_mock_")}/tbl"
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val e = intercept[UnsupportedOperationException] {
+      Snapshots.commit(spark, root, df, 0L)
+    }
+    assert(e.getMessage.contains("'mock'") &&
+      e.getMessage.contains("atomicCreateSchemes"),
+      s"the error must name the scheme and the opt-in conf: ${e.getMessage}")
+    // deployment opt-in: the conf admits the scheme and the commit runs
+    spark.conf.set("spark.graft.snapshot.atomicCreateSchemes", "mock")
+    try {
+      Snapshots.commit(spark, root, df, 0L)
+      assert(Snapshots.read(spark, root).as[(Long, String)]
+        .collect().toSeq === Seq((1L, "a")))
+    } finally spark.conf.unset("spark.graft.snapshot.atomicCreateSchemes")
+  }
+
   test("guards: keepLast>=1, JSON-safe extraMeta, no commits ahead of latest") {
     val root = freshRoot()
     val s = spark
@@ -247,10 +458,21 @@ class SnapshotSpec extends SparkSpec {
       Snapshots.commit(spark, root, Seq((2L, "b")).toDF("k", "v"), 1L,
         extraMeta = Map("data" -> "evil"))
     }
+    intercept[IllegalArgumentException] { // the folded ledger is reserved too
+      Snapshots.commit(spark, root, Seq((2L, "b")).toDF("k", "v"), 1L,
+        extraMeta = Map("lb" -> "99"))
+    }
     intercept[IllegalArgumentException] { // parent ahead of latest = gap
       Snapshots.commit(spark, root, Seq((2L, "b")).toDF("k", "v"), 5L)
     }
     assert(Snapshots.versions(spark, root) === Seq(1L),
       "every rejected commit must leave the log untouched")
   }
+}
+
+/** A RawLocalFileSystem answering for the `mock:` scheme — the
+  * scheme-honesty unit's stand-in for an object store WITHOUT atomic
+  * create-exclusive (what stock S3A is). */
+class MockSchemeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mock:///")
 }
