@@ -74,6 +74,34 @@ object Scans {
       |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS o_date
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Both states of [[snapshotHistory]] restated from the base table
+    * (snap 1 the v1 base slice, snap 2 the post-UPDATE/DELETE/INSERT
+    * state; exact decimal through the 1.10 multiply, DOUBLE at the
+    * boundary) — shared by `sink_snapshot_isolation` (Scala API read)
+    * and `scan_snapshot_sql` (pure-SQL read through graft-snapshot):
+    * the two surfaces must agree bit-for-bit. */
+  private val snapshotBothStatesOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey >= 0 AND o_orderkey < 800),
+      |nxt AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderstatus = 'O'
+      |         THEN CAST(price * CAST(1.10 AS DECIMAL(3,2)) AS DECIMAL(22,4))
+      |         ELSE CAST(price AS DECIMAL(22,4)) END AS price
+      |  FROM base WHERE o_orderstatus <> 'F'
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(22,4))
+      |  FROM orders WHERE o_orderkey >= 800 AND o_orderkey < 1200)
+      |SELECT 1 AS snap, o_orderkey, o_orderstatus,
+      |  CAST(price AS DOUBLE) AS price FROM base
+      |UNION ALL
+      |SELECT 2 AS snap, o_orderkey, o_orderstatus,
+      |  CAST(price AS DOUBLE) AS price FROM nxt
+      |ORDER BY snap, o_orderkey""".stripMargin
+
   /** Write lineitem/orders subsets co-bucketed + co-sorted on the
     * join key and return their shuffle-free sort-merge join (no
     * output ordering — the plan-shape spec asserts on exactly this
@@ -726,6 +754,36 @@ object Scans {
         .orderBy(col("change_type"), col("o_orderkey"))
     },
 
+    // The snapshot table format's SQL surface (VERDICT r18 #3): the
+    // SAME 2-commit history as sink_snapshot_isolation, but resolved
+    // and read from PURE SQL TEXT through the `graft-snapshot`
+    // RelationProvider (sources/SnapshotSource.scala) — CREATE
+    // TEMPORARY VIEW ... USING with versionAsOf '1' (time travel) and
+    // without (latest), then a plain UNION ALL query over the views.
+    // The relation is a HadoopFsRelation over the resolved manifest's
+    // immutable dirs, so the plan is the NATIVE vectorized parquet
+    // FileScan with pushdown/pruning (plan-asserted in SnapshotSpec),
+    // not a row-converting shim. Oracle: identical to
+    // sink_snapshot_isolation — the Scala API and the SQL surface
+    // must agree bit-for-bit on both snapshots.
+    "scan_snapshot_sql" -> { (s, d) =>
+      val root = s"${ioDir("scan_snapshot_sql", d)}/tbl"
+      snapshotHistory(s, d, root)
+      val (v1, vLatest) =
+        (s"graft_snap_v1_${Q.pathKey(d)}", s"graft_snap_latest_${Q.pathKey(d)}")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $v1 USING `graft-snapshot` " +
+        s"OPTIONS (path '$root', versionAsOf '1')")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $vLatest USING `graft-snapshot` " +
+        s"OPTIONS (path '$root')")
+      s.sql(
+        s"""SELECT 1 AS snap, o_orderkey, o_orderstatus,
+           |  CAST(price AS DOUBLE) AS price FROM $v1
+           |UNION ALL
+           |SELECT 2 AS snap, o_orderkey, o_orderstatus,
+           |  CAST(price AS DOUBLE) AS price FROM $vLatest
+           |ORDER BY snap, o_orderkey""".stripMargin)
+    },
+
     // Copy-on-write transactional UPDATE through the snapshot layer
     // (VERDICT r18 #2 — the O(table) rewrite gap): seed a partition-
     // granular snapshot of orders keyed by year (commitPartitioned:
@@ -883,27 +941,10 @@ object Scans {
     // both snapshot states restated from the base table: snap 1 the
     // v1 base slice, snap 2 the post-UPDATE/DELETE/INSERT state —
     // exact decimal through the 1.10 multiply, DOUBLE at the boundary
-    "sink_snapshot_isolation" ->
-      """WITH base AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
-        |  FROM orders WHERE o_orderkey >= 0 AND o_orderkey < 800),
-        |nxt AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    CASE WHEN o_orderstatus = 'O'
-        |         THEN CAST(price * CAST(1.10 AS DECIMAL(3,2)) AS DECIMAL(22,4))
-        |         ELSE CAST(price AS DECIMAL(22,4)) END AS price
-        |  FROM base WHERE o_orderstatus <> 'F'
-        |  UNION ALL
-        |  SELECT o_orderkey, o_orderstatus,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(22,4))
-        |  FROM orders WHERE o_orderkey >= 800 AND o_orderkey < 1200)
-        |SELECT 1 AS snap, o_orderkey, o_orderstatus,
-        |  CAST(price AS DOUBLE) AS price FROM base
-        |UNION ALL
-        |SELECT 2 AS snap, o_orderkey, o_orderstatus,
-        |  CAST(price AS DOUBLE) AS price FROM nxt
-        |ORDER BY snap, o_orderkey""".stripMargin,
+    "sink_snapshot_isolation" -> snapshotBothStatesOracle,
+    // the SQL surface reads the SAME history through graft-snapshot
+    // views — same oracle, proving Scala API ≡ SQL surface
+    "scan_snapshot_sql" -> snapshotBothStatesOracle,
     // the three change classes restated straight from the base table:
     // deletes = the 'F' rows of the v1 slice, inserts = the v2 load
     // slice, updates = the 'O' rows with old and bumped price

@@ -377,6 +377,12 @@ object Snapshots {
   private def dataDirsOf(s: SparkSession, root: String, v: Long): Seq[String] =
     entriesOf(s, root, v).map(u => s"${dataRoot(root)}/$u")
 
+  /** Absolute data dirs of snapshot `v`, resolved once from its
+    * immutable manifest — what the SQL surface ([[SnapshotSource]])
+    * plans its file scan over. */
+  def manifestDirs(s: SparkSession, root: String, v: Long): Seq[String] =
+    dataDirsOf(s, root, v)
+
   /** The value a commit recorded under `key` in its marker, if any —
     * e.g. the streaming batch id a [[txnAppend]] commit carries. */
   def commitMeta(s: SparkSession, root: String, v: Long,

@@ -420,6 +420,40 @@ class SnapshotSpec extends SparkSpec {
     java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/_commits/3"))
   }
 
+  test("SQL surface: USING graft-snapshot time-travels, pins, and plans a native FileScan (r18 #3)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 0L)
+    Snapshots.commit(spark, root, Seq((1L, "a2"), (3L, "c")).toDF("k", "v"), 1L)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW snap_sql_v1 USING `graft-snapshot` " +
+      s"OPTIONS (path '$root', versionAsOf '1')")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW snap_sql_cur USING `graft-snapshot` " +
+      s"OPTIONS (path '$root')")
+    // time travel from pure SQL text
+    assert(spark.sql("SELECT k, v FROM snap_sql_v1 ORDER BY k")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    assert(spark.sql("SELECT k, v FROM snap_sql_cur ORDER BY k")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a2"), (3L, "c")))
+    // snapshot isolation carries over: the view resolved its manifest
+    // at creation and must not observe a later commit
+    Snapshots.commit(spark, root, Seq((9L, "z")).toDF("k", "v"), 2L)
+    assert(spark.sql("SELECT k, v FROM snap_sql_cur ORDER BY k")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a2"), (3L, "c")),
+      "a resolved SQL view must keep answering from its pinned version")
+    // the plan is the NATIVE parquet scan — codegen'd, pruned, pushed
+    val plan = spark.sql("SELECT k FROM snap_sql_cur WHERE k > 1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"),
+      s"expected a native parquet FileScan, got:\n$plan")
+    assert(plan.contains("GreaterThan(k,1)"),
+      s"the filter must reach PushedFilters:\n$plan")
+    assert(plan.contains("struct<k:bigint>"),
+      s"ReadSchema must prune to the selected column:\n$plan")
+    spark.sql("DROP VIEW snap_sql_v1")
+    spark.sql("DROP VIEW snap_sql_cur")
+  }
+
   test("commits fail fast on schemes without atomic create-exclusive (r18 #5)") {
     val s = spark
     import s.implicits._
