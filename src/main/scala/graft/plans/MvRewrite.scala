@@ -133,7 +133,17 @@ case class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       //  - anything else: double / double, as Average does.
       // The caller's Cast-to-original-type restates avg's declared
       // output type (decimal(p+4,s+4) / double).
-      case Average(a: AttributeReference, _) if mv.measures.contains(a.name) =>
+      // evalMode guard (r18 advice): the replacement Sum/Divide below
+      // are BUILT from the current session conf, so the rewrite is
+      // exact only when the original avg's mode IS the session mode —
+      // that admits plain avg (ANSI under Spark 4's default, LEGACY
+      // with ANSI off) and declines try_avg (TRY never matches) and
+      // any cross-conf plan, whose overflow/error semantics a
+      // conf-built pipeline would not reproduce.
+      case Average(a: AttributeReference, evalMode)
+          if mv.measures.contains(a.name) &&
+            evalMode == EvalMode.fromSQLConf(
+              org.apache.spark.sql.internal.SQLConf.get) =>
         val sCol = mvAttr(s"s_${a.name}")
         val sumAgg = Sum(sCol).toAggregateExpression()
         val cntAgg = Sum(mvAttr(s"c_${a.name}")).toAggregateExpression()

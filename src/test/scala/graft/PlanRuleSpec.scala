@@ -364,6 +364,14 @@ class PlanRuleSpec extends SparkSpec {
     val other = Tables.raw(spark, sf, "lineitem")
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
     assert(!scanPaths(other).contains(mvData))
+    // non-LEGACY avg declines (r18 advice): try_avg's TRY evalMode
+    // carries overflow semantics the Divide pipeline does not
+    // reproduce — it must read the fact table, not the summary
+    val tryAvg = spark.read.parquet(factPath)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("try_avg(l_quantity)").as("ta"))
+    assert(!scanPaths(tryAvg).contains(mvData),
+      s"try_avg must decline the rewrite:\n${tryAvg.queryExecution.optimizedPlan}")
   }
 
   test("mv rewrite serves a DIMENSION-filtered aggregate from the summary (exact group selection)") {
