@@ -606,6 +606,44 @@ object Snapshots {
       .drop("_old_present", "_new_present")
   }
 
+  /** Rows ADDED between two committed versions (`fromV` exclusive,
+    * `toV` inclusive; `fromV <= 0` = from genesis) — the streaming
+    * tail's micro-batch ([[SnapshotSource]]): the manifest entries
+    * `toV` carries that `fromV` did not, read as one DataFrame.
+    * Standing entries are never re-read, so a 100 TB table streams
+    * out exactly the bytes each commit appended. Requires an
+    * APPEND-ONLY history over the range: a commit that rewrote or
+    * dropped standing entries (replace / compact / full rewrite) is
+    * not representable as an append stream and throws — the same
+    * contract public formats' streaming sources enforce. */
+  def changesBetween(s: SparkSession, root: String, fromV: Long,
+                     toV: Long): DataFrame = {
+    val added = addedDirsBetween(s, root, fromV, toV)
+    if (added.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        readAsOf(s, root, toV).schema)
+    else readDirs(s, added)
+  }
+
+  /** Absolute dirs of the entries `toV` added over `fromV` (the
+    * micro-batch's scan roots), enforcing [[changesBetween]]'s
+    * append-only contract. */
+  def addedDirsBetween(s: SparkSession, root: String, fromV: Long,
+                       toV: Long): Seq[String] = {
+    val fromEntries =
+      if (fromV <= 0L) Seq.empty[String] else entriesOf(s, root, fromV)
+    val toEntries = entriesOf(s, root, toV)
+    val rewritten = fromEntries.filterNot(toEntries.toSet)
+    if (rewritten.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot stream requires append-only commits, but the range " +
+          s"($fromV, $toV] under $root rewrote or dropped standing entries " +
+          s"(${rewritten.take(3).mkString(", ")}…) — a replace/compact is " +
+          "not representable as an append stream; restart from a fresh " +
+          "checkpoint to re-read the full snapshot")
+    toEntries.filterNot(fromEntries.toSet).map(u => s"${dataRoot(root)}/$u")
+  }
+
   /** Exactly-once transactional append for a streaming sink: commit
     * the micro-batch ONLY IF its `batchId` is beyond the last one the
     * table recorded — a replayed batch (foreachBatch re-delivery

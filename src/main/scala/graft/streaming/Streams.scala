@@ -572,6 +572,40 @@ object Streams {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nu"))
         .orderBy(col("event_type"))
+    },
+
+    // The READ side of the snapshot table's streaming story (r19; the
+    // write side is stream_snapshot_sink): `graft-snapshot` is also a
+    // STREAMING SOURCE that tails the commit log — offsets ARE
+    // version numbers, and each micro-batch is a file relation over
+    // exactly the manifest entries its offset range ADDED
+    // (Snapshots.addedDirsBetween), so standing data is never re-read
+    // and exactly-once composes end to end: txnAppend in, commit-log
+    // tail out. The key builds a 3-commit append history (a seed load
+    // + two exactly-once txnAppend micro-batches), tails it from the
+    // beginning, and aggregates the drained rows; the oracle restates
+    // the union of the three slices from the base table. Per-commit
+    // batch boundaries, checkpoint-offset restart (SerializedOffset),
+    // no-replay, and the append-only contract (a compact fails the
+    // stream with a named error) are SnapshotSpec-asserted.
+    "stream_snapshot_source" -> { (s, d) =>
+      import graft.sources.Snapshots
+      val root = s"${sys.props("java.io.tmpdir")}/graft_io/${Q.pathKey(d)}/stream_snap_src/tbl"
+      graft.Fs.deleteDir(s, root)
+      val o = Tables.t(s, d, "orders")
+      def slice(lo: Long, hi: Long) =
+        o.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            dec(col("o_totalprice")).as("price"))
+      Snapshots.commit(s, root, slice(0L, 500L), expectedParent = 0L)
+      Snapshots.txnAppend(s, root, slice(500L, 1000L), batchId = 0L): Unit
+      Snapshots.txnAppend(s, root, slice(1000L, 1500L), batchId = 1L): Unit
+      val tail = s.readStream.format("graft-snapshot")
+        .option("path", root).load()
+      drain(tail, "append", "g_snap_source")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), money(sum(col("price"))).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
     }
   )
 
@@ -659,6 +693,13 @@ object Streams {
       """SELECT event_type, count(*) AS n,
         |  count(DISTINCT user_id) AS nu
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the tailed rows are exactly the union of the three committed
+    // slices — restated straight from the base table
+    "stream_snapshot_source" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey >= 0 AND o_orderkey < 1500
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // inner matches as stream_stream_join; an unmatched purchase
     // null-extends ONLY if the final watermark clears its window's
     // upper edge (p_ts + 10 min, ms-floored) — mirroring the engine's

@@ -454,6 +454,71 @@ class SnapshotSpec extends SparkSpec {
     spark.sql("DROP VIEW snap_sql_cur")
   }
 
+  test("streaming source tails the commit log: per-commit batches, append-only contract") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 0L)
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", root).load()
+      .writeStream.format("memory").queryName("snap_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snap_tail").as[(Long, String)].collect().toSet
+        === Set((1L, "a"), (2L, "b")), "first batch = the full starting snapshot")
+      // an exactly-once append lands while the stream runs: the next
+      // batch must carry ONLY the appended rows (no re-read of
+      // standing entries — the memory sink would show duplicates)
+      Snapshots.txnAppend(spark, root, Seq((3L, "c")).toDF("k", "v"), batchId = 0L)
+      q.processAllAvailable()
+      assert(spark.table("snap_tail").as[(Long, String)].collect().toSet
+        === Set((1L, "a"), (2L, "b"), (3L, "c")))
+      assert(spark.table("snap_tail").count() === 3L,
+        "standing entries must never be re-emitted")
+      // a compact rewrites standing entries — not representable as an
+      // append stream: the NEXT batch must fail with the named error
+      Snapshots.compact(spark, root)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000): Unit
+      }
+      assert(e.getCause.getMessage.contains("append-only"),
+        s"expected the append-only contract error, got: ${e.getCause}")
+    } finally q.stop()
+  }
+
+  test("streaming source restart resumes from the checkpointed version offset, no replay") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_snap_ckpt_").toString
+    val out = Files.createTempDirectory("graft_snap_out_").toString
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 0L)
+    // memory sinks cannot recover a checkpoint; a foreachBatch parquet
+    // appender is the durable-sink shape (stream_snapshot_sink's twin)
+    def stream() = spark.readStream.format("graft-snapshot")
+      .option("path", root).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out)
+      }.start()
+    val q1 = stream()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() === 2L)
+    // appends land while the stream is DOWN; the restart deserializes
+    // the version offset from the checkpoint (SerializedOffset path)
+    // and must deliver ONLY the missed commits — never a replay
+    Snapshots.txnAppend(spark, root, Seq((3L, "c")).toDF("k", "v"), batchId = 0L)
+    Snapshots.txnAppend(spark, root, Seq((4L, "d")).toDF("k", "v"), batchId = 1L)
+    val q2 = stream()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(spark.read.parquet(out).count() === 4L,
+      "a checkpoint restart must not replay delivered versions")
+  }
+
   test("commits fail fast on schemes without atomic create-exclusive (r18 #5)") {
     val s = spark
     import s.implicits._
