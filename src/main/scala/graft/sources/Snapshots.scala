@@ -253,6 +253,37 @@ object Snapshots {
       Seq(uuid), extraMeta)
   }
 
+  /** METADATA-ONLY partition drop (the retention sweep, transactional):
+    * commit a version whose manifest = the parent's entries minus the
+    * named partitions'. Nothing is staged and nothing is deleted —
+    * readers of older versions keep their immutable files, and the
+    * dropped dirs are reclaimed by [[expire]] once no live manifest
+    * references them. `values` are the partition VALUES as staged
+    * (their string form). Requires a partition-granular manifest and
+    * at least one matching entry (a no-match drop is a typo, not a
+    * no-op). At 100 TB this is one marker write — the snapshot-table
+    * form of `sink_drop_partition`'s zero-data-I/O contract. */
+  def commitDropPartitions(s: SparkSession, root: String,
+      values: Seq[String], expectedParent: Long,
+      extraMeta: Map[String, String] = Map.empty): Long = {
+    validateCommit(s, root, expectedParent, extraMeta)
+    require(expectedParent >= 1L,
+      "commitDropPartitions needs an existing snapshot")
+    val parentEntries = entriesOf(s, root, expectedParent)
+    require(parentEntries.forall(_.contains(s"/$PartDir=")),
+      s"commitDropPartitions requires a partition-granular manifest under $root")
+    val suffixes = values.map(v => s"$PartDir=$v").toSet
+    val (dropped, kept) = parentEntries.partition(e =>
+      suffixes.contains(e.substring(e.indexOf('/') + 1)))
+    require(dropped.nonEmpty,
+      s"no partition of $root matches ${values.mkString(",")} — nothing to drop")
+    // an all-partitions drop would write an empty manifest no reader
+    // can resolve; an empty table state is out of the format's domain
+    require(kept.nonEmpty,
+      s"dropping ${values.mkString(",")} would empty $root — not expressible")
+    claim(s, root, expectedParent, kept, Seq.empty, extraMeta)
+  }
+
   // ---- commit internals ----
 
   private def validateCommit(s: SparkSession, root: String,

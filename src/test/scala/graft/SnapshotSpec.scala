@@ -541,6 +541,79 @@ class SnapshotSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.snapshot.atomicCreateSchemes")
   }
 
+  test("protocol model test: random replace/drop/compact/expire keep reads, time travel, and cdc consistent") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    // model: key -> (partition, value); every snapshot version's model
+    // state is kept for time-travel and cdc cross-checks
+    var model = Map.empty[Long, (Int, Long)]
+    var nextKey = 0L
+    def freshKey(): Long = { val k = nextKey; nextKey += 1; k }
+    def df(rows: Map[Long, (Int, Long)]) =
+      rows.toSeq.map { case (k, (p, v)) => (k, p, v) }.toDF("k", "p", "v")
+    def readBack(): Map[Long, (Int, Long)] =
+      Snapshots.read(spark, root).as[(Long, Int, Long)].collect()
+        .map { case (k, p, v) => k -> (p, v) }.toMap
+    model = (0 until 8).map(_ => freshKey() -> (rnd.nextInt(3), rnd.nextLong(100))).toMap
+    var version = Snapshots.commitPartitioned(spark, root, df(model), "p", 0L)
+    var history = Map(version -> model)
+    (1 to 14).foreach { _ =>
+      rnd.nextInt(5) match {
+        case 0 | 1 => // COW rewrite of one partition: bump, drop one key, add one
+          val p = rnd.nextInt(4) // may be a partition with no standing rows
+          val cur = model.filter(_._2._1 == p)
+          val dropped = cur.keySet.take(if (cur.size > 1 && rnd.nextBoolean()) 1 else 0)
+          val next = (cur -- dropped).map { case (k, (pp, v)) => k -> (pp, v + 1) } +
+            (freshKey() -> (p, rnd.nextLong(100)))
+          version = Snapshots.commitReplace(spark, root, df(next), "p", version)
+          model = model.filter(_._2._1 != p) ++ next
+        case 2 => // partition-granularity-preserving full rewrite (OPTIMIZE)
+          version = Snapshots.commitReplace(spark, root, df(model), "p", version)
+        case 3 => // metadata-only partition drop (only if another survives)
+          val parts = model.values.map(_._1).toSet
+          if (parts.size > 1) {
+            val p = parts.toSeq.sorted.apply(rnd.nextInt(parts.size))
+            version = Snapshots.commitDropPartitions(spark, root,
+              Seq(p.toString), version)
+            model = model.filter(_._2._1 != p)
+          }
+        case 4 => // retention, then time-travel a surviving version
+          Snapshots.expire(spark, root, keepLast = 1 + rnd.nextInt(3),
+            orphanGraceMs = 0L)
+          val live = Snapshots.versions(spark, root).toSet
+          history = history.filter { case (v, _) => live.contains(v) }
+          val (tv, expected) = history.toSeq.minBy(_._1)
+          assert(Snapshots.readAsOf(spark, root, tv)
+            .as[(Long, Int, Long)].collect()
+            .map { case (k, p, v) => k -> (p, v) }.toMap === expected,
+            s"time travel to $tv must replay its exact state")
+      }
+      history += version -> model
+      assert(readBack() === model, s"latest read must equal the model at v$version")
+      val vs = Snapshots.versions(spark, root)
+      assert(vs === (vs.head to vs.last), "versions must stay contiguous")
+    }
+    // final cross-check: cdc between the two live extremes equals the
+    // model diff, class by class
+    if (history.size >= 2) {
+      val vA = history.keySet.min
+      val vB = history.keySet.max
+      val a = history(vA)
+      val b = history(vB)
+      val expected =
+        b.keySet.diff(a.keySet).map(k => ("insert", k)) ++
+          a.keySet.diff(b.keySet).map(k => ("delete", k)) ++
+          a.keySet.intersect(b.keySet).filter(k => a(k) != b(k))
+            .map(k => ("update", k))
+      val got = Snapshots.cdc(spark, root, vA, vB, Seq("k"))
+        .select(col("change_type"), col("k"))
+        .as[(String, Long)].collect().toSet
+      assert(got === expected, s"cdc($vA,$vB) must equal the model diff")
+    }
+  }
+
   test("guards: keepLast>=1, JSON-safe extraMeta, no commits ahead of latest") {
     val root = freshRoot()
     val s = spark
