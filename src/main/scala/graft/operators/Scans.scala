@@ -4,7 +4,7 @@ import graft.{Q, Tables}
 import graft.Q._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** §2.1 scans / sources / sinks (SURVEY.md:145-156).
   * Hive origin: Parquet/CSV/JSON/ORC SerDes + partitioned tables +
@@ -73,6 +73,26 @@ object Scans {
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_price,
       |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS o_date
       |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** 16-bit bucket of `v` over [lo, hi] — the z-order normalization.
+    * Long arithmetic: (v-lo) ≤ range and ×65535 stays far under 2^63
+    * for any key/day-number column. Degenerate range (lo == hi) maps
+    * everything to bucket 0. */
+  private[graft] def bucket16(v: Column, lo: Long, hi: Long): Column =
+    if (hi <= lo) lit(0L)
+    else (v - lit(lo)).cast(LongType) * lit(65535L) / lit(hi - lo)
+
+  /** Morton/z-value of two 16-bit bucket columns: interleave the bits
+    * (a_i → bit 2i+1, b_i → bit 2i), so sorting by the result gives
+    * space-filling-curve locality in BOTH dimensions at once — the
+    * multi-column generalization of `sink_sorted_layout`'s single-key
+    * sort. Pure codegen'd bit ops; no UDF. */
+  private[graft] def zorder16(a: Column, b: Column): Column =
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
 
   /** Both states of [[snapshotHistory]] restated from the base table
     * (snap 1 the v1 base slice, snap 2 the post-UPDATE/DELETE/INSERT
@@ -703,6 +723,50 @@ object Scans {
         .orderBy(col("o_orderkey"))
     },
 
+    // Multi-dimensional clustering for data skipping (r19): the
+    // z-order/Morton-curve layout public formats ship as OPTIMIZE
+    // ZORDER BY — `sink_sorted_layout` generalized past one sort key.
+    // A single-column sort skips row groups for ONE dimension and
+    // leaves every other column's min/max spanning the whole table;
+    // interleaving the bits of both filter columns' 16-bit bucket
+    // ranks ([[zorder16]], pure codegen'd bit ops) and range-
+    // partitioning + sorting on the z-value gives every row group a
+    // narrow min/max span in BOTH dimensions, so a selective
+    // predicate on EITHER column prunes whole row groups in the
+    // parquet reader (ScanSpec proves it with scan metrics against a
+    // date-sorted and a scrambled copy of the same rows). Bucket
+    // bounds come from one 4-scalar driver agg. Layout is
+    // semantics-preserving, so the oracle is the plain two-dimension
+    // filter over the base table. At 100 TB this is the layout call
+    // for a fact table with TWO hot filter dimensions (tenant ×
+    // time, user × date): one sort order serves both predicates.
+    "sink_zorder_layout" -> { (s, d) =>
+      val out = ioDir("sink_zorder_layout", d)
+      val o = Tables.t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("o_date"),
+          dec(col("o_totalprice")).as("price"))
+      // bucket bounds: one bounded driver read of 4 scalars
+      val r = o.agg(min(col("o_custkey")), max(col("o_custkey")),
+        min(datediff(col("o_date"), lit("1970-01-01"))),
+        max(datediff(col("o_date"), lit("1970-01-01")))).head
+      val z = zorder16(
+        bucket16(col("o_custkey"), r.getLong(0), r.getLong(1)),
+        bucket16(datediff(col("o_date"), lit("1970-01-01")).cast(LongType),
+          r.getInt(2).toLong, r.getInt(3).toLong))
+      o.withColumn("z", z)
+        .repartitionByRange(4, col("z"))
+        .sortWithinPartitions(col("z"))
+        .drop("z")
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_custkey") <= 400 &&
+          col("o_date").between("1995-01-01", "1995-12-31"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          dateOut(col("o_date")).as("o_date"), money(col("price")).as("price"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Transactional snapshot isolation (the seat Hive ACID's
     // base/delta + ValidTxnList fills; previously a declared
     // non-goal): the versioned table in sources/Snapshots.scala gives
@@ -930,6 +994,16 @@ object Scans {
       """SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // layout is semantics-preserving: the oracle is the plain
+    // two-dimension filter (the skipping itself is ScanSpec's proof)
+    "sink_zorder_layout" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS o_date,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_custkey <= 400
+        |  AND CAST(o_orderdate AS DATE) BETWEEN '1995-01-01' AND '1995-12-31'
+        |ORDER BY o_orderkey""".stripMargin,
     // layout is semantics-preserving: the oracle is the plain filter
     "sink_sorted_layout" ->
       """SELECT o_orderkey,

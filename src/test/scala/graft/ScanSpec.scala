@@ -788,6 +788,78 @@ class ScanSpec extends SparkSpec {
     assert(sorted < scrambled / 2, s"sorted=$sorted scrambled=$scrambled")
   }
 
+  test("sink_zorder_layout: BOTH dimensions skip; a single-key sort only serves its own") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_scanspec/zorder_layout"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    // lineitem, not orders: z-order trades single-dimension depth for
+    // two-dimension breadth, so the proof needs ENOUGH row groups for
+    // the curve's squares to be finer than the filter bands — 6,000
+    // rows over 4 KiB groups gives a usable grid where 1,500 does not
+    val src = Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey"), (col("l_orderkey") % 1000).as("o_custkey"),
+        to_date(col("l_shipdate")).as("o_date"))
+    val r = src.agg(min(col("o_custkey")), max(col("o_custkey")),
+      min(datediff(col("o_date"), lit("1970-01-01"))),
+      max(datediff(col("o_date"), lit("1970-01-01")))).head
+    val (cMin, cMax) = (r.getLong(0), r.getLong(1))
+    val z = operators.Scans.zorder16(
+      operators.Scans.bucket16(col("o_custkey"), cMin, cMax),
+      operators.Scans.bucket16(
+        datediff(col("o_date"), lit("1970-01-01")).cast("long"),
+        r.getInt(2).toLong, r.getInt(3).toLong))
+    // tiny row groups so the sf0.001 table holds MANY of them — at
+    // real scale the default 128 MiB groups play this role
+    def write(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+      df.coalesce(1).write
+        .option("parquet.block.size", "4096")
+        .option("parquet.page.size", "1024")
+        .mode("overwrite").parquet(s"$base/$dir")
+    write(src.withColumn("z", z).sort(col("z")).drop("z"), "zorder")
+    write(src.sort(col("o_date")), "datesorted")
+    write(src.sort(hash(col("l_orderkey"))), "scrambled")
+    // a selective band in each dimension (an eighth of the key range,
+    // half a year of the seven-year date span)
+    val custBand = col("o_custkey") <= cMin + (cMax - cMin) / 8
+    val dateBand = col("o_date").between("1995-01-01", "1995-06-30")
+    def scanRows(dir: String, pred: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(s"$base/$dir").filter(pred)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .find(_.getClass.getSimpleName.contains("FileSourceScan")).get
+        .metrics("numOutputRows").value
+    }
+    val total = src.count()
+    // layouts are semantics-preserving: same filtered rows everywhere
+    // (sorted multiset — l_orderkey repeats across line numbers)
+    def rows(dir: String, pred: org.apache.spark.sql.Column): Seq[String] =
+      spark.read.parquet(s"$base/$dir").filter(pred)
+        .collect().map(_.mkString("|")).toSeq.sorted
+    for (pred <- Seq(custBand, dateBand)) {
+      assert(rows("zorder", pred) === rows("scrambled", pred))
+      assert(rows("datesorted", pred) === rows("scrambled", pred))
+    }
+    // the z-ordered layout prunes row groups for EITHER dimension; the
+    // scrambled copy reads essentially everything for both; the
+    // date-sorted copy serves its own key but NOT the other dimension
+    // (every row group spans the full custkey range)
+    val zCust = scanRows("zorder", custBand)
+    val zDate = scanRows("zorder", dateBand)
+    val sCust = scanRows("scrambled", custBand)
+    val sDate = scanRows("scrambled", dateBand)
+    val dCust = scanRows("datesorted", custBand)
+    val dDate = scanRows("datesorted", dateBand)
+    assert(zCust < total / 2, s"zorder custkey band must skip: $zCust of $total")
+    assert(zDate < total / 2, s"zorder date band must skip: $zDate of $total")
+    assert(sCust > total / 2 && sDate > total / 2,
+      s"scrambled must read ~everything: $sCust/$sDate of $total")
+    assert(dDate < total / 2, s"date-sorted serves its own key: $dDate of $total")
+    assert(dCust > total / 2,
+      s"date-sorted must NOT serve the custkey band: $dCust of $total — " +
+        "if it does, the z-order claim proves nothing here")
+    assert(zCust < dCust / 2,
+      s"zorder=$zCust vs datesorted=$dCust on the custkey band")
+  }
+
   test("sink_multi_insert: both sinks read the one materialization, not a second scan") {
     val out = s"${sys.props("java.io.tmpdir")}/graft_scanspec/multi_insert"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
