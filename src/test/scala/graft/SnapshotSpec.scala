@@ -519,6 +519,30 @@ class SnapshotSpec extends SparkSpec {
       "a checkpoint restart must not replay delivered versions")
   }
 
+  test("SQL surface: a CATALOG table (CREATE TABLE ... USING graft-snapshot) reads the snapshot") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 0L)
+    spark.sql("DROP TABLE IF EXISTS graft_snap_ddl")
+    // the persistent-DDL seat, not just a temp view: the table lives
+    // in the catalog, its OPTIONS carry the root, and reads resolve
+    // the latest manifest at relation-creation time
+    spark.sql("CREATE TABLE graft_snap_ddl USING `graft-snapshot` " +
+      s"OPTIONS (path '$root')")
+    try {
+      assert(spark.sql("SELECT k, v FROM graft_snap_ddl ORDER BY k")
+        .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+      // a catalog table re-resolves per query (no pinned manifest —
+      // the temp-view test covers pinning): a new commit is visible
+      Snapshots.commit(spark, root, Seq((3L, "c")).toDF("k", "v"), 1L)
+      spark.catalog.refreshTable("graft_snap_ddl")
+      assert(spark.sql("SELECT k, v FROM graft_snap_ddl ORDER BY k")
+        .as[(Long, String)].collect().toSeq === Seq((3L, "c")),
+        "after refresh, the catalog table must serve the new latest")
+    } finally spark.sql("DROP TABLE graft_snap_ddl")
+  }
+
   test("commits fail fast on schemes without atomic create-exclusive (r18 #5)") {
     val s = spark
     import s.implicits._
