@@ -252,21 +252,23 @@ object Bench {
     // auditable, and a warm healthy number still beats a 2-10x
     // host-polluted one for the 2x gate this artifact feeds.
     val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "1").toInt
-    val (chosen, runs, pickedRun) =
-      if (!first.hostDegraded || maxReruns < 1) (first, 1, 1)
-      else {
-        System.err.println("[bench] run self-diagnosed host_degraded — gating then re-running once")
-        preflightGate()
-        val second = runSuite()
-        if (BenchPolicy.pickFirst(first.hostDegraded, first.calMax,
-            second.hostDegraded, second.calMax)) (first, 2, 1)
-        else (second, 2, 2)
-      }
-    import chosen.{results, retried}
-    // on a rerun the last-emitted per-query maps are the SECOND run's;
-    // if the first was picked, re-emit the chosen run's maps so the
-    // driver's last-occurrence parse matches the contract line below
-    if (runs == 2 && pickedRun == 1) {
+    var chosen = first
+    var runs = 1
+    var pickedRun = 1
+    while (chosen.hostDegraded && runs <= maxReruns) {
+      System.err.println(s"[bench] run self-diagnosed host_degraded — gating then re-running (${runs}/$maxReruns)")
+      preflightGate()
+      val next = runSuite()
+      runs += 1
+      if (!BenchPolicy.pickFirst(chosen.hostDegraded, chosen.calMax,
+          next.hostDegraded, next.calMax)) { chosen = next; pickedRun = runs }
+    }
+    val results = chosen.results
+    val retried = chosen.retried
+    // on a rerun the last-emitted per-query maps are the LAST run's;
+    // if an earlier run was picked, re-emit the chosen run's maps so
+    // the driver's last-occurrence parse matches the contract line
+    if (runs > 1 && pickedRun < runs) {
       println(s"""{"metric":"queries","queries":${mapJson(results.map(r => (r.name, r.sec)))},"sf":"$sfDir"}""")
       println(s"""{"metric":"query_cals","cal_healthy_quick_sec":$calHealthyQuick,"cal_quick_final_sec":${fmt(chosen.calQuickFinal)},"cals":${mapJson(results.map(r => (r.name, r.cal)))},"sf":"$sfDir"}""")
     }

@@ -87,27 +87,48 @@ class SnapshotSource extends RelationProvider with StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val spark = sqlContext.sparkSession
-    val root = rootOf(parameters)
-    (shortName(), schema.getOrElse {
-      val v = Snapshots.latest(spark, root).getOrElse(
-        throw new NoSuchElementException(
-          s"no committed snapshot under $root — a snapshot stream needs " +
-            "an existing table (or an explicit .schema)"))
-      spark.read.option("mergeSchema", "true")
-        .parquet(Snapshots.manifestDirs(spark, root, v): _*).schema
-    })
+    (shortName(), schema.getOrElse(
+      SnapshotSource.latestSchema(spark, rootOf(parameters))))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val declared = sourceSchema(sqlContext, schema, providerName, parameters)._2
-    new SnapshotStreamSource(sqlContext.sparkSession, rootOf(parameters),
-      declared, parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    // the engine already resolved sourceSchema at analysis time; the
+    // per-(root, version) cache makes this second resolution free
+    // instead of re-running the full-manifest footer merge
+    val declared = schema.getOrElse(SnapshotSource.latestSchema(spark, root))
+    new SnapshotStreamSource(spark, root, declared,
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
   }
 }
 
 object SnapshotSource {
+  // one entry per root, replaced on version change — bounded by the
+  // number of distinct tables a session streams from
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, StructType)]
+
+  /** Merged schema of `root`'s LATEST manifest, memoized per version
+    * so the streaming provider's analysis-time and start-time
+    * resolutions pay the footer merge once. */
+  private[sources] def latestSchema(spark: SparkSession, root: String): StructType = {
+    val v = Snapshots.latest(spark, root).getOrElse(
+      throw new NoSuchElementException(
+        s"no committed snapshot under $root — a snapshot stream needs " +
+          "an existing table (or an explicit .schema)"))
+    schemaCache.get(root) match {
+      case Some((cv, sch)) if cv == v => sch
+      case _ =>
+        val sch = spark.read.option("mergeSchema", "true")
+          .parquet(Snapshots.manifestDirs(spark, root, v): _*).schema
+        schemaCache.put(root, (v, sch))
+        sch
+    }
+  }
+
   /** The shared relation builder: a HadoopFsRelation over exactly
     * `dirs` with a caller-declared schema (the parquet reader
     * null-fills columns missing in a file and ignores extras, so the

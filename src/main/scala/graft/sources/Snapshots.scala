@@ -197,10 +197,16 @@ object Snapshots {
                    expectedParent: Long,
                    extraMeta: Map[String, String] = Map.empty): Long = {
     validateCommit(s, root, expectedParent, extraMeta)
+    appendWith(s, root, df, expectedParent, extraMeta, batch = None)
+  }
+
+  private def appendWith(s: SparkSession, root: String, df: DataFrame,
+      expectedParent: Long, extraMeta: Map[String, String],
+      batch: Option[Long]): Long = {
     val inherit =
       if (expectedParent == 0L) Seq.empty else entriesOf(s, root, expectedParent)
     val uuid = stagePlain(s, root, df)
-    claim(s, root, expectedParent, inherit :+ uuid, Seq(uuid), extraMeta)
+    claim(s, root, expectedParent, inherit :+ uuid, Seq(uuid), extraMeta, batch)
   }
 
   /** PARTITION-GRANULAR full commit: stage `df` laid out one subdir
@@ -214,6 +220,15 @@ object Snapshots {
                         extraMeta: Map[String, String] = Map.empty): Long = {
     validateCommit(s, root, expectedParent, extraMeta)
     val (uuid, subs) = stagePartitioned(s, root, df, partCol)
+    if (subs.isEmpty) {
+      // an empty df stages no __gp dirs; claiming an empty manifest
+      // would make readers resolve the data ROOT (review finding) —
+      // reject loudly instead
+      Fs.deleteDir(s, s"${dataRoot(root)}/$uuid")
+      throw new IllegalArgumentException(
+        "commitPartitioned got an empty DataFrame — an empty manifest " +
+          "is not representable; use commit() for an empty snapshot")
+    }
     claim(s, root, expectedParent, subs.map(n => s"$uuid/$n"), Seq(uuid), extraMeta)
   }
 
@@ -227,12 +242,16 @@ object Snapshots {
     * transactional UPDATE of one partition in a 100 TB table stages
     * one partition, not the table. Requires a partition-granular
     * parent manifest (seed with [[commitPartitioned]]; replaces
-    * compose). An empty `df` is rejected — "replace nothing" is
-    * ambiguous between no-op and drop; use [[commit]] /
-    * [[commitTransform]] for full rewrites. */
+    * compose). A DELETE that EMPTIES a partition cannot ride in `df`
+    * (an empty partition stages no dir, so it would silently inherit
+    * — review finding): name such partitions in `alsoDrop` (raw
+    * partition values) and their entries are removed from the
+    * manifest in the same atomic commit. An empty `df` with no
+    * `alsoDrop` is rejected — "replace nothing" is ambiguous. */
   def commitReplace(s: SparkSession, root: String, df: DataFrame,
                     partCol: String, expectedParent: Long,
-                    extraMeta: Map[String, String] = Map.empty): Long = {
+                    extraMeta: Map[String, String] = Map.empty,
+                    alsoDrop: Seq[String] = Nil): Long = {
     validateCommit(s, root, expectedParent, extraMeta)
     require(expectedParent >= 1L,
       "commitReplace needs an existing snapshot to inherit from")
@@ -241,16 +260,27 @@ object Snapshots {
       s"commitReplace requires a partition-granular manifest under $root " +
         "(seed the table with commitPartitioned)")
     val (uuid, subs) = stagePartitioned(s, root, df, partCol)
-    if (subs.isEmpty) {
+    if (subs.isEmpty && alsoDrop.isEmpty) {
       Fs.deleteDir(s, s"${dataRoot(root)}/$uuid")
       throw new IllegalArgumentException(
-        "commitReplace got an empty DataFrame — no partition to replace")
+        "commitReplace got an empty DataFrame and no alsoDrop — " +
+          "no partition to replace")
     }
     val replaced = subs.toSet
-    val kept = parentEntries.filterNot(e =>
-      replaced.contains(e.substring(e.indexOf('/') + 1)))
-    claim(s, root, expectedParent, kept ++ subs.map(n => s"$uuid/$n"),
-      Seq(uuid), extraMeta)
+    val dropValues = alsoDrop.toSet
+    val kept = parentEntries.filterNot { e =>
+      val n = e.substring(e.indexOf('/') + 1)
+      replaced.contains(n) ||
+        dropValues.contains(unescapePathValue(n.stripPrefix(s"$PartDir=")))
+    }
+    val entries = kept ++ subs.map(n => s"$uuid/$n")
+    if (entries.isEmpty) {
+      Fs.deleteDir(s, s"${dataRoot(root)}/$uuid")
+      throw new IllegalArgumentException(
+        "commitReplace would empty the manifest — an empty table state " +
+          "is not representable; use commit() for a full rewrite")
+    }
+    claim(s, root, expectedParent, entries, Seq(uuid), extraMeta)
   }
 
   /** METADATA-ONLY partition drop (the retention sweep, transactional):
@@ -272,9 +302,16 @@ object Snapshots {
     val parentEntries = entriesOf(s, root, expectedParent)
     require(parentEntries.forall(_.contains(s"/$PartDir=")),
       s"commitDropPartitions requires a partition-granular manifest under $root")
-    val suffixes = values.map(v => s"$PartDir=$v").toSet
-    val (dropped, kept) = parentEntries.partition(e =>
-      suffixes.contains(e.substring(e.indexOf('/') + 1)))
+    // match on the UNESCAPED partition value: the stager escapes
+    // special chars into the dir name (Hive %XX path escaping), so a
+    // raw-value comparison would make such partitions undroppable
+    // (review finding)
+    val wanted = values.toSet
+    val (dropped, kept) = parentEntries.partition { e =>
+      val n = e.substring(e.indexOf('/') + 1)
+      n.startsWith(s"$PartDir=") &&
+        wanted.contains(unescapePathValue(n.stripPrefix(s"$PartDir=")))
+    }
     require(dropped.nonEmpty,
       s"no partition of $root matches ${values.mkString(",")} — nothing to drop")
     // an all-partitions drop would write an empty manifest no reader
@@ -285,6 +322,25 @@ object Snapshots {
   }
 
   // ---- commit internals ----
+
+  /** Decode the Hive/Spark `%XX` path escaping a partitioned write
+    * applies to special characters in a directory-name value. A `%`
+    * not followed by two hex digits passes through literally. */
+  private def unescapePathValue(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '%' && i + 2 < v.length &&
+          Character.digit(v.charAt(i + 1), 16) >= 0 &&
+          Character.digit(v.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(v.charAt(i + 1), 16) * 16 +
+          Character.digit(v.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   private def validateCommit(s: SparkSession, root: String,
       expectedParent: Long, extraMeta: Map[String, String]): Unit = {
@@ -300,8 +356,12 @@ object Snapshots {
     // smuggle quotes/braces, and the manifest's own fields are
     // reserved (a crafted earlier "data" occurrence would win the
     // first-match parse and redirect reads)
+    // "batch" is the exactly-once ledger's own field (txnAppend): a
+    // caller-supplied value would be folded into lb and could disable
+    // every future replay detection (review finding)
     extraMeta.foreach { case (k, x) =>
-      require(k.matches("[A-Za-z0-9_-]+") && !Set("data", "parent", "lb")(k),
+      require(k.matches("[A-Za-z0-9_-]+") &&
+        !Set("data", "parent", "lb", "batch")(k),
         s"invalid or reserved extraMeta key: $k")
       require(x.matches("[A-Za-z0-9_.: -]*"),
         s"extraMeta value for $k must stay in the JSON-safe charset")
@@ -348,17 +408,20 @@ object Snapshots {
     * conflict deletes the staged dirs and throws. */
   private def claim(s: SparkSession, root: String, expectedParent: Long,
       entries: Seq[String], stagedUuids: Seq[String],
-      extraMeta: Map[String, String]): Long = {
+      extraMeta: Map[String, String], batch: Option[Long] = None): Long = {
     val v = expectedParent + 1
     // fold the exactly-once ledger forward: lb(v) = max(lb(parent),
     // this commit's own batch id) — one O(1) parent-marker read, and
     // the newest marker ALWAYS carries the full ledger, so expire can
-    // never lose it (r18 advice) and txnAppend never walks
+    // never lose it (r18 advice) and txnAppend never walks. The batch
+    // id is an INTERNAL parameter (txnAppend), never caller meta.
     val lb = math.max(lastBatchUpTo(s, root, expectedParent),
-      extraMeta.get("batch").map(_.toLong).getOrElse(-1L))
+      batch.getOrElse(-1L))
     val dirs = entries.mkString(" ")
+    val batchField = batch.map(b => s""","batch":"$b"""").getOrElse("")
     val extras = extraMeta.map { case (k, x) => s""","$k":"$x"""" }.mkString
-    val meta = s"""{"data":"$dirs","parent":$expectedParent,"lb":"$lb"$extras}"""
+    val meta =
+      s"""{"data":"$dirs","parent":$expectedParent,"lb":"$lb"$batchField$extras}"""
     if (!createExclusive(s, s"${commitsDir(root)}/$v", meta)) {
       stagedUuids.foreach(u => Fs.deleteDir(s, s"${dataRoot(root)}/$u"))
       throw new SnapshotConflictException(
@@ -387,7 +450,12 @@ object Snapshots {
       val meta =
         try Some(readSmall(s, marker))
         catch { case _: java.io.FileNotFoundException => None } // expired mid-read
-      meta.filter(m => metaField(m, "data").isDefined) match {
+      // completeness = the closing brace is visible, not merely "data
+      // parses": a partially flushed marker could expose a TRUNCATED
+      // entry list that silently resolves to a subset of the manifest
+      // (review finding) — markers are single-line JSON, written whole
+      meta.filter(m => m.trim.endsWith("}") &&
+          metaField(m, "data").isDefined) match {
         case Some(m) => return m
         case None => Thread.sleep(40) // in-flight: claimed, content pending
       }
@@ -591,29 +659,50 @@ object Snapshots {
     val toEntries = entriesOf(s, root, toV)
     val aOnly = fromEntries.filterNot(toEntries.toSet)
     val bOnly = toEntries.filterNot(fromEntries.toSet)
-    // full-snapshot schemas (for union alignment even when the pruned
-    // read sees only a slice of the evolution history)
-    val aSchema = readAsOf(s, root, fromV).schema
-    val bSchema = readAsOf(s, root, toV).schema
+    // schemas come from the PRUNED reads only — a changed row carries
+    // all of its columns in the changed entries' own files, so the
+    // full-snapshot footer merge the pruning exists to avoid is never
+    // needed (review finding); a column absent from a side's changed
+    // files IS null for that side's changed rows, which is exactly
+    // the alignment semantics below
+    def sideRead(dirs: Seq[String]): Option[DataFrame] =
+      if (dirs.nonEmpty) Some(readDirs(s, dirs.map(u => s"${dataRoot(root)}/$u")))
+      else None
+    val (aRead, bRead) = (sideRead(aOnly), sideRead(bOnly))
+    if (aRead.isEmpty && bRead.isEmpty) {
+      // identical manifests → no changes by construction; run the
+      // pipeline over one empty slice of the snapshot (rare path, one
+      // schema resolution) so the output schema matches the usual one
+      val empty = readAsOf(s, root, toV).limit(0)
+      return cdcFrames(empty, empty, keys)
+    }
+    val aSchema = aRead.map(_.schema).getOrElse(bRead.get.schema)
+    val bSchema = bRead.map(_.schema).getOrElse(aRead.get.schema)
     val allCols = (aSchema.map(_.name) ++
       bSchema.filterNot(f => aSchema.fieldNames.contains(f.name)).map(_.name)).toSeq
     keys.foreach(k => require(
       aSchema.fieldNames.contains(k) && bSchema.fieldNames.contains(k),
       s"cdc key $k must exist in both snapshots"))
-    val nonKey = allCols.filterNot(keys.contains)
-    def aligned(dirs: Seq[String], ownSchema: org.apache.spark.sql.types.StructType,
+    def aligned(read: Option[DataFrame],
+        ownSchema: org.apache.spark.sql.types.StructType,
         otherSchema: org.apache.spark.sql.types.StructType): DataFrame = {
-      val base =
-        if (dirs.nonEmpty) readDirs(s, dirs.map(u => s"${dataRoot(root)}/$u"))
-        else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], ownSchema)
+      val base = read.getOrElse(s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], ownSchema))
       allCols.foldLeft(base) { (df, c) =>
         if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast(
           otherSchema.fields(otherSchema.fieldIndex(c)).dataType))
       }.select(allCols.map(col): _*)
     }
-    val a = aligned(aOnly, aSchema, bSchema)
-    val b = aligned(bOnly, bSchema, aSchema)
+    cdcFrames(aligned(aRead, aSchema, bSchema), aligned(bRead, bSchema, aSchema),
+      keys)
+  }
+
+  /** The classification join over two aligned (same-column) sides. */
+  private def cdcFrames(a: DataFrame, b: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nonKey = a.columns.toSeq.filterNot(keys.contains)
     val aP = nonKey.foldLeft(a)((df, c) => df.withColumnRenamed(c, s"old_$c"))
       .withColumn("_old_present", lit(true)).alias("_cdc_a")
     val bP = nonKey.foldLeft(b)((df, c) => df.withColumnRenamed(c, s"new_$c"))
@@ -662,7 +751,21 @@ object Snapshots {
   def addedDirsBetween(s: SparkSession, root: String, fromV: Long,
                        toV: Long): Seq[String] = {
     val fromEntries =
-      if (fromV <= 0L) Seq.empty[String] else entriesOf(s, root, fromV)
+      if (fromV <= 0L) Seq.empty[String]
+      else
+        try entriesOf(s, root, fromV)
+        catch {
+          case e: NoSuchElementException =>
+            // the consumer's checkpointed version was expired while it
+            // was down — name the REAL problem (retention shorter than
+            // consumer downtime) instead of a bare missing-version
+            // error on every trigger (review finding)
+            throw new IllegalStateException(
+              s"version $fromV (a stream's checkpointed offset) has been " +
+                s"expired from $root — keep the retention window (expire " +
+                "keepLast) longer than consumer downtime, or restart the " +
+                "stream from a fresh checkpoint to re-read the snapshot", e)
+        }
     val toEntries = entriesOf(s, root, toV)
     val rewritten = fromEntries.filterNot(toEntries.toSet)
     if (rewritten.nonEmpty)
@@ -695,7 +798,8 @@ object Snapshots {
       val parent = latest(s, root).getOrElse(0L)
       if (batchId <= lastBatchUpTo(s, root, parent)) return false
       try {
-        appendCommit(s, root, df, parent, Map("batch" -> batchId.toString))
+        validateCommit(s, root, parent, Map.empty)
+        appendWith(s, root, df, parent, Map.empty, batch = Some(batchId))
         return true
       } catch { case _: SnapshotConflictException => () }
     }

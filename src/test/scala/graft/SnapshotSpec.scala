@@ -638,6 +638,55 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("review hardening: empty partitioned commits, batch reservation, alsoDrop, escaped drops, expired offsets") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    // an empty partitioned commit stages no dirs — rejecting it keeps
+    // the manifest from ever resolving to the data ROOT
+    intercept[IllegalArgumentException] {
+      Snapshots.commitPartitioned(spark, root,
+        Seq.empty[(Long, Int, String)].toDF("k", "p", "v"), "p", 0L)
+    }
+    Snapshots.commitPartitioned(spark, root,
+      Seq((1L, 1, "a"), (2L, 2, "b"), (3L, 3, "c")).toDF("k", "p", "v"), "p", 0L)
+    // "batch" is the exactly-once ledger's field: caller meta must not
+    // be able to poison replay detection
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, root, Seq((9L, 9, "z")).toDF("k", "p", "v"), 1L,
+        extraMeta = Map("batch" -> "20260815"))
+    }
+    // a DELETE that empties partition 2 rides in alsoDrop — the same
+    // atomic commit replaces 1 and removes 2 entirely
+    val v2 = Snapshots.commitReplace(spark, root,
+      Seq((1L, 1, "A!")).toDF("k", "p", "v"), "p", 1L, alsoDrop = Seq("2"))
+    assert(Snapshots.readAsOf(spark, root, v2).orderBy("k")
+      .as[(Long, Int, String)].collect().toSeq
+      === Seq((1L, 1, "A!"), (3L, 3, "c")),
+      "alsoDrop must remove the emptied partition in the same commit")
+    // escaped partition values: 'a:b' stages as __gp=a%3Ab — the drop
+    // must match the RAW value the caller knows
+    val root2 = freshRoot()
+    Snapshots.commitPartitioned(spark, root2,
+      Seq((1L, "a:b", 10L), (2L, "plain", 20L)).toDF("k", "p", "n"), "p", 0L)
+    val v2b = Snapshots.commitDropPartitions(spark, root2, Seq("a:b"), 1L)
+    assert(Snapshots.readAsOf(spark, root2, v2b).as[(Long, String, Long)]
+      .collect().toSeq === Seq((2L, "plain", 20L)),
+      "an escaped partition value must be droppable by its raw form")
+    // a stream whose checkpointed offset was expired gets the NAMED
+    // retention error, not a bare missing-version crash
+    val root3 = freshRoot()
+    Snapshots.commit(spark, root3, Seq((1L, "a")).toDF("k", "v"), 0L)
+    Snapshots.appendCommit(spark, root3, Seq((2L, "b")).toDF("k", "v"), 1L)
+    Snapshots.appendCommit(spark, root3, Seq((3L, "c")).toDF("k", "v"), 2L)
+    Snapshots.expire(spark, root3, keepLast = 1, orphanGraceMs = 0L)
+    val e = intercept[IllegalStateException] {
+      Snapshots.addedDirsBetween(spark, root3, 1L, 3L)
+    }
+    assert(e.getMessage.contains("retention window"),
+      s"the error must name the retention problem: ${e.getMessage}")
+  }
+
   test("guards: keepLast>=1, JSON-safe extraMeta, no commits ahead of latest") {
     val root = freshRoot()
     val s = spark
