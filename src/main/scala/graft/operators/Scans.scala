@@ -884,6 +884,48 @@ object Scans {
         .orderBy(col("o_orderkey"))
     },
 
+    // CDC-DRIVEN incremental aggregate maintenance (r19) — the
+    // "incremental downstream consumer" the snapshot CDC exists for:
+    // a derived aggregate (the feature-store/MV state) is advanced
+    // from v1 to v2 by applying Snapshots.cdc's row-level deltas —
+    // every update contributes -old +new, a delete -old, an insert
+    // +new — instead of re-aggregating the snapshot. The cdc scan is
+    // manifest-pruned (reads the changed entries only), so at 100 TB
+    // the maintenance cost is O(changed rows), not O(table): the
+    // commit-log twin of agg_mv_incremental's partition absorb.
+    // Groups whose count reaches zero drop out. Exact decimal end to
+    // end (sums in DECIMAL(22,4) — v2's natural price scale); the
+    // incremental state is proven bit-identical to the full rebuild
+    // in SnapshotSpec, and the oracle restates the v2 aggregate from
+    // the base table. (Null group values would need null-tagged
+    // contribution structs; orders statuses are non-null.)
+    "agg_snapshot_incremental" -> { (s, d) =>
+      import graft.sources.Snapshots
+      val root = s"${ioDir("agg_snapshot_incremental", d)}/tbl"
+      snapshotHistory(s, d, root)
+      val dec224 = DecimalType(22, 4)
+      val mv1 = Snapshots.readAsOf(s, root, 1L)
+        .groupBy(col("o_orderstatus").as("g"))
+        .agg(sum(col("price").cast(dec224)).as("total"), count(lit(1)).as("n"))
+      val contrib = Snapshots.cdc(s, root, 1L, 2L, Seq("o_orderkey"))
+        .select(explode(array(
+          struct(col("old_o_orderstatus").as("g"),
+            (col("old_price").cast(dec224) * -1).cast(dec224).as("total"),
+            lit(-1L).as("n")),
+          struct(col("new_o_orderstatus").as("g"),
+            col("new_price").cast(dec224).as("total"),
+            lit(1L).as("n")))).as("c"))
+        .select(col("c.g").as("g"), col("c.total").as("total"), col("c.n").as("n"))
+        .filter(col("g").isNotNull)
+      mv1.unionByName(contrib)
+        .groupBy(col("g"))
+        .agg(sum(col("total")).as("total"), sum(col("n")).as("n"))
+        .filter(col("n") > 0)
+        .select(col("g").as("o_orderstatus"), col("n"),
+          money(col("total")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // The bucket-map-join READ path — the capability Hive bucketing
     // exists for (ConvertJoinMapJoin / SMB join): two tables written
     // co-bucketed + co-sorted on the join key join WITHOUT ANY
@@ -1019,6 +1061,28 @@ object Scans {
     // the SQL surface reads the SAME history through graft-snapshot
     // views — same oracle, proving Scala API ≡ SQL surface
     "scan_snapshot_sql" -> snapshotBothStatesOracle,
+    // the incrementally maintained aggregate equals the v2 state
+    // aggregated from scratch — restated from the base table (the
+    // same nxt derivation as the isolation oracle, then grouped)
+    "agg_snapshot_incremental" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey >= 0 AND o_orderkey < 800),
+        |nxt AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'O'
+        |         THEN CAST(price * CAST(1.10 AS DECIMAL(3,2)) AS DECIMAL(22,4))
+        |         ELSE CAST(price AS DECIMAL(22,4)) END AS price
+        |  FROM base WHERE o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(22,4))
+        |  FROM orders WHERE o_orderkey >= 800 AND o_orderkey < 1200)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(price) AS DOUBLE) AS total
+        |FROM nxt GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // the three change classes restated straight from the base table:
     // deletes = the 'F' rows of the v1 slice, inserts = the v2 load
     // slice, updates = the 'O' rows with old and bumped price

@@ -687,6 +687,23 @@ class SnapshotSpec extends SparkSpec {
       s"the error must name the retention problem: ${e.getMessage}")
   }
 
+  test("cdc-driven incremental aggregate is bit-identical to the full v2 rebuild") {
+    val inc = SparkEntry.queries("agg_snapshot_incremental")(spark, sf).collect().toSeq
+    // the key staged its history under its own ioDir root — rebuild
+    // the aggregate from scratch over the latest snapshot
+    val root = s"${sys.props("java.io.tmpdir")}/graft_io/${Q.pathKey(sf)}/agg_snapshot_incremental/tbl"
+    val full = Snapshots.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price").cast(org.apache.spark.sql.types.DecimalType(22, 4)))
+          .cast("double").as("total"))
+      .select(col("o_orderstatus"), col("n"), col("total"))
+      .orderBy(col("o_orderstatus"))
+      .collect().toSeq
+    assert(inc === full,
+      "applying cdc deltas must reproduce the from-scratch aggregate exactly")
+  }
+
   test("guards: keepLast>=1, JSON-safe extraMeta, no commits ahead of latest") {
     val root = freshRoot()
     val s = spark
