@@ -807,6 +807,42 @@ object Snapshots {
       s"txnAppend gave up after $maxAttempts conflicts under $root")
   }
 
+  /** RESTORE: make an old version's state the NEW latest — the
+    * "undo a bad write" seat public formats ship as RESTORE TABLE ...
+    * VERSION AS OF. METADATA-ONLY: the new commit simply inherits the
+    * old version's manifest entries by reference (the files are
+    * immutable and still present while retention holds them), so
+    * restoring a 100 TB table is one marker write. History is
+    * preserved, not rewritten: the bad versions stay time-travel
+    * readable until [[expire]], and the restore itself is a normal
+    * OCC commit (a concurrent writer conflicts and retries). Throws
+    * if `v`'s marker has already been expired. */
+  def restore(s: SparkSession, root: String, v: Long): Long = {
+    validateCommit(s, root, 0L, Map.empty)
+    val entries = entriesOf(s, root, v) // throws if v expired
+    val parent = latest(s, root).getOrElse(
+      throw new NoSuchElementException(s"no committed snapshot under $root"))
+    claim(s, root, parent, entries, Seq.empty, Map.empty)
+  }
+
+  /** The commit log as a DataFrame — DESCRIBE HISTORY: one row per
+    * live version with its parent, entry count, folded ledger, and
+    * the batch id it carried (null for non-batch commits). Driver
+    * cost is O(#versions) small marker reads, zero data I/O. */
+  def history(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    versions(s, root).map { v =>
+      val meta = metaOf(s, root, v)
+      (v,
+        metaField(meta, "data").map(_.split(" ").length).getOrElse(0),
+        meta.split(""""parent":""").drop(1).headOption
+          .map(_.takeWhile(c => c.isDigit || c == '-')).map(_.toLong)
+          .getOrElse(-1L),
+        metaField(meta, "lb").map(_.toLong).getOrElse(-1L),
+        metaField(meta, "batch").map(_.toLong))
+    }.toDF("version", "num_entries", "parent", "last_batch", "batch")
+  }
+
   /** OPTIMIZE: collapse an append-heavy manifest back to one data dir
     * — same rows, one commit whose manifest no longer inherits the
     * accumulated small dirs (the many-small-files tax appends build

@@ -704,6 +704,39 @@ class SnapshotSpec extends SparkSpec {
       "applying cdc deltas must reproduce the from-scratch aggregate exactly")
   }
 
+  test("restore rolls back metadata-only; history describes the log") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root, Seq((1L, "good")).toDF("k", "v"), 0L)
+    Snapshots.commit(spark, root, Seq((1L, "BAD"), (2L, "BAD")).toDF("k", "v"), 1L)
+    def dirCount() = new java.io.File(s"$root/data").listFiles().count(_.isDirectory)
+    val before = dirCount()
+    val v3 = Snapshots.restore(spark, root, 1L)
+    assert(v3 === 3L)
+    assert(dirCount() === before, "restore must stage NO data — metadata only")
+    assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSeq
+      === Seq((1L, "good")), "latest must be the restored state")
+    // history preserved: the bad version stays time-travel readable
+    assert(Snapshots.readAsOf(spark, root, 2L).count() === 2L)
+    // expire with the restore live: v1's dir is shared into v3's
+    // manifest and must survive; v2's bad dir is reclaimed
+    Snapshots.expire(spark, root, keepLast = 1, orphanGraceMs = 0L)
+    assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSeq
+      === Seq((1L, "good")))
+    assert(dirCount() === before - 1, "only the bad version's dir is reclaimed")
+    // the audit log: one row per live version, entries/parent/ledger
+    val h = Snapshots.history(spark, root)
+      .as[(Long, Int, Long, Long, Option[Long])].collect().toSeq
+    assert(h === Seq((3L, 1, 2L, -1L, None)),
+      s"history must describe the surviving restore commit: $h")
+    // a batch commit surfaces its id and the folded ledger
+    Snapshots.txnAppend(spark, root, Seq((5L, "e")).toDF("k", "v"), batchId = 7L)
+    val h2 = Snapshots.history(spark, root)
+      .as[(Long, Int, Long, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(h2.last === ((4L, 2, 3L, 7L, Some(7L))))
+  }
+
   test("guards: keepLast>=1, JSON-safe extraMeta, no commits ahead of latest") {
     val root = freshRoot()
     val s = spark
