@@ -583,8 +583,8 @@ class SnapshotSpec extends SparkSpec {
     model = (0 until 8).map(_ => freshKey() -> (rnd.nextInt(3), rnd.nextLong(100))).toMap
     var version = Snapshots.commitPartitioned(spark, root, df(model), "p", 0L)
     var history = Map(version -> model)
-    (1 to 14).foreach { _ =>
-      rnd.nextInt(5) match {
+    (1 to 16).foreach { _ =>
+      rnd.nextInt(6) match {
         case 0 | 1 => // COW rewrite of one partition: bump, drop one key, add one
           val p = rnd.nextInt(4) // may be a partition with no standing rows
           val cur = model.filter(_._2._1 == p)
@@ -613,6 +613,11 @@ class SnapshotSpec extends SparkSpec {
             .as[(Long, Int, Long)].collect()
             .map { case (k, p, v) => k -> (p, v) }.toMap === expected,
             s"time travel to $tv must replay its exact state")
+        case 5 => // metadata-only rollback to a random live version
+          val targets = history.keySet.toSeq.sorted
+          val tv = targets(rnd.nextInt(targets.size))
+          version = Snapshots.restore(spark, root, tv)
+          model = history(tv)
       }
       history += version -> model
       assert(readBack() === model, s"latest read must equal the model at v$version")
