@@ -852,7 +852,8 @@ object Scans {
     // (VERDICT r18 #2 — the O(table) rewrite gap): seed a partition-
     // granular snapshot of orders keyed by year (commitPartitioned:
     // one manifest entry per __gp=<year> subdir), then run ONE OCC
-    // replace-transform that rewrites ONLY the 1997+ partitions
+    // replace-transform that rewrites ONLY the 2000+ partitions
+    // (2 of the driver data's 7 years — the other 5 inherit)
     // (doubling the %10==3 prices) — every other year is inherited by
     // manifest REFERENCE, zero bytes restaged (byte-identity and
     // write-volume are SnapshotSpec asserts). This is the acid-update
@@ -872,7 +873,7 @@ object Scans {
           dec(col("o_totalprice")).as("price"), col("o_year"))
       Snapshots.commitPartitioned(s, root, base, "o_year", expectedParent = 0L)
       Snapshots.replaceTransform(s, root, "o_year") { cur =>
-        cur.filter(col("o_year") >= 1997)
+        cur.filter(col("o_year") >= 2000)
           .withColumn("price",
             when(col("o_orderkey") % 10 === 3, col("price") * 2)
               .otherwise(col("price")).cast(DecimalType(18, 2)))
@@ -1113,7 +1114,7 @@ object Scans {
     // snapshot layer's partition-scoped replace commit
     "sink_snapshot_cow" ->
       """SELECT o_orderkey, o_orderstatus,
-        |  CAST(CASE WHEN o_orderkey % 10 = 3 AND year(o_orderdate) >= 1997
+        |  CAST(CASE WHEN o_orderkey % 10 = 3 AND year(o_orderdate) >= 2000
         |       THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
         |       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DOUBLE) AS price,
         |  CAST(year(o_orderdate) AS INTEGER) AS o_year
