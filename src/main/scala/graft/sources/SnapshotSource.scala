@@ -107,24 +107,32 @@ class SnapshotSource extends RelationProvider with StreamSourceProvider
 
 object SnapshotSource {
   // one entry per root, replaced on version change — bounded by the
-  // number of distinct tables a session streams from
+  // number of distinct tables a session streams from. The entry is
+  // fingerprinted by the RESOLVED MANIFEST DIRS, not the version
+  // number alone (r19 advice): a table deleted and recreated at the
+  // same path can reach the same version with a different schema, but
+  // its staged dirs carry fresh uuids, so the dir list disagrees and
+  // the stale entry is replaced.
   private val schemaCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Long, StructType)]
+    scala.collection.concurrent.TrieMap
+      .empty[String, (Long, Seq[String], StructType)]
 
-  /** Merged schema of `root`'s LATEST manifest, memoized per version
-    * so the streaming provider's analysis-time and start-time
-    * resolutions pay the footer merge once. */
+  /** Merged schema of `root`'s LATEST manifest, memoized per
+    * (version, manifest dirs) so the streaming provider's
+    * analysis-time and start-time resolutions pay the footer merge
+    * once. */
   private[sources] def latestSchema(spark: SparkSession, root: String): StructType = {
     val v = Snapshots.latest(spark, root).getOrElse(
       throw new NoSuchElementException(
         s"no committed snapshot under $root — a snapshot stream needs " +
           "an existing table (or an explicit .schema)"))
+    val dirs = Snapshots.manifestDirs(spark, root, v)
     schemaCache.get(root) match {
-      case Some((cv, sch)) if cv == v => sch
+      case Some((cv, cdirs, sch)) if cv == v && cdirs == dirs => sch
       case _ =>
         val sch = spark.read.option("mergeSchema", "true")
-          .parquet(Snapshots.manifestDirs(spark, root, v): _*).schema
-        schemaCache.put(root, (v, sch))
+          .parquet(dirs: _*).schema
+        schemaCache.put(root, (v, dirs, sch))
         sch
     }
   }

@@ -268,6 +268,19 @@ object Snapshots {
     }
     val replaced = subs.toSet
     val dropValues = alsoDrop.toSet
+    // a partition in BOTH df and alsoDrop is contradictory — kept
+    // would remove it, then subs would re-add the new entry, silently
+    // ignoring the caller's drop (r19 advice): fail loudly instead,
+    // matching the method's ambiguity guards below
+    val stagedValues =
+      subs.map(n => unescapePathValue(n.stripPrefix(s"$PartDir="))).toSet
+    val contradicted = stagedValues.intersect(dropValues)
+    if (contradicted.nonEmpty) {
+      Fs.deleteDir(s, s"${dataRoot(root)}/$uuid")
+      throw new IllegalArgumentException(
+        s"partitions ${contradicted.mkString(",")} appear both in df and in " +
+          "alsoDrop — replace-and-drop of the same partition is contradictory")
+    }
     val kept = parentEntries.filterNot { e =>
       val n = e.substring(e.indexOf('/') + 1)
       replaced.contains(n) ||
@@ -420,8 +433,11 @@ object Snapshots {
     val dirs = entries.mkString(" ")
     val batchField = batch.map(b => s""","batch":"$b"""").getOrElse("")
     val extras = extraMeta.map { case (k, x) => s""","$k":"$x"""" }.mkString
+    // every field is written QUOTED so [[metaField]] is the single
+    // parser of the format; markers from before r20 carry a bare
+    // numeric parent — [[parentOf]] keeps the legacy-read fallback
     val meta =
-      s"""{"data":"$dirs","parent":$expectedParent,"lb":"$lb"$batchField$extras}"""
+      s"""{"data":"$dirs","parent":"$expectedParent","lb":"$lb"$batchField$extras}"""
     if (!createExclusive(s, s"${commitsDir(root)}/$v", meta)) {
       stagedUuids.foreach(u => Fs.deleteDir(s, s"${dataRoot(root)}/$u"))
       throw new SnapshotConflictException(
@@ -465,9 +481,19 @@ object Snapshots {
         "— a writer likely died between claim and content write")
   }
 
-  /** One string field out of the marker's (self-written, flat) JSON. */
+  /** One string field out of the marker's (self-written, flat) JSON
+    * — the ONLY parser of the marker format. */
   private def metaField(meta: String, key: String): Option[String] =
     meta.split(s""""$key":"""").drop(1).headOption.map(_.split("\"")(0))
+
+  /** The parent version a marker declares. Markers written before r20
+    * carried `parent` as the one unquoted field — fall back to the
+    * bare-number read so old tables keep describing their history. */
+  private def parentOf(meta: String): Long =
+    metaField(meta, "parent").map(_.toLong).getOrElse(
+      meta.split(""""parent":""").drop(1).headOption
+        .map(_.takeWhile(c => c.isDigit || c == '-')).map(_.toLong)
+        .getOrElse(-1L))
 
   /** Manifest entries of `v`, relative to `data/`. */
   private def entriesOf(s: SparkSession, root: String, v: Long): Seq[String] =
@@ -659,16 +685,20 @@ object Snapshots {
     val toEntries = entriesOf(s, root, toV)
     val aOnly = fromEntries.filterNot(toEntries.toSet)
     val bOnly = toEntries.filterNot(fromEntries.toSet)
-    // schemas come from the PRUNED reads only — a changed row carries
-    // all of its columns in the changed entries' own files, so the
-    // full-snapshot footer merge the pruning exists to avoid is never
-    // needed (review finding); a column absent from a side's changed
-    // files IS null for that side's changed rows, which is exactly
-    // the alignment semantics below
     def sideRead(dirs: Seq[String]): Option[DataFrame] =
       if (dirs.nonEmpty) Some(readDirs(s, dirs.map(u => s"${dataRoot(root)}/$u")))
       else None
     val (aRead, bRead) = (sideRead(aOnly), sideRead(bOnly))
+    // the OUTPUT schema must stay stable across batches (r19 advice):
+    // the pruned reads alone would drop a column that lives solely in
+    // SHARED (unchanged) entries, so a consumer selecting it by name
+    // would get AnalysisException on some batches and nulls on others.
+    // Union the pruned-side schemas with toV's FULL snapshot schema —
+    // one footer merge of the manifest, still zero data I/O. toV's
+    // order leads, so every batch of the same table lines up; a column
+    // dropped between the versions (present only in fromV's removed
+    // entries) trails.
+    val fullSchema = readAsOf(s, root, toV).schema
     if (aRead.isEmpty && bRead.isEmpty) {
       // identical manifests → no changes by construction; run the
       // pipeline over one empty slice of the snapshot (rare path, one
@@ -678,24 +708,24 @@ object Snapshots {
     }
     val aSchema = aRead.map(_.schema).getOrElse(bRead.get.schema)
     val bSchema = bRead.map(_.schema).getOrElse(aRead.get.schema)
-    val allCols = (aSchema.map(_.name) ++
-      bSchema.filterNot(f => aSchema.fieldNames.contains(f.name)).map(_.name)).toSeq
-    keys.foreach(k => require(
-      aSchema.fieldNames.contains(k) && bSchema.fieldNames.contains(k),
-      s"cdc key $k must exist in both snapshots"))
+    val unionFields = (fullSchema.fields ++ aSchema.fields ++ bSchema.fields)
+      .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
+        (acc, f) => if (acc.exists(_.name == f.name)) acc else acc :+ f
+      }
+    val allCols = unionFields.map(_.name)
+    keys.foreach(k => require(allCols.contains(k),
+      s"cdc key $k must exist in the snapshots' schema"))
     def aligned(read: Option[DataFrame],
-        ownSchema: org.apache.spark.sql.types.StructType,
-        otherSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+        ownSchema: org.apache.spark.sql.types.StructType): DataFrame = {
       val base = read.getOrElse(s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], ownSchema))
       allCols.foldLeft(base) { (df, c) =>
         if (df.columns.contains(c)) df
-        else df.withColumn(c, lit(null).cast(
-          otherSchema.fields(otherSchema.fieldIndex(c)).dataType))
+        else df.withColumn(c,
+          lit(null).cast(unionFields.find(_.name == c).get.dataType))
       }.select(allCols.map(col): _*)
     }
-    cdcFrames(aligned(aRead, aSchema, bSchema), aligned(bRead, bSchema, aSchema),
-      keys)
+    cdcFrames(aligned(aRead, aSchema), aligned(bRead, bSchema), keys)
   }
 
   /** The classification join over two aligned (same-column) sides. */
@@ -835,9 +865,7 @@ object Snapshots {
       val meta = metaOf(s, root, v)
       (v,
         metaField(meta, "data").map(_.split(" ").length).getOrElse(0),
-        meta.split(""""parent":""").drop(1).headOption
-          .map(_.takeWhile(c => c.isDigit || c == '-')).map(_.toLong)
-          .getOrElse(-1L),
+        parentOf(meta),
         metaField(meta, "lb").map(_.toLong).getOrElse(-1L),
         metaField(meta, "batch").map(_.toLong))
     }.toDF("version", "num_entries", "parent", "last_batch", "batch")

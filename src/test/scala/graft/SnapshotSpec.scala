@@ -742,6 +742,73 @@ class SnapshotSpec extends SparkSpec {
     assert(h2.last === ((4L, 2, 3L, 7L, Some(7L))))
   }
 
+  test("cdc keeps columns that live only in shared entries (r19 advice: stable output schema)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    // v1 carries (k, v, w); the v2 append touches only (k, v) — w
+    // lives SOLELY in the shared (unchanged) entry, so the pruned
+    // reads alone would drop old_w/new_w from the output entirely
+    Snapshots.commit(spark, root,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "w"), 0L)
+    Snapshots.appendCommit(spark, root,
+      Seq((3L, "c")).toDF("k", "v"), 1L)
+    val diff = Snapshots.cdc(spark, root, 1L, 2L, Seq("k"))
+    assert(diff.columns.contains("old_w") && diff.columns.contains("new_w"),
+      s"a column in shared entries must stay in the cdc schema: " +
+        diff.columns.mkString(","))
+    assert(diff.select(col("change_type"), col("k"), col("new_v"), col("new_w"))
+      .as[(String, Long, String, Option[Long])].collect().toSeq
+      === Seq(("insert", 3L, "c", None)))
+    // and the pruning still holds: the shared v1 dir is never scanned
+    val v1Dirs = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/_commits/1")), "UTF-8")
+      txt.split("\"data\":\"")(1).split("\"")(0).split(" ").toSet
+    }
+    assert(diff.inputFiles.toSeq.forall(f =>
+      !v1Dirs.exists(d => f.contains(s"/data/$d/"))),
+      "schema stability must not cost the manifest pruning")
+  }
+
+  test("commitReplace rejects a partition named in both df and alsoDrop (r19 advice)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commitPartitioned(spark, root,
+      Seq((1L, 1, "a"), (2L, 2, "b")).toDF("k", "p", "v"), "p", 0L)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commitReplace(spark, root,
+        Seq((9L, 2, "z")).toDF("k", "p", "v"), "p", 1L, alsoDrop = Seq("2"))
+    }
+    assert(e.getMessage.contains("contradictory"), e.getMessage)
+    assert(Snapshots.versions(spark, root) === Seq(1L),
+      "the contradictory commit must leave the log untouched")
+  }
+
+  test("history reads both r20 (quoted parent) and legacy (bare parent) markers with one parser") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root, Seq((1L, "a")).toDF("k", "v"), 0L)
+    Snapshots.appendCommit(spark, root, Seq((2L, "b")).toDF("k", "v"), 1L)
+    // rewrite marker 1 into the PRE-r20 format: parent as a bare
+    // number, the one field metaField could not read
+    val m1 = java.nio.file.Paths.get(s"$root/_commits/1")
+    val legacy = new String(java.nio.file.Files.readAllBytes(m1), "UTF-8")
+      .replace(""""parent":"0"""", """"parent":0""")
+    assert(legacy.contains(""""parent":0"""), s"rewrite must hit: $legacy")
+    java.nio.file.Files.write(m1, legacy.getBytes("UTF-8"))
+    val h = Snapshots.history(spark, root)
+      .select(col("version"), col("parent"))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(h === Seq((1L, 0L), (2L, 1L)),
+      s"legacy and current markers must parse identically: $h")
+    // and reads over the mixed-format log stay intact
+    assert(Snapshots.read(spark, root).orderBy("k").as[(Long, String)]
+      .collect().toSeq === Seq((1L, "a"), (2L, "b")))
+  }
+
   test("guards: keepLast>=1, JSON-safe extraMeta, no commits ahead of latest") {
     val root = freshRoot()
     val s = spark
