@@ -53,7 +53,10 @@ import org.apache.spark.sql.types.StructType
   * the tailed range fails the stream with a named error, the same
   * rule public formats' streaming sources enforce. Restart resumes
   * from the checkpointed version offset (offset json = the version
-  * number — trivially durable).
+  * number — trivially durable). `maxVersionsPerTrigger` bounds how
+  * many commits one trigger may take, so a genesis start or a
+  * long-downtime restart drains the backlog as bounded micro-batches
+  * instead of one table-sized batch (the maxFilesPerTrigger seat).
   */
 class SnapshotSource extends RelationProvider with StreamSourceProvider
   with DataSourceRegister {
@@ -100,8 +103,12 @@ class SnapshotSource extends RelationProvider with StreamSourceProvider
     // per-(root, version) cache makes this second resolution free
     // instead of re-running the full-manifest footer merge
     val declared = schema.getOrElse(SnapshotSource.latestSchema(spark, root))
+    val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxPerTrigger.foreach(m => require(m >= 1L,
+      s"maxVersionsPerTrigger must be >= 1, got $m"))
     new SnapshotStreamSource(spark, root, declared,
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      maxPerTrigger)
   }
 }
 
@@ -166,7 +173,8 @@ object SnapshotSource {
   * the engine asserts isStreaming on V1 batches, exactly as Spark's
   * FileStreamSource marks its own. */
 class SnapshotStreamSource(spark: SparkSession, root: String,
-    declared: StructType, startingVersion: Long) extends Source {
+    declared: StructType, startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long]) extends Source {
 
   override def schema: StructType = declared
 
@@ -174,13 +182,33 @@ class SnapshotStreamSource(spark: SparkSession, root: String,
     * carries the version as its json — no class matching needed. */
   private def versionOf(o: V1Offset): Long = o.json.trim.toLong
 
-  override def getOffset: Option[V1Offset] =
-    Snapshots.latest(spark, root).filter(_ > startingVersion)
-      .map(v => LongOffset(v))
+  /** Highest version already handed to a batch — the rate-limit
+    * window's floor. Advanced by [[getBatch]], including the
+    * engine's recovery replay of the checkpointed batch on restart,
+    * so a restarted stream caps from its checkpointed offset, not
+    * from genesis. */
+  private var deliveredV: Long = startingVersion
+
+  /** RATE LIMITING (VERDICT r19 #1): without a cap, a stream starting
+    * at genesis — or restarting after downtime longer than the commit
+    * cadence — gets the ENTIRE backlog as ONE micro-batch; at 100 TB
+    * that first batch is the whole table in a single stage. With
+    * `maxVersionsPerTrigger` the offset advances at most that many
+    * versions per trigger, so the backlog drains as bounded batches —
+    * the same knob public formats spell maxFilesPerTrigger. */
+  override def getOffset: Option[V1Offset] = {
+    val base = deliveredV
+    Snapshots.latest(spark, root).filter(_ > base).map { latest =>
+      LongOffset(maxVersionsPerTrigger
+        .map(m => math.min(latest, base + m)).getOrElse(latest))
+    }
+  }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val fromV = start.map(versionOf).getOrElse(startingVersion)
-    val dirs = Snapshots.addedDirsBetween(spark, root, fromV, versionOf(end))
+    val endV = versionOf(end)
+    deliveredV = math.max(deliveredV, endV)
+    val dirs = Snapshots.addedDirsBetween(spark, root, fromV, endV)
     org.apache.spark.sql.graftbridge.RelationBridge.streamingFrame(
       spark, SnapshotSource.relationOver(spark, dirs, declared))
   }

@@ -488,6 +488,60 @@ class SnapshotSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxVersionsPerTrigger drains a backlog as bounded per-version batches (r19 #1)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    // a 4-commit backlog: 2 + 1 + 3 + 1 rows, built BEFORE the stream
+    // starts — the genesis-start case that would otherwise arrive as
+    // ONE table-sized batch
+    Snapshots.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 0L)
+    Snapshots.appendCommit(spark, root, Seq((3L, "c")).toDF("k", "v"), 1L)
+    Snapshots.appendCommit(spark, root,
+      Seq((4L, "d"), (5L, "e"), (6L, "f")).toDF("k", "v"), 2L)
+    Snapshots.appendCommit(spark, root, Seq((7L, "g")).toDF("k", "v"), 3L)
+    val batches = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("maxVersionsPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, b.count()): Unit
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toSeq.sortBy(_._1).map(_._2)
+    assert(got === Seq(2L, 1L, 3L, 1L),
+      s"max=1 must yield one micro-batch per commit, in order: $got")
+  }
+
+  test("maxVersionsPerTrigger caps from the checkpointed offset after a restart, no replay") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_snap_rl_ckpt_").toString
+    val out = Files.createTempDirectory("graft_snap_rl_out_").toString
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root, Seq((1L, "a")).toDF("k", "v"), 0L)
+    def stream() = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("maxVersionsPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out)
+      }.start()
+    val q1 = stream()
+    try q1.processAllAvailable() finally q1.stop()
+    // a 2-version backlog accrues while the stream is DOWN; the
+    // restart must window from the CHECKPOINTED version (not genesis)
+    // and drain the backlog without replaying version 1
+    Snapshots.txnAppend(spark, root, Seq((2L, "b")).toDF("k", "v"), batchId = 0L)
+    Snapshots.txnAppend(spark, root, Seq((3L, "c")).toDF("k", "v"), batchId = 1L)
+    val q2 = stream()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(spark.read.parquet(out).count() === 3L,
+      "a capped restart must neither replay nor skip versions")
+  }
+
   test("streaming source restart resumes from the checkpointed version offset, no replay") {
     val root = freshRoot()
     val ckpt = Files.createTempDirectory("graft_snap_ckpt_").toString
