@@ -878,10 +878,33 @@ object Snapshots {
     * resolved manifests); the superseded dirs die at the next
     * [[expire]] once no live manifest references them. Semantics-
     * preserving by construction — it is literally `commitTransform`
-    * of the identity. */
-  def compact(s: SparkSession, root: String): Long =
+    * of the identity. REFUSES a partition-granular table (VERDICT r19
+    * #2): collapsing one to a single plain dir would silently destroy
+    * its copy-on-write UPDATE path (the next [[replaceTransform]]
+    * fails with a confusing seed error) — use [[compactPartitioned]],
+    * which preserves the granularity. */
+  def compact(s: SparkSession, root: String): Long = {
+    latest(s, root).foreach { v =>
+      require(!entriesOf(s, root, v).exists(_.contains(s"/$PartDir=")),
+        s"$root is partition-granular — plain compact would downgrade it " +
+          "and break copy-on-write; use compactPartitioned")
+    }
     commitTransform(s, root) { cur =>
       cur.getOrElse(throw new NoSuchElementException(
         s"nothing to compact under $root"))
     }
+  }
+
+  /** OPTIMIZE for a PARTITION-GRANULAR table (VERDICT r19 #2): rewrite
+    * the current snapshot as ONE fresh staged uuid with one `__gp=`
+    * entry per partition, collapsing the per-partition dir sprawl
+    * accumulated by copy-on-write replaces while keeping the manifest
+    * partition-granular — so [[commitReplace]]/[[replaceTransform]]
+    * keep composing afterwards. Semantics-preserving by construction:
+    * it is literally [[replaceTransform]] of the identity (every
+    * partition restages, nothing inherits). Same OCC/retention story
+    * as [[compact]]. */
+  def compactPartitioned(s: SparkSession, root: String, partCol: String,
+                         maxAttempts: Int = 10): Long =
+    replaceTransform(s, root, partCol, maxAttempts)(identity)
 }

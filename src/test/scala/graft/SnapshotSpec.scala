@@ -647,8 +647,8 @@ class SnapshotSpec extends SparkSpec {
             (freshKey() -> (p, rnd.nextLong(100)))
           version = Snapshots.commitReplace(spark, root, df(next), "p", version)
           model = model.filter(_._2._1 != p) ++ next
-        case 2 => // partition-granularity-preserving full rewrite (OPTIMIZE)
-          version = Snapshots.commitReplace(spark, root, df(model), "p", version)
+        case 2 => // partition-granularity-preserving OPTIMIZE (r19 #2)
+          version = Snapshots.compactPartitioned(spark, root, "p")
         case 3 => // metadata-only partition drop (only if another survives)
           val parts = model.values.map(_._1).toSet
           if (parts.size > 1) {
@@ -794,6 +794,47 @@ class SnapshotSpec extends SparkSpec {
     val h2 = Snapshots.history(spark, root)
       .as[(Long, Int, Long, Long, Option[Long])].collect().toSeq.sortBy(_._1)
     assert(h2.last === ((4L, 2, 3L, 7L, Some(7L))))
+  }
+
+  test("compactPartitioned collapses COW sprawl, keeps granularity; plain compact refuses (r19 #2)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    def entries(v: Long): Seq[String] = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/_commits/$v")), "UTF-8")
+      txt.split("\"data\":\"")(1).split("\"")(0).split(" ").toSeq
+    }
+    Snapshots.commitPartitioned(spark, root,
+      Seq((1L, 1, "a"), (2L, 2, "b"), (3L, 3, "c")).toDF("k", "p", "v"), "p", 0L)
+    // two COW replaces accumulate dirs from three staged uuids
+    Snapshots.commitReplace(spark, root,
+      Seq((1L, 1, "a2")).toDF("k", "p", "v"), "p", 1L)
+    Snapshots.commitReplace(spark, root,
+      Seq((2L, 2, "b2")).toDF("k", "p", "v"), "p", 2L)
+    assert(entries(3L).map(_.split("/")(0)).distinct.size === 3,
+      "precondition: the COW history spans three staged uuids")
+    // plain compact must refuse rather than destroy the UPDATE path
+    val e = intercept[IllegalArgumentException] { Snapshots.compact(spark, root) }
+    assert(e.getMessage.contains("compactPartitioned"), e.getMessage)
+    val v4 = Snapshots.compactPartitioned(spark, root, "p")
+    val after = entries(v4)
+    assert(after.map(_.split("/")(0)).distinct.size === 1,
+      s"compactPartitioned must collapse to ONE staged uuid: $after")
+    assert(after.forall(_.contains("/__gp=")) && after.size === 3,
+      s"granularity must survive, one entry per partition: $after")
+    assert(Snapshots.read(spark, root).orderBy("k").as[(Long, Int, String)]
+      .collect().toSeq === Seq((1L, 1, "a2"), (2L, 2, "b2"), (3L, 3, "c")))
+    // the point of it all: copy-on-write still composes AFTER compact
+    Snapshots.replaceTransform(spark, root, "p") { cur =>
+      cur.filter(col("p") === 3).withColumn("v", lit("c3"))
+    }: Unit
+    assert(Snapshots.read(spark, root).orderBy("k").as[(Long, Int, String)]
+      .collect().toSeq === Seq((1L, 1, "a2"), (2L, 2, "b2"), (3L, 3, "c3")),
+      "replaceTransform must keep working after a partitioned OPTIMIZE")
+    // and expire reclaims the pre-compact sprawl
+    Snapshots.expire(spark, root, keepLast = 1, orphanGraceMs = 0L)
+    assert(Snapshots.read(spark, root).count() === 3L)
   }
 
   test("cdc keeps columns that live only in shared entries (r19 advice: stable output schema)") {
