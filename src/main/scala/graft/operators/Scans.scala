@@ -885,6 +885,45 @@ object Scans {
         .orderBy(col("o_orderkey"))
     },
 
+    // MERGE made first-class on the snapshot layer (VERDICT r19 #5):
+    // the sink_merge_upsert dataflow (WHEN MATCHED take the source
+    // row, WHEN NOT MATCHED insert) composed with the copy-on-write
+    // replace commit — Snapshots.mergeTransform upserts a source
+    // touching ONLY the 2000+ years (2 of the driver data's 7), so
+    // the commit stages those partitions and inherits the other five
+    // by manifest reference (partition-scoping is a SnapshotSpec
+    // assert). The UPD rows double the %10==3 prices (kept in
+    // DECIMAL(18,2) — exact in both engines, and type-stable across
+    // the merged manifest); the INS rows key-shift past the data's
+    // real max. At 100 TB this is the micro-batch-upsert-into-
+    // date-partitioned-table path: rewrite the touched dates, one
+    // marker, never the table.
+    "sink_snapshot_merge" -> { (s, d) =>
+      import graft.sources.Snapshots
+      val root = s"${ioDir("sink_snapshot_merge", d)}/tbl"
+      graft.Fs.deleteDir(s, root)
+      val o = Tables.t(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+      val base = o.select(col("o_orderkey"), lit("SEED").as("status"),
+        dec(col("o_totalprice")).as("price"), col("o_year"))
+      Snapshots.commitPartitioned(s, root, base, "o_year", expectedParent = 0L)
+      val recent = o.filter(col("o_year") >= 2000)
+      val maxKey = o.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+      val source = recent.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), lit("UPD").as("status"),
+          (dec(col("o_totalprice")) * 2).cast(DecimalType(18, 2)).as("price"),
+          col("o_year"))
+        .unionByName(recent.filter(col("o_orderkey") % 100 === 0)
+          .select((col("o_orderkey") + lit(maxKey)).as("o_orderkey"),
+            lit("INS").as("status"), dec(col("o_totalprice")).as("price"),
+            col("o_year")))
+      Snapshots.mergeTransform(s, root, "o_year", source, Seq("o_orderkey")): Unit
+      Snapshots.read(s, root)
+        .select(col("o_orderkey"), col("status"),
+          money(col("price")).as("price"), col("o_year").cast(IntegerType))
+        .orderBy(col("o_orderkey"))
+    },
+
     // CDC-DRIVEN incremental aggregate maintenance (r19) — the
     // "incremental downstream consumer" the snapshot CDC exists for:
     // a derived aggregate (the feature-store/MV state) is advanced
@@ -1119,6 +1158,25 @@ object Scans {
         |       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DOUBLE) AS price,
         |  CAST(year(o_orderdate) AS INTEGER) AS o_year
         |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    // the snapshot MERGE's final state restated from the base table:
+    // matched 2000+ keys carry the UPDATE, shifted 2000+ keys the
+    // INSERT, everything else (including all pre-2000 partitions,
+    // inherited by manifest reference) passes through as seeded
+    "sink_snapshot_merge" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 3 AND year(o_orderdate) >= 2000
+        |       THEN 'UPD' ELSE 'SEED' END AS status,
+        |  CAST(CASE WHEN o_orderkey % 10 = 3 AND year(o_orderdate) >= 2000
+        |       THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+        |       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DOUBLE) AS price,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders), 'INS',
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE),
+        |  CAST(year(o_orderdate) AS INTEGER)
+        |FROM orders WHERE o_orderkey % 100 = 0 AND year(o_orderdate) >= 2000
         |ORDER BY o_orderkey""".stripMargin,
     // both destinations restated from the base table and re-tagged:
     // the hi sink row-for-row, the lo sink as the same aggregate

@@ -598,6 +598,53 @@ object Snapshots {
     -1L // unreachable
   }
 
+  /** MERGE (keyed upsert) into a partition-granular snapshot table —
+    * the last ACID verb made first-class on the snapshot layer
+    * (VERDICT r19 #5): WHEN MATCHED on `keys` take the source row,
+    * WHEN NOT MATCHED insert it, standing rows pass through — the
+    * `sink_merge_upsert` dataflow composed with [[replaceTransform]],
+    * so the commit STAGES ONLY THE PARTITIONS `source` TOUCHES and
+    * inherits every other entry by manifest reference. At 100 TB a
+    * micro-batch upsert into a date-partitioned table rewrites the
+    * handful of touched dates, never the table.
+    *
+    * The touched-partition set is read once (bounded driver collect,
+    * gated at `partGate`; past the gate the filter falls back to a
+    * distributed semi-join) and pushed down into the snapshot scan.
+    *
+    * CONSTRAINT (the standard one for partition-scoped merges): a
+    * source row must carry the SAME `partCol` value as the standing
+    * row with its key — a key that moves partitions would leave its
+    * old row in the untouched partition. `source` must cover the
+    * table's columns (same shape the full-outer merge needs). */
+  def mergeTransform(s: SparkSession, root: String, partCol: String,
+                     source: DataFrame, keys: Seq[String],
+                     maxAttempts: Int = 10, partGate: Int = 10000): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(keys.nonEmpty, "mergeTransform needs at least one key column")
+    require(source.columns.contains(partCol),
+      s"merge source must carry the partition column $partCol")
+    require(!keys.contains(partCol) || keys.size > 1,
+      s"merging by the partition column alone upserts whole partitions — " +
+        "use commitReplace directly")
+    // resolve the touched partitions ONCE, outside the OCC retry loop
+    // (the source is the caller's — re-deriving it per attempt buys
+    // nothing); limit(gate+1) keeps the driver read bounded
+    val touchedDf = source.select(col(partCol)).distinct()
+    val touched = touchedDf.limit(partGate + 1).collect().map(_.get(0))
+    replaceTransform(s, root, partCol, maxAttempts) { cur =>
+      val affected =
+        if (touched.length <= partGate)
+          // IN-list on the partition column: reaches the parquet
+          // row-group stats of the snapshot scan
+          cur.filter(col(partCol).isInCollection(touched.toSeq))
+        else // beyond the gate: distributed membership, no driver list
+          cur.join(broadcast(touchedDf), Seq(partCol), "left_semi")
+      affected.join(source, keys, "left_anti")
+        .unionByName(source.select(cur.columns.map(col).toSeq: _*))
+    }
+  }
+
   /** Retire every committed version strictly older than
     * `latest - keepLast + 1`, plus any staged data dir no surviving
     * commit references (a crashed or conflicted writer's orphan).

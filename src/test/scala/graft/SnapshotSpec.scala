@@ -922,6 +922,41 @@ class SnapshotSpec extends SparkSpec {
       .collect().toSeq === Seq((1L, "a"), (2L, "b")))
   }
 
+  test("mergeTransform upserts by key, staging only the touched partitions (r19 #5)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    def entries(v: Long): Seq[String] = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/_commits/$v")), "UTF-8")
+      txt.split("\"data\":\"")(1).split("\"")(0).split(" ").toSeq
+    }
+    Snapshots.commitPartitioned(spark, root,
+      Seq((1L, 1, "a"), (2L, 2, "b"), (3L, 2, "c"), (4L, 3, "d"))
+        .toDF("k", "p", "v"), "p", 0L)
+    // the source touches ONLY partition 2: one update (k=2), one insert (k=9)
+    val source = Seq((2L, 2, "B!"), (9L, 2, "ins")).toDF("k", "p", "v")
+    val v2 = Snapshots.mergeTransform(spark, root, "p", source, Seq("k"))
+    assert(Snapshots.readAsOf(spark, root, v2).orderBy("k")
+      .as[(Long, Int, String)].collect().toSeq
+      === Seq((1L, 1, "a"), (2L, 2, "B!"), (3L, 2, "c"), (4L, 3, "d"), (9L, 2, "ins")),
+      "matched takes the source row, unmatched inserts, standing rows pass")
+    // partition scoping: partitions 1 and 3 are INHERITED by reference
+    val (e1, e2) = (entries(1L), entries(v2))
+    assert(e2.filter(e => e.endsWith("__gp=1") || e.endsWith("__gp=3")).toSet
+      === e1.filter(e => e.endsWith("__gp=1") || e.endsWith("__gp=3")).toSet,
+      s"untouched partitions must keep v1's exact entries: $e1 vs $e2")
+    assert(e2.find(_.endsWith("__gp=2")).get !== e1.find(_.endsWith("__gp=2")).get,
+      "the touched partition must be a freshly staged entry")
+    // the past-the-gate fallback (distributed semi-join membership)
+    // must produce the identical state
+    val v3 = Snapshots.mergeTransform(spark, root, "p",
+      Seq((9L, 2, "INS2")).toDF("k", "p", "v"), Seq("k"), partGate = 0)
+    assert(Snapshots.readAsOf(spark, root, v3).orderBy("k")
+      .as[(Long, Int, String)].collect().toSeq
+      === Seq((1L, 1, "a"), (2L, 2, "B!"), (3L, 2, "c"), (4L, 3, "d"), (9L, 2, "INS2")))
+  }
+
   test("cdc keeps columns that live only in shared entries (r19 advice: stable output schema)") {
     val root = freshRoot()
     val s = spark
