@@ -374,7 +374,7 @@ object Snapshots {
     // every future replay detection (review finding)
     extraMeta.foreach { case (k, x) =>
       require(k.matches("[A-Za-z0-9_-]+") &&
-        !Set("data", "parent", "lb", "batch")(k),
+        !Set("data", "rows", "parent", "lb", "batch")(k),
         s"invalid or reserved extraMeta key: $k")
       require(x.matches("[A-Za-z0-9_.: -]*"),
         s"extraMeta value for $k must stay in the JSON-safe charset")
@@ -416,12 +416,51 @@ object Snapshots {
     (uuid, subs)
   }
 
-  /** Build the marker (manifest entries + parent + folded ledger +
-    * caller meta) and claim `_commits/<parent+1>` atomically. On
-    * conflict deletes the staged dirs and throws. */
+  /** Row count of the parquet files directly under `dir`, read from
+    * the FOOTERS — O(#files) driver metadata reads, zero data I/O.
+    * What a staged entry records into its commit marker. */
+  private def rowCountOf(s: SparkSession, dir: String): Long = {
+    val conf = s.sessionState.newHadoopConf()
+    Fs.dataFiles(s, dir).map { case (name, _) =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(s"$dir/$name"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** entry → row count recorded in version `v`'s marker (empty for
+    * markers written before the `rows` field existed). */
+  private def rowsOf(s: SparkSession, root: String, v: Long): Map[String, Long] = {
+    val meta = metaOf(s, root, v)
+    (metaField(meta, "data"), metaField(meta, "rows")) match {
+      case (Some(d), Some(r)) =>
+        val es = d.split(" "); val ns = r.split(" ")
+        if (ns.length == es.length && ns.forall(_.toLongOption.isDefined))
+          es.zip(ns.map(_.toLong)).toMap
+        else Map.empty
+      case _ => Map.empty
+    }
+  }
+
+  /** Build the marker (manifest entries + per-entry row counts +
+    * parent + folded ledger + caller meta) and claim
+    * `_commits/<parent+1>` atomically. On conflict deletes the staged
+    * dirs and throws.
+    *
+    * PER-ENTRY ROW COUNTS (VERDICT r19 #6): each manifest entry's row
+    * count rides in the marker (`rows`, space-joined, aligned with
+    * `data`): freshly staged entries are counted ONCE from their
+    * parquet footers at commit time (O(staged files) driver metadata
+    * reads — never standing data), inherited entries copy their count
+    * forward from the parent's marker (`knownRows` lets metadata-only
+    * commits like restore carry the source version's counts). A
+    * pre-r20 parent contributes no counts — its inherited entries
+    * record -1 (unknown) rather than a lie. */
   private def claim(s: SparkSession, root: String, expectedParent: Long,
       entries: Seq[String], stagedUuids: Seq[String],
-      extraMeta: Map[String, String], batch: Option[Long] = None): Long = {
+      extraMeta: Map[String, String], batch: Option[Long] = None,
+      knownRows: Map[String, Long] = Map.empty): Long = {
     val v = expectedParent + 1
     // fold the exactly-once ledger forward: lb(v) = max(lb(parent),
     // this commit's own batch id) — one O(1) parent-marker read, and
@@ -431,13 +470,21 @@ object Snapshots {
     val lb = math.max(lastBatchUpTo(s, root, expectedParent),
       batch.getOrElse(-1L))
     val dirs = entries.mkString(" ")
+    val parentRows =
+      if (expectedParent > 0L) rowsOf(s, root, expectedParent) else Map.empty[String, Long]
+    val staged = stagedUuids.toSet
+    val counts = entries.map { e =>
+      if (staged.contains(e.split("/")(0))) rowCountOf(s, s"${dataRoot(root)}/$e")
+      else knownRows.getOrElse(e, parentRows.getOrElse(e, -1L))
+    }
     val batchField = batch.map(b => s""","batch":"$b"""").getOrElse("")
     val extras = extraMeta.map { case (k, x) => s""","$k":"$x"""" }.mkString
     // every field is written QUOTED so [[metaField]] is the single
     // parser of the format; markers from before r20 carry a bare
     // numeric parent — [[parentOf]] keeps the legacy-read fallback
     val meta =
-      s"""{"data":"$dirs","parent":"$expectedParent","lb":"$lb"$batchField$extras}"""
+      s"""{"data":"$dirs","rows":"${counts.mkString(" ")}",""" +
+        s""""parent":"$expectedParent","lb":"$lb"$batchField$extras}"""
     if (!createExclusive(s, s"${commitsDir(root)}/$v", meta)) {
       stagedUuids.foreach(u => Fs.deleteDir(s, s"${dataRoot(root)}/$u"))
       throw new SnapshotConflictException(
@@ -946,23 +993,33 @@ object Snapshots {
     val entries = entriesOf(s, root, v) // throws if v expired
     val parent = latest(s, root).getOrElse(
       throw new NoSuchElementException(s"no committed snapshot under $root"))
-    claim(s, root, parent, entries, Seq.empty, Map.empty)
+    // carry v's recorded row counts — the parent may not reference
+    // these entries, and a metadata-only commit must stay zero-I/O
+    claim(s, root, parent, entries, Seq.empty, Map.empty,
+      knownRows = rowsOf(s, root, v))
   }
 
   /** The commit log as a DataFrame — DESCRIBE HISTORY: one row per
-    * live version with its parent, entry count, folded ledger, and
-    * the batch id it carried (null for non-batch commits). Driver
-    * cost is O(#versions) small marker reads, zero data I/O. */
+    * live version with its parent, entry count, TOTAL ROW COUNT (from
+    * the markers' per-entry counts — null when any entry predates the
+    * `rows` field), folded ledger, and the batch id it carried (null
+    * for non-batch commits). Driver cost is O(#versions) small marker
+    * reads, zero data I/O. */
   def history(s: SparkSession, root: String): DataFrame = {
     import s.implicits._
     versions(s, root).map { v =>
       val meta = metaOf(s, root, v)
+      val entryCounts = rowsOf(s, root, v).values.toSeq
+      val numEntries = metaField(meta, "data").map(_.split(" ").length).getOrElse(0)
       (v,
-        metaField(meta, "data").map(_.split(" ").length).getOrElse(0),
+        numEntries,
+        if (entryCounts.size == numEntries && entryCounts.forall(_ >= 0L))
+          Some(entryCounts.sum)
+        else None,
         parentOf(meta),
         metaField(meta, "lb").map(_.toLong).getOrElse(-1L),
         metaField(meta, "batch").map(_.toLong))
-    }.toDF("version", "num_entries", "parent", "last_batch", "batch")
+    }.toDF("version", "num_entries", "num_rows", "parent", "last_batch", "batch")
   }
 
   /** OPTIMIZE: collapse an append-heavy manifest back to one data dir

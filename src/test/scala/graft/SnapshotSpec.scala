@@ -784,16 +784,18 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSeq
       === Seq((1L, "good")))
     assert(dirCount() === before - 1, "only the bad version's dir is reclaimed")
-    // the audit log: one row per live version, entries/parent/ledger
+    // the audit log: one row per live version, entries/rows/parent/
+    // ledger — the restore carried v1's recorded count metadata-only
     val h = Snapshots.history(spark, root)
-      .as[(Long, Int, Long, Long, Option[Long])].collect().toSeq
-    assert(h === Seq((3L, 1, 2L, -1L, None)),
+      .as[(Long, Int, Option[Long], Long, Long, Option[Long])].collect().toSeq
+    assert(h === Seq((3L, 1, Some(1L), 2L, -1L, None)),
       s"history must describe the surviving restore commit: $h")
     // a batch commit surfaces its id and the folded ledger
     Snapshots.txnAppend(spark, root, Seq((5L, "e")).toDF("k", "v"), batchId = 7L)
     val h2 = Snapshots.history(spark, root)
-      .as[(Long, Int, Long, Long, Option[Long])].collect().toSeq.sortBy(_._1)
-    assert(h2.last === ((4L, 2, 3L, 7L, Some(7L))))
+      .as[(Long, Int, Option[Long], Long, Long, Option[Long])]
+      .collect().toSeq.sortBy(_._1)
+    assert(h2.last === ((4L, 2, Some(2L), 3L, 7L, Some(7L))))
   }
 
   test("compactPartitioned collapses COW sprawl, keeps granularity; plain compact refuses (r19 #2)") {
@@ -955,6 +957,44 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.readAsOf(spark, root, v3).orderBy("k")
       .as[(Long, Int, String)].collect().toSeq
       === Seq((1L, 1, "a"), (2L, 2, "B!"), (3L, 2, "c"), (4L, 3, "d"), (9L, 2, "INS2")))
+  }
+
+  test("commit markers carry per-entry row counts; history reports num_rows (r19 #6)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    def numRows(): Seq[(Long, Option[Long])] =
+      Snapshots.history(spark, root).select(col("version"), col("num_rows"))
+        .as[(Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    // seed: 4 rows across 3 partitions — counted once from footers
+    Snapshots.commitPartitioned(spark, root,
+      Seq((1L, 1, "a"), (2L, 2, "b"), (3L, 2, "c"), (4L, 3, "d"))
+        .toDF("k", "p", "v"), "p", 0L)
+    assert(numRows() === Seq((1L, Some(4L))))
+    // COW replace of partition 2 (2 rows → 3): inherited entries copy
+    // their counts forward, only the staged partition re-counts
+    Snapshots.commitReplace(spark, root,
+      Seq((2L, 2, "B"), (3L, 2, "C"), (9L, 2, "ins")).toDF("k", "p", "v"),
+      "p", 1L)
+    assert(numRows() === Seq((1L, Some(4L)), (2L, Some(5L))))
+    // a metadata-only drop subtracts the dropped entry's count with
+    // zero I/O
+    Snapshots.commitDropPartitions(spark, root, Seq("3"), 2L)
+    assert(numRows().last === ((3L, Some(4L))))
+    // a LEGACY marker (no rows field) must surface null, not a lie —
+    // and commits on top of it record unknown for inherited entries
+    val m3 = java.nio.file.Paths.get(s"$root/_commits/3")
+    val stripped = new String(java.nio.file.Files.readAllBytes(m3), "UTF-8")
+      .replaceFirst(""""rows":"[^"]*",""", "")
+    java.nio.file.Files.write(m3, stripped.getBytes("UTF-8"))
+    assert(numRows().last === ((3L, None)))
+    Snapshots.commitReplace(spark, root,
+      Seq((1L, 1, "A"), (7L, 1, "e")).toDF("k", "p", "v"), "p", 3L)
+    assert(numRows().last === ((4L, None)),
+      "inheriting from a legacy marker must stay honest (unknown)")
+    // a full partitioned rewrite re-counts everything and recovers
+    Snapshots.compactPartitioned(spark, root, "p")
+    assert(numRows().last === ((5L, Some(5L))))
   }
 
   test("cdc keeps columns that live only in shared entries (r19 advice: stable output schema)") {
