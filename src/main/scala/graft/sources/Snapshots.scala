@@ -197,16 +197,49 @@ object Snapshots {
                    expectedParent: Long,
                    extraMeta: Map[String, String] = Map.empty): Long = {
     validateCommit(s, root, expectedParent, extraMeta)
-    appendWith(s, root, df, expectedParent, extraMeta, batch = None)
+    appendWith(s, root, df, expectedParent, extraMeta, batch = None,
+      partCol = None)
+  }
+
+  /** APPEND to a PARTITION-GRANULAR table: the batch is staged one
+    * `__gp=` subdir per touched partition and those subdirs join the
+    * manifest as their own entries, so the table STAYS copy-on-write
+    * capable — a later [[commitReplace]] of a partition drops both
+    * the standing and the appended entries for it (entries match by
+    * subdir name). Plain [[appendCommit]] refuses granular parents
+    * (its whole-dir entry would silently downgrade the manifest, the
+    * same trap plain compact had — r19 #2). */
+  def appendPartitioned(s: SparkSession, root: String, df: DataFrame,
+                        partCol: String, expectedParent: Long,
+                        extraMeta: Map[String, String] = Map.empty): Long = {
+    validateCommit(s, root, expectedParent, extraMeta)
+    appendWith(s, root, df, expectedParent, extraMeta, batch = None,
+      partCol = Some(partCol))
   }
 
   private def appendWith(s: SparkSession, root: String, df: DataFrame,
       expectedParent: Long, extraMeta: Map[String, String],
-      batch: Option[Long]): Long = {
+      batch: Option[Long], partCol: Option[String]): Long = {
     val inherit =
       if (expectedParent == 0L) Seq.empty else entriesOf(s, root, expectedParent)
-    val uuid = stagePlain(s, root, df)
-    claim(s, root, expectedParent, inherit :+ uuid, Seq(uuid), extraMeta, batch)
+    val granular = inherit.exists(_.contains(s"/$PartDir="))
+    require(!granular || partCol.isDefined,
+      s"$root is partition-granular — a plain whole-dir append would " +
+        "downgrade its manifest and break copy-on-write; use " +
+        "appendPartitioned (or txnAppend's partCol) instead")
+    partCol match {
+      case None =>
+        val uuid = stagePlain(s, root, df)
+        claim(s, root, expectedParent, inherit :+ uuid, Seq(uuid), extraMeta,
+          batch)
+      case Some(pc) =>
+        require(inherit.isEmpty || granular,
+          s"$root is a plain (whole-dir) table — appendPartitioned would mix " +
+            "granularities; seed it with commitPartitioned first")
+        val (uuid, subs) = stagePartitioned(s, root, df, pc)
+        claim(s, root, expectedParent, inherit ++ subs.map(n => s"$uuid/$n"),
+          Seq(uuid), extraMeta, batch)
+    }
   }
 
   /** PARTITION-GRANULAR full commit: stage `df` laid out one subdir
@@ -962,7 +995,8 @@ object Snapshots {
     * replay skip. Conflicts (another writer landing between read and
     * claim) re-check the ledger and retry. */
   def txnAppend(s: SparkSession, root: String, df: DataFrame,
-                batchId: Long, maxAttempts: Int = 10): Boolean = {
+                batchId: Long, maxAttempts: Int = 10,
+                partCol: Option[String] = None): Boolean = {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -970,7 +1004,8 @@ object Snapshots {
       if (batchId <= lastBatchUpTo(s, root, parent)) return false
       try {
         validateCommit(s, root, parent, Map.empty)
-        appendWith(s, root, df, parent, Map.empty, batch = Some(batchId))
+        appendWith(s, root, df, parent, Map.empty, batch = Some(batchId),
+          partCol = partCol)
         return true
       } catch { case _: SnapshotConflictException => () }
     }

@@ -997,6 +997,57 @@ class SnapshotSpec extends SparkSpec {
     assert(numRows().last === ((5L, Some(5L))))
   }
 
+  test("appends compose with copy-on-write: appendPartitioned keeps granularity (r20)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    def entries(v: Long): Seq[String] = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/_commits/$v")), "UTF-8")
+      txt.split("\"data\":\"")(1).split("\"")(0).split(" ").toSeq
+    }
+    Snapshots.commitPartitioned(spark, root,
+      Seq((1L, 1, "a"), (2L, 2, "b")).toDF("k", "p", "v"), "p", 0L)
+    // a plain whole-dir append would downgrade the manifest — refused
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.appendCommit(spark, root, Seq((3L, 2, "c")).toDF("k", "p", "v"), 1L)
+    }
+    assert(e.getMessage.contains("appendPartitioned"), e.getMessage)
+    // the granular append stages per-partition entries alongside the
+    // standing ones
+    val v2 = Snapshots.appendPartitioned(spark, root,
+      Seq((3L, 2, "c"), (4L, 3, "d")).toDF("k", "p", "v"), "p", 1L)
+    assert(Snapshots.readAsOf(spark, root, v2).orderBy("k")
+      .as[(Long, Int, String)].collect().toSeq
+      === Seq((1L, 1, "a"), (2L, 2, "b"), (3L, 2, "c"), (4L, 3, "d")))
+    assert(entries(v2).count(_.endsWith("__gp=2")) === 2,
+      "standing and appended entries for the same partition coexist")
+    // and copy-on-write STILL WORKS: replacing p=2 must retire BOTH
+    // of its entries (they match by subdir name) and keep the rest
+    val v3 = Snapshots.commitReplace(spark, root,
+      Seq((9L, 2, "Z")).toDF("k", "p", "v"), "p", v2)
+    assert(Snapshots.readAsOf(spark, root, v3).orderBy("k")
+      .as[(Long, Int, String)].collect().toSeq
+      === Seq((1L, 1, "a"), (4L, 3, "d"), (9L, 2, "Z")))
+    assert(entries(v3).count(_.endsWith("__gp=2")) === 1)
+    // exactly-once streaming ingest into the SAME cow table — the
+    // feature-store loop: txnAppend with partCol, replay detected
+    assert(Snapshots.txnAppend(spark, root,
+      Seq((10L, 1, "s")).toDF("k", "p", "v"), batchId = 0L,
+      partCol = Some("p")))
+    assert(!Snapshots.txnAppend(spark, root,
+      Seq((10L, 1, "s")).toDF("k", "p", "v"), batchId = 0L,
+      partCol = Some("p")), "a replayed batch must be skipped")
+    assert(Snapshots.read(spark, root).count() === 4L)
+    Snapshots.replaceTransform(spark, root, "p") { cur =>
+      cur.filter(col("p") === 1).withColumn("v", lit("up"))
+    }: Unit
+    assert(Snapshots.read(spark, root).orderBy("k")
+      .as[(Long, Int, String)].collect().toSeq
+      === Seq((1L, 1, "up"), (4L, 3, "d"), (9L, 2, "Z"), (10L, 1, "up")),
+      "ingest + copy-on-write must keep composing on one table")
+  }
+
   test("cdc keeps columns that live only in shared entries (r19 advice: stable output schema)") {
     val root = freshRoot()
     val s = spark
