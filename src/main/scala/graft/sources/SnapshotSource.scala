@@ -56,7 +56,10 @@ import org.apache.spark.sql.types.StructType
   * number — trivially durable). `maxVersionsPerTrigger` bounds how
   * many commits one trigger may take, so a genesis start or a
   * long-downtime restart drains the backlog as bounded micro-batches
-  * instead of one table-sized batch (the maxFilesPerTrigger seat).
+  * instead of one table-sized batch (the maxFilesPerTrigger seat);
+  * `maxRowsPerTrigger` bounds batches by VOLUME instead, using the
+  * commit markers' per-entry row counts (zero data I/O, whole
+  * commits only — the maxBytesPerTrigger seat). The caps compose.
   */
 class SnapshotSource extends RelationProvider with StreamSourceProvider
   with DataSourceRegister {
@@ -106,9 +109,12 @@ class SnapshotSource extends RelationProvider with StreamSourceProvider
     val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong)
     maxPerTrigger.foreach(m => require(m >= 1L,
       s"maxVersionsPerTrigger must be >= 1, got $m"))
+    val maxRows = parameters.get("maxRowsPerTrigger").map(_.toLong)
+    maxRows.foreach(m => require(m >= 1L,
+      s"maxRowsPerTrigger must be >= 1, got $m"))
     new SnapshotStreamSource(spark, root, declared,
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
-      maxPerTrigger)
+      maxPerTrigger, maxRows)
   }
 }
 
@@ -174,7 +180,8 @@ object SnapshotSource {
   * FileStreamSource marks its own. */
 class SnapshotStreamSource(spark: SparkSession, root: String,
     declared: StructType, startingVersion: Long,
-    maxVersionsPerTrigger: Option[Long]) extends Source {
+    maxVersionsPerTrigger: Option[Long],
+    maxRowsPerTrigger: Option[Long] = None) extends Source {
 
   override def schema: StructType = declared
 
@@ -199,8 +206,15 @@ class SnapshotStreamSource(spark: SparkSession, root: String,
   override def getOffset: Option[V1Offset] = {
     val base = deliveredV
     Snapshots.latest(spark, root).filter(_ > base).map { latest =>
-      LongOffset(maxVersionsPerTrigger
-        .map(m => math.min(latest, base + m)).getOrElse(latest))
+      val byVersions = maxVersionsPerTrigger
+        .map(m => math.min(latest, base + m)).getOrElse(latest)
+      // the row cap composes on top of the version cap: the markers'
+      // per-entry row counts (r20) bound the batch by VOLUME with
+      // zero data I/O — always at least one whole commit
+      val target = maxRowsPerTrigger
+        .map(mr => Snapshots.versionCapByRows(spark, root, base, byVersions, mr))
+        .getOrElse(byVersions)
+      LongOffset(target)
     }
   }
 

@@ -982,6 +982,32 @@ object Snapshots {
     toEntries.filterNot(fromEntries.toSet).map(u => s"${dataRoot(root)}/$u")
   }
 
+  /** Row-based rate limiting for the streaming tail: the highest
+    * version in `(from, to]` such that the cumulative row count the
+    * commits ADD stays under `maxRows` — ALWAYS at least one version
+    * (a single commit cannot be split, the maxFilesPerTrigger rule).
+    * Row counts come from the markers' per-entry `rows` field (r20),
+    * so the walk is O(backlog) small marker reads, ZERO data I/O; a
+    * version whose added entries predate the field (unknown count)
+    * conservatively closes its batch. */
+  def versionCapByRows(s: SparkSession, root: String, from: Long,
+                       to: Long, maxRows: Long): Long = {
+    require(maxRows >= 1L, s"maxRows must be >= 1, got $maxRows")
+    var prev = (if (from <= 0L) Seq.empty else entriesOf(s, root, from)).toSet
+    var v = from
+    var rows = 0L
+    while (v < to && rows < maxRows) {
+      val nv = v + 1
+      val es = entriesOf(s, root, nv)
+      val counts = rowsOf(s, root, nv)
+      val added = es.filterNot(prev).map(e => counts.getOrElse(e, -1L))
+      rows += (if (added.exists(_ < 0L)) maxRows else added.sum)
+      prev = es.toSet
+      v = nv
+    }
+    v
+  }
+
   /** Exactly-once transactional append for a streaming sink: commit
     * the micro-batch ONLY IF its `batchId` is beyond the last one the
     * table recorded — a replayed batch (foreachBatch re-delivery

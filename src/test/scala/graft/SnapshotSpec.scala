@@ -514,6 +514,32 @@ class SnapshotSpec extends SparkSpec {
       s"max=1 must yield one micro-batch per commit, in order: $got")
   }
 
+  test("maxRowsPerTrigger bounds batches by marker row counts, whole commits only (r20)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    // 2 + 1 + 3 + 1 rows over four commits; cap at 3 rows per trigger
+    Snapshots.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 0L)
+    Snapshots.appendCommit(spark, root, Seq((3L, "c")).toDF("k", "v"), 1L)
+    Snapshots.appendCommit(spark, root,
+      Seq((4L, "d"), (5L, "e"), (6L, "f")).toDF("k", "v"), 2L)
+    Snapshots.appendCommit(spark, root, Seq((7L, "g")).toDF("k", "v"), 3L)
+    val batches = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("maxRowsPerTrigger", "3").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, b.count()): Unit
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toSeq.sortBy(_._1).map(_._2)
+    // v1 (2) + v2 (1) reach the 3-row cap together; v3 (3) alone
+    // reaches it; v4 (1) drains — whole commits, never split
+    assert(got === Seq(3L, 3L, 1L),
+      s"row-capped batches must cut at whole-commit boundaries: $got")
+  }
+
   test("maxVersionsPerTrigger caps from the checkpointed offset after a restart, no replay") {
     val root = freshRoot()
     val ckpt = Files.createTempDirectory("graft_snap_rl_ckpt_").toString
