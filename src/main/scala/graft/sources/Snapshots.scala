@@ -62,11 +62,13 @@ import graft.Fs
   *
   * At 100 TB nothing here touches data size: a commit is one
   * `listStatus` of `_commits` (O(#versions) names, bounded by
-  * [[expire]]) plus ONE extra marker read (the parent's, for the
-  * ledger fold) plus one small file creation; the data write itself
-  * is the same distributed parquet job any sink runs — and with
-  * [[commitReplace]] a transactional UPDATE stages only the AFFECTED
-  * partitions' bytes, never the table.
+  * [[expire]]), O(1) extra small reads of the parent's marker (the
+  * ledger fold + the row-count carry-forward), O(staged files)
+  * parquet FOOTER reads for the per-entry row counts (metadata only,
+  * never standing data), and one small file creation; the data write
+  * itself is the same distributed parquet job any sink runs — and
+  * with [[commitReplace]] a transactional UPDATE stages only the
+  * AFFECTED partitions' bytes, never the table.
   */
 object Snapshots {
 
@@ -993,7 +995,21 @@ object Snapshots {
   def versionCapByRows(s: SparkSession, root: String, from: Long,
                        to: Long, maxRows: Long): Long = {
     require(maxRows >= 1L, s"maxRows must be >= 1, got $maxRows")
-    var prev = (if (from <= 0L) Seq.empty else entriesOf(s, root, from)).toSet
+    val fromEntries =
+      if (from <= 0L) Seq.empty[String]
+      else
+        try entriesOf(s, root, from)
+        catch {
+          case e: NoSuchElementException =>
+            // same contract as addedDirsBetween: name the retention
+            // problem, not a bare missing-version error
+            throw new IllegalStateException(
+              s"version $from (a stream's checkpointed offset) has been " +
+                s"expired from $root — keep the retention window (expire " +
+                "keepLast) longer than consumer downtime, or restart the " +
+                "stream from a fresh checkpoint to re-read the snapshot", e)
+        }
+    var prev = fromEntries.toSet
     var v = from
     var rows = 0L
     while (v < to && rows < maxRows) {
