@@ -206,8 +206,11 @@ class SnapshotStreamSource(spark: SparkSession, root: String,
   override def getOffset: Option[V1Offset] = {
     val base = deliveredV
     Snapshots.latest(spark, root).filter(_ > base).map { latest =>
+      // subtraction, not addition: base + m overflows Long for the
+      // conventional "effectively unlimited" Long.MaxValue cap
       val byVersions = maxVersionsPerTrigger
-        .map(m => math.min(latest, base + m)).getOrElse(latest)
+        .map(m => if (latest - base > m) base + m else latest)
+        .getOrElse(latest)
       // the row cap composes on top of the version cap: the markers'
       // per-entry row counts (r20) bound the batch by VOLUME with
       // zero data I/O — always at least one whole commit

@@ -239,6 +239,18 @@ object Snapshots {
           s"$root is a plain (whole-dir) table — appendPartitioned would mix " +
             "granularities; seed it with commitPartitioned first")
         val (uuid, subs) = stagePartitioned(s, root, df, pc)
+        if (subs.isEmpty && inherit.isEmpty) {
+          // an empty first batch at genesis would claim an EMPTY
+          // manifest, which readers resolve to the raw data/ root
+          // (the commitPartitioned guard, review finding) — reject;
+          // a streaming sink's first batch into a fresh partitioned
+          // table must carry rows
+          Fs.deleteDir(s, s"${dataRoot(root)}/$uuid")
+          throw new IllegalArgumentException(
+            "partitioned append of an empty DataFrame into an empty table — " +
+              "an empty manifest is not representable; seed the table with " +
+              "a non-empty commitPartitioned first")
+        }
         claim(s, root, expectedParent, inherit ++ subs.map(n => s"$uuid/$n"),
           Seq(uuid), extraMeta, batch)
     }
@@ -464,10 +476,9 @@ object Snapshots {
     }.sum
   }
 
-  /** entry → row count recorded in version `v`'s marker (empty for
+  /** entry → row count out of an already-read marker (empty for
     * markers written before the `rows` field existed). */
-  private def rowsOf(s: SparkSession, root: String, v: Long): Map[String, Long] = {
-    val meta = metaOf(s, root, v)
+  private def rowsOfMeta(meta: String): Map[String, Long] =
     (metaField(meta, "data"), metaField(meta, "rows")) match {
       case (Some(d), Some(r)) =>
         val es = d.split(" "); val ns = r.split(" ")
@@ -476,7 +487,10 @@ object Snapshots {
         else Map.empty
       case _ => Map.empty
     }
-  }
+
+  /** entry → row count recorded in version `v`'s marker. */
+  private def rowsOf(s: SparkSession, root: String, v: Long): Map[String, Long] =
+    rowsOfMeta(metaOf(s, root, v))
 
   /** Build the marker (manifest entries + per-entry row counts +
     * parent + folded ledger + caller meta) and claim
@@ -497,16 +511,27 @@ object Snapshots {
       extraMeta: Map[String, String], batch: Option[Long] = None,
       knownRows: Map[String, Long] = Map.empty): Long = {
     val v = expectedParent + 1
+    // ONE parent-marker read feeds both the ledger fold and the
+    // row-count carry-forward (review: don't read the same small
+    // remote file twice per commit)
+    val parentMeta =
+      if (expectedParent > 0L) Some(metaOf(s, root, expectedParent)) else None
     // fold the exactly-once ledger forward: lb(v) = max(lb(parent),
-    // this commit's own batch id) — one O(1) parent-marker read, and
-    // the newest marker ALWAYS carries the full ledger, so expire can
-    // never lose it (r18 advice) and txnAppend never walks. The batch
-    // id is an INTERNAL parameter (txnAppend), never caller meta.
-    val lb = math.max(lastBatchUpTo(s, root, expectedParent),
-      batch.getOrElse(-1L))
+    // this commit's own batch id) — the newest marker ALWAYS carries
+    // the full ledger, so expire can never lose it (r18 advice) and
+    // txnAppend never walks (the legacy walk below only runs for
+    // markers written before the lb field existed). The batch id is
+    // an INTERNAL parameter (txnAppend), never caller meta.
+    val parentLb = parentMeta.map { m =>
+      metaField(m, "lb").map(_.toLong).getOrElse(
+        versions(s, root).filter(_ <= expectedParent).reverseIterator
+          .map(x => commitMeta(s, root, x, "batch"))
+          .collectFirst { case Some(b) => b.toLong }
+          .getOrElse(-1L))
+    }.getOrElse(-1L)
+    val lb = math.max(parentLb, batch.getOrElse(-1L))
     val dirs = entries.mkString(" ")
-    val parentRows =
-      if (expectedParent > 0L) rowsOf(s, root, expectedParent) else Map.empty[String, Long]
+    val parentRows = parentMeta.map(rowsOfMeta).getOrElse(Map.empty[String, Long])
     val staged = stagedUuids.toSet
     val counts = entries.map { e =>
       if (staged.contains(e.split("/")(0))) rowCountOf(s, s"${dataRoot(root)}/$e")
@@ -577,9 +602,13 @@ object Snapshots {
         .map(_.takeWhile(c => c.isDigit || c == '-')).map(_.toLong)
         .getOrElse(-1L))
 
+  /** Manifest entries out of an already-read marker. */
+  private def entriesOfMeta(meta: String): Seq[String] =
+    metaField(meta, "data").get.split(" ").toSeq
+
   /** Manifest entries of `v`, relative to `data/`. */
   private def entriesOf(s: SparkSession, root: String, v: Long): Seq[String] =
-    metaField(metaOf(s, root, v), "data").get.split(" ").toSeq
+    entriesOfMeta(metaOf(s, root, v))
 
   private def dataDirsOf(s: SparkSession, root: String, v: Long): Seq[String] =
     entriesOf(s, root, v).map(u => s"${dataRoot(root)}/$u")
@@ -715,13 +744,25 @@ object Snapshots {
     val touchedDf = source.select(col(partCol)).distinct()
     val touched = touchedDf.limit(partGate + 1).collect().map(_.get(0))
     replaceTransform(s, root, partCol, maxAttempts) { cur =>
+      // membership must be NULL-SAFE (review finding): the stager
+      // seats null partition values under the default-partition dir,
+      // and commitReplace retires the standing null entry by subdir
+      // name — so a null-partition source row must pull the standing
+      // null-partition rows into `affected`, or they are silently lost
       val affected =
-        if (touched.length <= partGate)
+        if (touched.length <= partGate) {
           // IN-list on the partition column: reaches the parquet
           // row-group stats of the snapshot scan
-          cur.filter(col(partCol).isInCollection(touched.toSeq))
-        else // beyond the gate: distributed membership, no driver list
-          cur.join(broadcast(touchedDf), Seq(partCol), "left_semi")
+          val nonNull = touched.filter(_ != null).toSeq
+          val inList =
+            if (nonNull.nonEmpty) col(partCol).isInCollection(nonNull)
+            else org.apache.spark.sql.functions.lit(false)
+          cur.filter(
+            if (touched.contains(null)) inList || col(partCol).isNull
+            else inList)
+        } else // beyond the gate: distributed membership, no driver list
+          cur.join(broadcast(touchedDf.withColumnRenamed(partCol, "__gm_p")),
+            col(partCol) <=> col("__gm_p"), "left_semi")
       affected.join(source, keys, "left_anti")
         .unionByName(source.select(cur.columns.map(col).toSeq: _*))
     }
@@ -778,23 +819,30 @@ object Snapshots {
       .foreach(st => f.delete(st.getPath, false))
     val vs = versions(s, root)
     if (vs.isEmpty) return Seq.empty
-    val cutoff = vs.last - keepLast + 1
-    val (dead, live) = vs.partition(_ < cutoff)
+    def readable(v: Long): Boolean =
+      Fs.len(s, s"${commitsDir(root)}/$v") > 0L
+    // the retention window is computed over READABLE versions only
+    // (review finding): an in-grace zero-length claim at the top of
+    // the log must not push the last READABLE version below the
+    // cutoff — at keepLast=1 that would retire the only resolvable
+    // state, and a later dead-claim reclaim would leave the table
+    // with nothing. Unreadable markers are never retired by this
+    // loop; the aged zero-length reclaim above is their only exit.
+    // (An in-flight claim also contributes nothing to liveness: its
+    // inherited entries come from a readable parent — a successor can
+    // only be claimed after its parent's content resolved — and its
+    // freshly staged dirs sit inside the orphan grace window.)
+    val readableVs = vs.filter(readable)
+    if (readableVs.isEmpty) return Seq.empty
+    val cutoff = readableVs.last - keepLast + 1
+    val (dead, live) = readableVs.partition(_ < cutoff)
     // an entry stays alive while ANY surviving manifest references it
     // — append/replace commits share their parents' entries, so
     // liveness is manifest-union, not per-version (the same
-    // refcount-by-manifest rule public formats' VACUUM applies).
-    // An IN-GRACE zero-length marker (a commit claim whose content is
-    // still in flight) contributes nothing here — its inherited
-    // entries come from a live readable parent, and its freshly
-    // staged dirs are inside the orphan grace window by mtime — so
-    // skip it instead of stalling the sweep on the content retry.
-    def readable(v: Long): Boolean =
-      Fs.len(s, s"${commitsDir(root)}/$v") > 0L
-    val liveDirs =
-      live.filter(readable).flatMap(v => dataDirsOf(s, root, v)).toSet
+    // refcount-by-manifest rule public formats' VACUUM applies)
+    val liveDirs = live.flatMap(v => dataDirsOf(s, root, v)).toSet
     dead.foreach { v =>
-      val entries = if (readable(v)) entriesOf(s, root, v) else Seq.empty
+      val entries = entriesOf(s, root, v)
       Fs.deleteDir(s, s"${commitsDir(root)}/$v")
       val unref = entries.filterNot(u => liveDirs.contains(s"${dataRoot(root)}/$u"))
       if (orphanGraceMs <= 0L)
@@ -865,6 +913,13 @@ object Snapshots {
       if (dirs.nonEmpty) Some(readDirs(s, dirs.map(u => s"${dataRoot(root)}/$u")))
       else None
     val (aRead, bRead) = (sideRead(aOnly), sideRead(bOnly))
+    if (aRead.isEmpty && bRead.isEmpty) {
+      // identical manifests → no changes by construction; run the
+      // pipeline over one empty slice of the snapshot (rare path, one
+      // schema resolution) so the output schema matches the usual one
+      val empty = readAsOf(s, root, toV).limit(0)
+      return cdcFrames(empty, empty, keys)
+    }
     // the OUTPUT schema must stay stable across batches (r19 advice):
     // the pruned reads alone would drop a column that lives solely in
     // SHARED (unchanged) entries, so a consumer selecting it by name
@@ -875,13 +930,6 @@ object Snapshots {
     // dropped between the versions (present only in fromV's removed
     // entries) trails.
     val fullSchema = readAsOf(s, root, toV).schema
-    if (aRead.isEmpty && bRead.isEmpty) {
-      // identical manifests → no changes by construction; run the
-      // pipeline over one empty slice of the snapshot (rare path, one
-      // schema resolution) so the output schema matches the usual one
-      val empty = readAsOf(s, root, toV).limit(0)
-      return cdcFrames(empty, empty, keys)
-    }
     val aSchema = aRead.map(_.schema).getOrElse(bRead.get.schema)
     val bSchema = bRead.map(_.schema).getOrElse(aRead.get.schema)
     val unionFields = (fullSchema.fields ++ aSchema.fields ++ bSchema.fields)
@@ -889,8 +937,13 @@ object Snapshots {
         (acc, f) => if (acc.exists(_.name == f.name)) acc else acc :+ f
       }
     val allCols = unionFields.map(_.name)
-    keys.foreach(k => require(allCols.contains(k),
-      s"cdc key $k must exist in the snapshots' schema"))
+    // keys stay STRICT against the pruned sides (review: the union
+    // schema alone would let an all-null key side cross-join every
+    // row null-safely instead of failing fast) — a side with no
+    // changed entries borrows the other's schema, as before
+    keys.foreach(k => require(
+      aSchema.fieldNames.contains(k) && bSchema.fieldNames.contains(k),
+      s"cdc key $k must exist in both snapshots' changed entries"))
     def aligned(read: Option[DataFrame],
         ownSchema: org.apache.spark.sql.types.StructType): DataFrame = {
       val base = read.getOrElse(s.createDataFrame(
@@ -956,22 +1009,7 @@ object Snapshots {
     * append-only contract. */
   def addedDirsBetween(s: SparkSession, root: String, fromV: Long,
                        toV: Long): Seq[String] = {
-    val fromEntries =
-      if (fromV <= 0L) Seq.empty[String]
-      else
-        try entriesOf(s, root, fromV)
-        catch {
-          case e: NoSuchElementException =>
-            // the consumer's checkpointed version was expired while it
-            // was down — name the REAL problem (retention shorter than
-            // consumer downtime) instead of a bare missing-version
-            // error on every trigger (review finding)
-            throw new IllegalStateException(
-              s"version $fromV (a stream's checkpointed offset) has been " +
-                s"expired from $root — keep the retention window (expire " +
-                "keepLast) longer than consumer downtime, or restart the " +
-                "stream from a fresh checkpoint to re-read the snapshot", e)
-        }
+    val fromEntries = checkpointEntries(s, root, fromV)
     val toEntries = entriesOf(s, root, toV)
     val rewritten = fromEntries.filterNot(toEntries.toSet)
     if (rewritten.nonEmpty)
@@ -992,30 +1030,39 @@ object Snapshots {
     * so the walk is O(backlog) small marker reads, ZERO data I/O; a
     * version whose added entries predate the field (unknown count)
     * conservatively closes its batch. */
+  /** Entries of a stream's checkpointed version (`from <= 0` =
+    * genesis, no entries), turning an expired offset into the named
+    * retention error instead of a bare missing-version crash — shared
+    * by [[addedDirsBetween]] and [[versionCapByRows]]. */
+  private def checkpointEntries(s: SparkSession, root: String,
+                                from: Long): Seq[String] =
+    if (from <= 0L) Seq.empty[String]
+    else
+      try entriesOf(s, root, from)
+      catch {
+        case e: NoSuchElementException =>
+          // the consumer's checkpointed version was expired while it
+          // was down — name the REAL problem (retention shorter than
+          // consumer downtime) instead of a bare missing-version
+          // error on every trigger (review finding)
+          throw new IllegalStateException(
+            s"version $from (a stream's checkpointed offset) has been " +
+              s"expired from $root — keep the retention window (expire " +
+              "keepLast) longer than consumer downtime, or restart the " +
+              "stream from a fresh checkpoint to re-read the snapshot", e)
+      }
+
   def versionCapByRows(s: SparkSession, root: String, from: Long,
                        to: Long, maxRows: Long): Long = {
     require(maxRows >= 1L, s"maxRows must be >= 1, got $maxRows")
-    val fromEntries =
-      if (from <= 0L) Seq.empty[String]
-      else
-        try entriesOf(s, root, from)
-        catch {
-          case e: NoSuchElementException =>
-            // same contract as addedDirsBetween: name the retention
-            // problem, not a bare missing-version error
-            throw new IllegalStateException(
-              s"version $from (a stream's checkpointed offset) has been " +
-                s"expired from $root — keep the retention window (expire " +
-                "keepLast) longer than consumer downtime, or restart the " +
-                "stream from a fresh checkpoint to re-read the snapshot", e)
-        }
-    var prev = fromEntries.toSet
+    var prev = checkpointEntries(s, root, from).toSet
     var v = from
     var rows = 0L
     while (v < to && rows < maxRows) {
       val nv = v + 1
-      val es = entriesOf(s, root, nv)
-      val counts = rowsOf(s, root, nv)
+      val meta = metaOf(s, root, nv) // one read: entries AND counts
+      val es = entriesOfMeta(meta)
+      val counts = rowsOfMeta(meta)
       val added = es.filterNot(prev).map(e => counts.getOrElse(e, -1L))
       rows += (if (added.exists(_ < 0L)) maxRows else added.sum)
       prev = es.toSet
@@ -1086,7 +1133,7 @@ object Snapshots {
     import s.implicits._
     versions(s, root).map { v =>
       val meta = metaOf(s, root, v)
-      val entryCounts = rowsOf(s, root, v).values.toSeq
+      val entryCounts = rowsOfMeta(meta).values.toSeq
       val numEntries = metaField(meta, "data").map(_.split(" ").length).getOrElse(0)
       (v,
         numEntries,
@@ -1111,16 +1158,24 @@ object Snapshots {
     * its copy-on-write UPDATE path (the next [[replaceTransform]]
     * fails with a confusing seed error) — use [[compactPartitioned]],
     * which preserves the granularity. */
-  def compact(s: SparkSession, root: String): Long = {
-    latest(s, root).foreach { v =>
-      require(!entriesOf(s, root, v).exists(_.contains(s"/$PartDir=")),
+  def compact(s: SparkSession, root: String, maxAttempts: Int = 10): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val parent = latest(s, root).getOrElse(throw new NoSuchElementException(
+        s"nothing to compact under $root"))
+      // re-checked against each attempt's parent (review finding): a
+      // concurrent commitPartitioned landing mid-retry must flip this
+      // refusal, not get silently downgraded by the conflict retry
+      require(!entriesOf(s, root, parent).exists(_.contains(s"/$PartDir=")),
         s"$root is partition-granular — plain compact would downgrade it " +
           "and break copy-on-write; use compactPartitioned")
+      try return commit(s, root, readAsOf(s, root, parent), parent)
+      catch {
+        case e: SnapshotConflictException => if (attempt >= maxAttempts) throw e
+      }
     }
-    commitTransform(s, root) { cur =>
-      cur.getOrElse(throw new NoSuchElementException(
-        s"nothing to compact under $root"))
-    }
+    -1L // unreachable
   }
 
   /** OPTIMIZE for a PARTITION-GRANULAR table (VERDICT r19 #2): rewrite

@@ -933,10 +933,17 @@ class SnapshotSpec extends SparkSpec {
     assert(java.nio.file.Files.getFileStore(marker) != null) // exists
     intercept[IllegalStateException] { Snapshots.read(spark, root) }
     // a FRESH empty marker is an in-flight commit — expire must NOT
-    // touch it (grace window)
-    Snapshots.expire(spark, root, keepLast = 5, orphanGraceMs = 60000L)
+    // touch it (grace window), and at keepLast=1 the retention window
+    // must be computed over READABLE versions only: retiring v1
+    // because the unreadable v2 sits above it would destroy the only
+    // resolvable state (review finding)
+    Snapshots.expire(spark, root, keepLast = 1, orphanGraceMs = 60000L)
     assert(java.nio.file.Files.exists(marker),
       "an in-grace claim must never be reclaimed")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/_commits/1")),
+      "the last READABLE version must never fall below the cutoff " +
+        "because of an unreadable claim above it")
     // age it past the window: now provably dead — reclaimed, and the
     // table answers again without manual surgery
     marker.toFile.setLastModified(System.currentTimeMillis() - 120000L): Unit
@@ -1072,6 +1079,54 @@ class SnapshotSpec extends SparkSpec {
       .as[(Long, Int, String)].collect().toSeq
       === Seq((1L, 1, "up"), (4L, 3, "d"), (9L, 2, "Z"), (10L, 1, "up")),
       "ingest + copy-on-write must keep composing on one table")
+  }
+
+  test("review hardening r20: empty genesis partitioned append; merge null partition; unlimited cap") {
+    val s = spark
+    import s.implicits._
+    // an empty FIRST partitioned batch must not claim an empty
+    // manifest (which readers would resolve to the raw data/ root)
+    val root = freshRoot()
+    intercept[IllegalArgumentException] {
+      Snapshots.appendPartitioned(spark, root,
+        Seq.empty[(Long, Int, String)].toDF("k", "p", "v"), "p", 0L)
+    }
+    assert(Snapshots.versions(spark, root).isEmpty)
+    // ...but an empty LATER batch is a harmless no-op append
+    Snapshots.commitPartitioned(spark, root,
+      Seq((1L, 1, "a")).toDF("k", "p", "v"), "p", 0L)
+    Snapshots.appendPartitioned(spark, root,
+      Seq.empty[(Long, Int, String)].toDF("k", "p", "v"), "p", 1L)
+    assert(Snapshots.read(spark, root).count() === 1L)
+    // merge with a null-partition source row must pull the STANDING
+    // null-partition rows into the rewrite (null-safe membership),
+    // not silently drop them
+    val root2 = freshRoot()
+    Snapshots.commitPartitioned(spark, root2,
+      Seq[(Long, Option[Int], String)]((1L, Some(1), "a"), (2L, None, "b"),
+        (3L, None, "c")).toDF("k", "p", "v"), "p", 0L)
+    Snapshots.mergeTransform(spark, root2, "p",
+      Seq[(Long, Option[Int], String)]((2L, None, "B!"), (9L, None, "ins"))
+        .toDF("k", "p", "v"),
+      Seq("k")): Unit
+    assert(Snapshots.read(spark, root2).orderBy("k")
+      .as[(Long, Option[Int], String)].collect().toSeq
+      === Seq((1L, Some(1), "a"), (2L, None, "B!"), (3L, None, "c"),
+        (9L, None, "ins")),
+      "standing null-partition rows must survive a null-partition merge")
+    // the conventional 'unlimited' Long.MaxValue cap must not
+    // overflow into a negative offset
+    val root3 = freshRoot()
+    Snapshots.commit(spark, root3, Seq((1L, "a")).toDF("k", "v"), 0L)
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", root3)
+      .option("maxVersionsPerTrigger", Long.MaxValue.toString).load()
+      .writeStream.format("memory").queryName("g_cap_max")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("g_cap_max").count() === 1L)
+    } finally q.stop()
   }
 
   test("cdc keeps columns that live only in shared entries (r19 advice: stable output schema)") {
