@@ -983,6 +983,15 @@ class SnapshotSpec extends SparkSpec {
       s"untouched partitions must keep v1's exact entries: $e1 vs $e2")
     assert(e2.find(_.endsWith("__gp=2")).get !== e1.find(_.endsWith("__gp=2")).get,
       "the touched partition must be a freshly staged entry")
+    // the touched-partition filter must reach the snapshot scan as a
+    // pushed In(...) — at 100 TB the rewrite's read side skips
+    // untouched partitions' row groups from the stats alone
+    val scanPlan = Snapshots.read(spark, root)
+      .filter(col("p").isInCollection(Seq(2)))
+      .queryExecution.executedPlan.toString
+    assert(scanPlan.contains("EqualTo(p,2)") || scanPlan.contains("In(p, [2"),
+      s"the membership predicate must reach PushedFilters (Catalyst " +
+        s"rewrites a 1-element IN to EqualTo):\n$scanPlan")
     // the past-the-gate fallback (distributed semi-join membership)
     // must produce the identical state
     val v3 = Snapshots.mergeTransform(spark, root, "p",
