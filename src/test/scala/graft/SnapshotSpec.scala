@@ -645,7 +645,7 @@ class SnapshotSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.snapshot.atomicCreateSchemes")
   }
 
-  test("protocol model test: random replace/drop/compact/expire keep reads, time travel, and cdc consistent") {
+  test("protocol model test: random replace/drop/compact/expire/restore/append/merge keep reads, time travel, and cdc consistent") {
     val root = freshRoot()
     val s = spark
     import s.implicits._
@@ -663,8 +663,8 @@ class SnapshotSpec extends SparkSpec {
     model = (0 until 8).map(_ => freshKey() -> (rnd.nextInt(3), rnd.nextLong(100))).toMap
     var version = Snapshots.commitPartitioned(spark, root, df(model), "p", 0L)
     var history = Map(version -> model)
-    (1 to 16).foreach { _ =>
-      rnd.nextInt(6) match {
+    (1 to 24).foreach { _ =>
+      rnd.nextInt(8) match {
         case 0 | 1 => // COW rewrite of one partition: bump, drop one key, add one
           val p = rnd.nextInt(4) // may be a partition with no standing rows
           val cur = model.filter(_._2._1 == p)
@@ -698,6 +698,23 @@ class SnapshotSpec extends SparkSpec {
           val tv = targets(rnd.nextInt(targets.size))
           version = Snapshots.restore(spark, root, tv)
           model = history(tv)
+        case 6 => // granularity-preserving append (r20): new keys only
+          val added = (0 until 1 + rnd.nextInt(3))
+            .map(_ => freshKey() -> (rnd.nextInt(4), rnd.nextLong(100))).toMap
+          version = Snapshots.appendPartitioned(spark, root, df(added), "p",
+            version)
+          model = model ++ added
+        case 7 => // partition-scoped MERGE (r20): update one standing
+          // key in place (partition stable) + insert one fresh key
+          val upd = if (model.nonEmpty) {
+            val (k, (p, v)) = model.toSeq.minBy(_._1)
+            Map(k -> (p, v + 1000))
+          } else Map.empty[Long, (Int, Long)]
+          val ins = Map(freshKey() -> (rnd.nextInt(4), rnd.nextLong(100)))
+          val source = upd ++ ins
+          version = Snapshots.mergeTransform(spark, root, "p", df(source),
+            Seq("k"))
+          model = model ++ source
       }
       history += version -> model
       assert(readBack() === model, s"latest read must equal the model at v$version")
