@@ -59,6 +59,22 @@ import graft.Fs
   *     batch-carrying commit (compact + aggressive expire) can never
   *     lose the ledger (r18 advice: Delta keeps txn appId/version in
   *     checkpoint state for the same reason).
+  *   - **The ACID verbs are all first-class** (r19 verdict): full
+  *     rewrite ([[commitTransform]]), partition-scoped UPDATE/DELETE
+  *     ([[replaceTransform]]/[[commitReplace]]), DROP PARTITION
+  *     ([[commitDropPartitions]]), APPEND ([[appendCommit]] /
+  *     [[appendPartitioned]] / [[txnAppend]]), MERGE
+  *     ([[mergeTransform]] — keyed upsert staging only the touched
+  *     partitions), OPTIMIZE ([[compact]]/[[compactPartitioned]] —
+  *     granularity-honest), RESTORE and DESCRIBE HISTORY — and they
+  *     COMPOSE: appends keep a copy-on-write table replaceable,
+  *     compaction preserves granularity, restore survives a
+  *     concurrent expire (dead dirs get the orphan grace window).
+  *   - **Markers carry per-entry row counts** (r20): staged entries
+  *     are footer-counted once at commit, inherited entries copy
+  *     forward — `history` reports sizes and the streaming source
+  *     rate-limits by volume ([[versionCapByRows]]) with zero data
+  *     I/O.
   *
   * At 100 TB nothing here touches data size: a commit is one
   * `listStatus` of `_commits` (O(#versions) names, bounded by
