@@ -1155,6 +1155,39 @@ class SnapshotSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("add-column evolution composes with partitioned appends and copy-on-write (r20)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commitPartitioned(spark, root,
+      Seq((1L, 1, "a"), (2L, 2, "b")).toDF("k", "p", "v"), "p", 0L)
+    // a WIDER granular append: old rows must surface the new column
+    // as null (the mergeSchema evolution semantics, now through the
+    // per-partition staging path)
+    Snapshots.appendPartitioned(spark, root,
+      Seq((3L, 2, "c", 30L)).toDF("k", "p", "v", "w"), "p", 1L)
+    assert(Snapshots.read(spark, root).orderBy("k")
+      .as[(Long, Int, String, Option[Long])].collect().toSeq
+      === Seq((1L, 1, "a", None), (2L, 2, "b", None), (3L, 2, "c", Some(30L))))
+    // a COW replace THROUGH the evolution boundary: the transform
+    // sees the union schema, rewrites one partition carrying the new
+    // column, untouched partitions keep their narrow files
+    Snapshots.replaceTransform(spark, root, "p") { cur =>
+      cur.filter(col("p") === 2)
+        .withColumn("w", coalesce(col("w"), lit(-1L)))
+    }: Unit
+    assert(Snapshots.read(spark, root).orderBy("k")
+      .as[(Long, Int, String, Option[Long])].collect().toSeq
+      === Seq((1L, 1, "a", None), (2L, 2, "b", Some(-1L)),
+        (3L, 2, "c", Some(30L))),
+      "a replace through an add-column boundary must keep old narrow " +
+        "partitions readable (null-filled) alongside the widened one")
+    // and cdc across the whole history classifies, never throws
+    val changes = Snapshots.cdc(spark, root, 1L, 3L, Seq("k"))
+      .select(col("change_type"), col("k")).as[(String, Long)].collect().toSet
+    assert(changes === Set(("insert", 3L), ("update", 2L)))
+  }
+
   test("cdc keeps columns that live only in shared entries (r19 advice: stable output schema)") {
     val root = freshRoot()
     val s = spark
