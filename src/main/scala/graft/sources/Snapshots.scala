@@ -91,6 +91,10 @@ object Snapshots {
   final class SnapshotConflictException(msg: String)
     extends RuntimeException(msg)
 
+  /** [[appendWith]] sentinel: an empty STREAMING batch at genesis was
+    * skipped — nothing committed, nothing to commit, replay-safe. */
+  private val EmptyGenesisNoop = -1L
+
   private def commitsDir(root: String) = s"$root/_commits"
   private def dataRoot(root: String) = s"$root/data"
 
@@ -245,30 +249,44 @@ object Snapshots {
       s"$root is partition-granular — a plain whole-dir append would " +
         "downgrade its manifest and break copy-on-write; use " +
         "appendPartitioned (or txnAppend's partCol) instead")
+    // an empty FIRST batch at genesis cannot commit: the partitioned
+    // form would claim an EMPTY manifest (which readers resolve to
+    // the raw data/ root — the commitPartitioned guard) and the plain
+    // form a 0-row snapshot the format deliberately keeps out of its
+    // domain (every other genesis path rejects it too). For a
+    // STREAMING append (batch defined) that is a harmless no-op, not
+    // an error — a sink's first executed micro-batch can carry zero
+    // rows, and crashing would loop forever on checkpoint replay
+    // (review finding); replaying the skipped empty batch re-skips.
+    def emptyAtGenesis(uuid: String): Long = {
+      Fs.deleteDir(s, s"${dataRoot(root)}/$uuid")
+      if (batch.isDefined) EmptyGenesisNoop
+      else throw new IllegalArgumentException(
+        "append of an empty DataFrame into an empty table — an empty " +
+          "snapshot is not representable; seed the table with a non-empty " +
+          "commit first")
+    }
     partCol match {
       case None =>
         val uuid = stagePlain(s, root, df)
-        claim(s, root, expectedParent, inherit :+ uuid, Seq(uuid), extraMeta,
-          batch)
+        // emptiness is a ROW-count question, not a file-count one: an
+        // empty df still stages one schema-carrying 0-row parquet file
+        // (footer read — same O(staged files) metadata cost claim pays)
+        if (inherit.isEmpty && rowCountOf(s, s"${dataRoot(root)}/$uuid") == 0L)
+          emptyAtGenesis(uuid)
+        else
+          claim(s, root, expectedParent, inherit :+ uuid, Seq(uuid), extraMeta,
+            batch)
       case Some(pc) =>
         require(inherit.isEmpty || granular,
           s"$root is a plain (whole-dir) table — appendPartitioned would mix " +
             "granularities; seed it with commitPartitioned first")
         val (uuid, subs) = stagePartitioned(s, root, df, pc)
-        if (subs.isEmpty && inherit.isEmpty) {
-          // an empty first batch at genesis would claim an EMPTY
-          // manifest, which readers resolve to the raw data/ root
-          // (the commitPartitioned guard, review finding) — reject;
-          // a streaming sink's first batch into a fresh partitioned
-          // table must carry rows
-          Fs.deleteDir(s, s"${dataRoot(root)}/$uuid")
-          throw new IllegalArgumentException(
-            "partitioned append of an empty DataFrame into an empty table — " +
-              "an empty manifest is not representable; seed the table with " +
-              "a non-empty commitPartitioned first")
-        }
-        claim(s, root, expectedParent, inherit ++ subs.map(n => s"$uuid/$n"),
-          Seq(uuid), extraMeta, batch)
+        if (subs.isEmpty && inherit.isEmpty)
+          emptyAtGenesis(uuid)
+        else
+          claim(s, root, expectedParent, inherit ++ subs.map(n => s"$uuid/$n"),
+            Seq(uuid), extraMeta, batch)
     }
   }
 
@@ -759,6 +777,11 @@ object Snapshots {
     // nothing); limit(gate+1) keeps the driver read bounded
     val touchedDf = source.select(col(partCol)).distinct()
     val touched = touchedDf.limit(partGate + 1).collect().map(_.get(0))
+    if (touched.isEmpty)
+      // an empty micro-batch upserts nothing — a no-op, not the
+      // confusing commitReplace empty-df error (review finding)
+      return latest(s, root).getOrElse(throw new NoSuchElementException(
+        s"no committed snapshot under $root"))
     replaceTransform(s, root, partCol, maxAttempts) { cur =>
       // membership must be NULL-SAFE (review finding): the stager
       // seats null partition values under the default-partition dir,
@@ -779,7 +802,13 @@ object Snapshots {
         } else // beyond the gate: distributed membership, no driver list
           cur.join(broadcast(touchedDf.withColumnRenamed(partCol, "__gm_p")),
             col(partCol) <=> col("__gm_p"), "left_semi")
-      affected.join(source, keys, "left_anti")
+      // key matching is NULL-SAFE like cdc's (review finding): a
+      // null-keyed source row must UPDATE a standing null-keyed row,
+      // not duplicate it (which would also break cdc's per-snapshot
+      // key-uniqueness premise downstream)
+      val antiCond = keys
+        .map(k => col(s"__m_t.$k") <=> col(s"__m_s.$k")).reduce(_ && _)
+      affected.alias("__m_t").join(source.alias("__m_s"), antiCond, "left_anti")
         .unionByName(source.select(cur.columns.map(col).toSeq: _*))
     }
   }
@@ -863,12 +892,15 @@ object Snapshots {
       val unref = entries.filterNot(u => liveDirs.contains(s"${dataRoot(root)}/$u"))
       if (orphanGraceMs <= 0L)
         unref.foreach(u => Fs.deleteDir(s, s"${dataRoot(root)}/$u"))
-      else unref.map(_.split("/")(0)).distinct.foreach { uuid =>
-        // start the grace clock: the dir becomes a candidate for the
-        // orphan sweep below, which will only take it once it has
-        // aged past the window still unreferenced
-        val p = new Path(s"${dataRoot(root)}/$uuid")
-        if (f.exists(p)) f.setTimes(p, now, -1L)
+      else {
+        // start the grace clock on the entry dir ITSELF (the subdir
+        // sweep's age key — a dead __gp= subdir inside a partially
+        // live uuid must still be reclaimable, review finding) AND on
+        // its top-level uuid dir (the whole-dir sweep's age key)
+        unref.flatMap(u => Seq(u, u.split("/")(0))).distinct.foreach { u =>
+          val p = new Path(s"${dataRoot(root)}/$u")
+          if (f.exists(p)) f.setTimes(p, now, -1L)
+        }
       }
     }
     // orphan sweep: staged dirs never published by any live commit,
@@ -883,13 +915,35 @@ object Snapshots {
     // sits under it (prefix match), else copy-on-write tables would
     // lose their live partitions to the sweep.
     val liveQualified = liveDirs.map(d => f.makeQualified(new Path(d)).toString)
-    if (f.exists(dr)) f.listStatus(dr).toSeq
-      .filter(st => st.isDirectory &&
-        now - st.getModificationTime > orphanGraceMs)
-      .map(_.getPath.toString)
-      .filterNot(cand => liveQualified.exists(l =>
-        l == cand || l.startsWith(cand + "/")))
-      .foreach(Fs.deleteDir(s, _))
+    if (f.exists(dr)) {
+      val uuidDirs = f.listStatus(dr).toSeq.filter(_.isDirectory)
+      // whole-dir sweep: uuid dirs with NO live entry under them
+      uuidDirs
+        .filter(st => now - st.getModificationTime > orphanGraceMs)
+        .map(_.getPath.toString)
+        .filterNot(cand => liveQualified.exists(l =>
+          l == cand || l.startsWith(cand + "/")))
+        .foreach(Fs.deleteDir(s, _))
+      // subdir sweep (review finding): a PARTIALLY-LIVE uuid dir —
+      // some partitions still referenced, a retired one not — keeps
+      // its whole dir above, so its dead `__gp=` subdirs must be
+      // reclaimed individually once aged past the grace window (their
+      // mtime was restamped when their last marker died); otherwise a
+      // steady copy-on-write UPDATE workload leaks the superseded
+      // partitions of the seed commit forever
+      uuidDirs
+        .filter(st => liveQualified.exists(l =>
+          l.startsWith(st.getPath.toString + "/")))
+        .foreach { ud =>
+          f.listStatus(ud.getPath).toSeq
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith(s"$PartDir=") &&
+              now - st.getModificationTime > orphanGraceMs)
+            .map(_.getPath.toString)
+            .filterNot(liveQualified.contains)
+            .foreach(Fs.deleteDir(s, _))
+        }
+    }
     dead
   }
 
@@ -1038,14 +1092,6 @@ object Snapshots {
     toEntries.filterNot(fromEntries.toSet).map(u => s"${dataRoot(root)}/$u")
   }
 
-  /** Row-based rate limiting for the streaming tail: the highest
-    * version in `(from, to]` such that the cumulative row count the
-    * commits ADD stays under `maxRows` — ALWAYS at least one version
-    * (a single commit cannot be split, the maxFilesPerTrigger rule).
-    * Row counts come from the markers' per-entry `rows` field (r20),
-    * so the walk is O(backlog) small marker reads, ZERO data I/O; a
-    * version whose added entries predate the field (unknown count)
-    * conservatively closes its batch. */
   /** Entries of a stream's checkpointed version (`from <= 0` =
     * genesis, no entries), turning an expired offset into the named
     * retention error instead of a bare missing-version crash — shared
@@ -1068,21 +1114,44 @@ object Snapshots {
               "stream from a fresh checkpoint to re-read the snapshot", e)
       }
 
+  /** Row-based rate limiting for the streaming tail: the highest
+    * version in `(from, to]` such that the batch's cumulative ADDED
+    * row count stays within `maxRows` — a commit joins the batch only
+    * if it still fits (look-ahead admission), except the FIRST, which
+    * is always taken whole (a single commit cannot be split, the
+    * maxFilesPerTrigger rule — so one oversized commit is delivered
+    * alone, never glued onto a batch that already has rows). Row
+    * counts come from the markers' per-entry `rows` field (r20), so
+    * the walk is O(backlog) small marker reads, ZERO data I/O; a
+    * version whose added entries predate the field (unknown count) is
+    * treated as oversized. */
   def versionCapByRows(s: SparkSession, root: String, from: Long,
                        to: Long, maxRows: Long): Long = {
     require(maxRows >= 1L, s"maxRows must be >= 1, got $maxRows")
     var prev = checkpointEntries(s, root, from).toSet
     var v = from
     var rows = 0L
-    while (v < to && rows < maxRows) {
+    var fits = true
+    while (v < to && fits) {
       val nv = v + 1
       val meta = metaOf(s, root, nv) // one read: entries AND counts
       val es = entriesOfMeta(meta)
       val counts = rowsOfMeta(meta)
       val added = es.filterNot(prev).map(e => counts.getOrElse(e, -1L))
-      rows += (if (added.exists(_ < 0L)) maxRows else added.sum)
-      prev = es.toSet
-      v = nv
+      // unknown count (a pre-r20 marker) → treat as cap-exceeding so
+      // it is delivered alone rather than hiding unbounded volume
+      val n = if (added.exists(_ < 0L)) maxRows else added.sum
+      // look-ahead admission (review finding): a commit joins the
+      // batch only if the batch STAYS under the cap with it — except
+      // the first, which is always taken whole (a commit cannot be
+      // split). This way a 2-row commit followed by a huge one yields
+      // two batches instead of one cap-busting batch.
+      if (v == from || rows + n <= maxRows) {
+        rows += n
+        prev = es.toSet
+        v = nv
+        fits = rows < maxRows
+      } else fits = false
     }
     v
   }
@@ -1098,7 +1167,11 @@ object Snapshots {
     * history (Delta's txn appId/version idempotence, Hive ACID's
     * write-id dedup). Returns true when the batch committed, false on
     * replay skip. Conflicts (another writer landing between read and
-    * claim) re-check the ledger and retry. */
+    * claim) re-check the ledger and retry. An EMPTY batch against an
+    * EMPTY table is a replay-safe no-op (nothing representable to
+    * commit; a replay re-skips identically) rather than a crash loop.
+    * Pass `partCol` to keep a partition-granular table copy-on-write
+    * capable (see [[appendPartitioned]]). */
   def txnAppend(s: SparkSession, root: String, df: DataFrame,
                 batchId: Long, maxAttempts: Int = 10,
                 partCol: Option[String] = None): Boolean = {
@@ -1130,13 +1203,13 @@ object Snapshots {
     * if `v`'s marker has already been expired. */
   def restore(s: SparkSession, root: String, v: Long): Long = {
     validateCommit(s, root, 0L, Map.empty)
-    val entries = entriesOf(s, root, v) // throws if v expired
+    val meta = metaOf(s, root, v) // one read: entries AND counts; throws if expired
     val parent = latest(s, root).getOrElse(
       throw new NoSuchElementException(s"no committed snapshot under $root"))
     // carry v's recorded row counts — the parent may not reference
     // these entries, and a metadata-only commit must stay zero-I/O
-    claim(s, root, parent, entries, Seq.empty, Map.empty,
-      knownRows = rowsOf(s, root, v))
+    claim(s, root, parent, entriesOfMeta(meta), Seq.empty, Map.empty,
+      knownRows = rowsOfMeta(meta))
   }
 
   /** The commit log as a DataFrame — DESCRIBE HISTORY: one row per

@@ -15,6 +15,14 @@ class SnapshotSpec extends SparkSpec {
   private def freshRoot(): String =
     Files.createTempDirectory("graft_snap_").toString + "/tbl"
 
+  /** The marker's manifest entries, parsed the way the format writes
+    * them — ONE test-side parser for every entry-level assert. */
+  private def manifestEntries(root: String, v: Long): Seq[String] = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_commits/$v")), "UTF-8")
+    txt.split("\"data\":\"")(1).split("\"")(0).split(" ").toSeq
+  }
+
   test("commit, latest, time travel, and reader snapshot isolation") {
     val root = freshRoot()
     val s = spark
@@ -239,11 +247,7 @@ class SnapshotSpec extends SparkSpec {
     Snapshots.commitPartitioned(spark, root,
       Seq((1L, 1, "a"), (2L, 2, "b"), (3L, 3, "c"), (4L, 2, "b2"))
         .toDF("k", "p", "v"), "p", expectedParent = 0L)
-    def entries(v: Long) = {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$root/_commits/$v")), "UTF-8")
-      txt.split("\"data\":\"")(1).split("\"")(0).split(" ").toSeq
-    }
+    def entries(v: Long): Seq[String] = manifestEntries(root, v)
     val v1Entries = entries(1L)
     assert(v1Entries.size === 3 && v1Entries.forall(_.contains("/__gp=")),
       "the seed manifest must be partition-granular")
@@ -359,11 +363,7 @@ class SnapshotSpec extends SparkSpec {
     Snapshots.appendCommit(spark, root, Seq((3L, "c")).toDF("k", "v"), 1L)
     val diff = Snapshots.cdc(spark, root, 1L, 2L, Seq("k"))
     // the append shares v1's dir: CDC must scan ONLY the appended dir
-    val v1Dirs = {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$root/_commits/1")), "UTF-8")
-      txt.split("\"data\":\"")(1).split("\"")(0).split(" ").toSet
-    }
+    val v1Dirs = manifestEntries(root, 1L).toSet
     val scanned = diff.inputFiles.toSeq
     assert(scanned.nonEmpty && scanned.forall(f =>
       !v1Dirs.exists(d => f.contains(s"/data/$d/"))),
@@ -845,11 +845,7 @@ class SnapshotSpec extends SparkSpec {
     val root = freshRoot()
     val s = spark
     import s.implicits._
-    def entries(v: Long): Seq[String] = {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$root/_commits/$v")), "UTF-8")
-      txt.split("\"data\":\"")(1).split("\"")(0).split(" ").toSeq
-    }
+    def entries(v: Long): Seq[String] = manifestEntries(root, v)
     Snapshots.commitPartitioned(spark, root,
       Seq((1L, 1, "a"), (2L, 2, "b"), (3L, 3, "c")).toDF("k", "p", "v"), "p", 0L)
     // two COW replaces accumulate dirs from three staged uuids
@@ -978,11 +974,7 @@ class SnapshotSpec extends SparkSpec {
     val root = freshRoot()
     val s = spark
     import s.implicits._
-    def entries(v: Long): Seq[String] = {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$root/_commits/$v")), "UTF-8")
-      txt.split("\"data\":\"")(1).split("\"")(0).split(" ").toSeq
-    }
+    def entries(v: Long): Seq[String] = manifestEntries(root, v)
     Snapshots.commitPartitioned(spark, root,
       Seq((1L, 1, "a"), (2L, 2, "b"), (3L, 2, "c"), (4L, 3, "d"))
         .toDF("k", "p", "v"), "p", 0L)
@@ -1060,11 +1052,7 @@ class SnapshotSpec extends SparkSpec {
     val root = freshRoot()
     val s = spark
     import s.implicits._
-    def entries(v: Long): Seq[String] = {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$root/_commits/$v")), "UTF-8")
-      txt.split("\"data\":\"")(1).split("\"")(0).split(" ").toSeq
-    }
+    def entries(v: Long): Seq[String] = manifestEntries(root, v)
     Snapshots.commitPartitioned(spark, root,
       Seq((1L, 1, "a"), (2L, 2, "b")).toDF("k", "p", "v"), "p", 0L)
     // a plain whole-dir append would downgrade the manifest — refused
@@ -1207,11 +1195,7 @@ class SnapshotSpec extends SparkSpec {
       .as[(String, Long, String, Option[Long])].collect().toSeq
       === Seq(("insert", 3L, "c", None)))
     // and the pruning still holds: the shared v1 dir is never scanned
-    val v1Dirs = {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$root/_commits/1")), "UTF-8")
-      txt.split("\"data\":\"")(1).split("\"")(0).split(" ").toSet
-    }
+    val v1Dirs = manifestEntries(root, 1L).toSet
     assert(diff.inputFiles.toSeq.forall(f =>
       !v1Dirs.exists(d => f.contains(s"/data/$d/"))),
       "schema stability must not cost the manifest pruning")
@@ -1253,6 +1237,105 @@ class SnapshotSpec extends SparkSpec {
     // and reads over the mixed-format log stay intact
     assert(Snapshots.read(spark, root).orderBy("k").as[(Long, String)]
       .collect().toSeq === Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("txnAppend: an empty FIRST micro-batch is a replay-safe no-op, not a crash loop (r20 review)") {
+    val s = spark
+    import s.implicits._
+    // a streaming sink's first executed micro-batch can legitimately
+    // carry zero rows; crashing (the pre-fix behavior) would loop
+    // forever on checkpoint replay. The no-op claims NO marker, so a
+    // replay of the same empty batch re-skips identically.
+    val root = freshRoot()
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    assert(Snapshots.txnAppend(spark, root, empty, 0L))
+    assert(Snapshots.versions(spark, root).isEmpty,
+      "an empty snapshot is not representable — nothing must be claimed")
+    assert(Snapshots.txnAppend(spark, root, empty, 0L),
+      "a checkpoint replay of the skipped empty batch must re-skip cleanly")
+    assert(Snapshots.versions(spark, root).isEmpty)
+    // the next real batch seeds the table normally...
+    assert(Snapshots.txnAppend(spark, root, Seq((1L, "a")).toDF("k", "v"), 1L))
+    assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSeq
+      === Seq((1L, "a")))
+    // ...and from then on the folded ledger handles replays as usual
+    assert(!Snapshots.txnAppend(spark, root, Seq((9L, "dup")).toDF("k", "v"), 0L))
+    assert(!Snapshots.txnAppend(spark, root, Seq((9L, "dup")).toDF("k", "v"), 1L))
+    // the PARTITIONED streaming flavor no-ops the same way
+    val root2 = freshRoot()
+    val emptyP = Seq.empty[(Long, Int, String)].toDF("k", "p", "v")
+    assert(Snapshots.txnAppend(spark, root2, emptyP, 0L, partCol = Some("p")))
+    assert(Snapshots.versions(spark, root2).isEmpty)
+    // but the NON-streaming plain append at genesis still fails loudly
+    // (no checkpoint replay exists to make a silent no-op safe there)
+    intercept[IllegalArgumentException] {
+      Snapshots.appendCommit(spark, freshRoot(), empty, 0L)
+    }
+  }
+
+  test("mergeTransform: empty source is a no-op; null keys match null-safely (r20 review)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    // seed with a NULL-KEYED standing row — the upsert's key equality
+    // must be <=> like cdc's, or a null-keyed source row inserts a
+    // duplicate instead of updating (breaking cdc's per-snapshot
+    // key-uniqueness premise downstream)
+    Snapshots.commitPartitioned(spark, root,
+      Seq[(Option[Long], Int, String)]((None, 1, "a"), (Some(2L), 1, "b"),
+        (Some(3L), 2, "c")).toDF("k", "p", "v"), "p", 0L)
+    // an empty micro-batch upserts nothing: no-op returning the
+    // CURRENT latest, no new version, not the commitReplace empty-df
+    // error
+    val v = Snapshots.mergeTransform(spark, root, "p",
+      Seq.empty[(Option[Long], Int, String)].toDF("k", "p", "v"), Seq("k"))
+    assert(v === 1L && Snapshots.versions(spark, root) === Seq(1L),
+      "an empty merge source must be a version-preserving no-op")
+    // a null-keyed source row UPDATES the standing null-keyed row
+    Snapshots.mergeTransform(spark, root, "p",
+      Seq[(Option[Long], Int, String)]((None, 1, "A!")).toDF("k", "p", "v"),
+      Seq("k")): Unit
+    assert(Snapshots.read(spark, root).orderBy("k")
+      .as[(Option[Long], Int, String)].collect().toSeq
+      === Seq((None, 1, "A!"), (Some(2L), 1, "b"), (Some(3L), 2, "c")),
+      "a null-keyed upsert must replace, not duplicate, the null-keyed row")
+  }
+
+  test("a dead __gp= subdir inside a partially-live uuid gets the full grace window (r20 review)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    // seed uuid A carries __gp=1 and __gp=2; the COW replace of p=1
+    // stages uuid B/__gp=1, so after expire A is PARTIALLY live:
+    // A/__gp=2 referenced, A/__gp=1 dead
+    Snapshots.commitPartitioned(spark, root,
+      Seq((1L, 1, "a"), (2L, 2, "b")).toDF("k", "p", "v"), "p", 0L)
+    Snapshots.commitReplace(spark, root,
+      Seq((1L, 1, "A!")).toDF("k", "p", "v"), "p", 1L)
+    val aGp1 = s"$root/data/" +
+      manifestEntries(root, 1L).find(_.endsWith(s"/__gp=1")).get
+    // age the subdir's STAGING mtime far past the grace window: the
+    // restamp-at-marker-death is what must protect it, not staging
+    // recency (pre-fix, only the top-level uuid dir was restamped and
+    // the subdir sweep would reclaim this immediately — racing a
+    // restore that may still re-publish v1's entries)
+    assert(new java.io.File(aGp1).setLastModified(
+      System.currentTimeMillis() - 600000L))
+    Snapshots.expire(spark, root, keepLast = 1, orphanGraceMs = 60000L)
+    assert(Snapshots.versions(spark, root) === Seq(2L))
+    assert(new java.io.File(aGp1).isDirectory,
+      "a just-retired subdir must get the FULL grace window from its " +
+        "marker's death, regardless of how old its staging mtime is")
+    // once genuinely aged past the window it is reclaimed — WITHOUT
+    // touching the live sibling partition in the same uuid dir
+    assert(new java.io.File(aGp1).setLastModified(
+      System.currentTimeMillis() - 120000L))
+    Snapshots.expire(spark, root, keepLast = 5, orphanGraceMs = 60000L)
+    assert(!new java.io.File(aGp1).exists,
+      "past the grace window the dead subdir is reclaimed")
+    assert(Snapshots.read(spark, root).orderBy("k").as[(Long, Int, String)]
+      .collect().toSeq === Seq((1L, 1, "A!"), (2L, 2, "b")),
+      "the partially-live uuid's LIVE partition must survive the subdir sweep")
   }
 
   test("guards: keepLast>=1, JSON-safe extraMeta, no commits ahead of latest") {
