@@ -924,6 +924,33 @@ object Scans {
         .orderBy(col("o_orderkey"))
     },
 
+    // MANIFEST-LEVEL DATA SKIPPING (r20 — the column-bounds half of
+    // the per-entry statistics verdict item): every commit records
+    // each entry's column min/max in the marker (same footer pass as
+    // the row counts, zero extra I/O), and Snapshots.readRange prunes
+    // a range read to the INTERSECTING entries from ONE marker read —
+    // before any file listing or footer fetch. Here orders committed
+    // partition-granular by year gets a 1995-1996 range scan: 2 of
+    // the driver data's 7 entries plan, 5 are skipped as pure
+    // metadata (entry-level skip is plan-asserted in SnapshotSpec,
+    // along with long/double/string kinds on non-partition columns).
+    // At 100 TB this is the stats layer public formats put in their
+    // manifests: a clustered range query never lists the table.
+    "scan_snapshot_stats_prune" -> { (s, d) =>
+      import graft.sources.Snapshots
+      val root = s"${ioDir("scan_snapshot_stats_prune", d)}/tbl"
+      graft.Fs.deleteDir(s, root)
+      val base = Tables.t(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          dec(col("o_totalprice")).as("price"), col("o_year"))
+      Snapshots.commitPartitioned(s, root, base, "o_year", expectedParent = 0L)
+      Snapshots.readRange(s, root, "o_year", 1995, 1996)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          money(col("price")).as("price"), col("o_year").cast(IntegerType))
+        .orderBy(col("o_orderkey"))
+    },
+
     // CDC-DRIVEN incremental aggregate maintenance (r19) — the
     // "incremental downstream consumer" the snapshot CDC exists for:
     // a derived aggregate (the feature-store/MV state) is advanced
@@ -1177,6 +1204,15 @@ object Scans {
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE),
         |  CAST(year(o_orderdate) AS INTEGER)
         |FROM orders WHERE o_orderkey % 100 = 0 AND year(o_orderdate) >= 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    // the stats-pruned range read is semantics-preserving: the oracle
+    // is the plain year-range filter over the base table
+    "scan_snapshot_stats_prune" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year
+        |FROM orders
+        |WHERE year(o_orderdate) BETWEEN 1995 AND 1996
         |ORDER BY o_orderkey""".stripMargin,
     // both destinations restated from the base table and re-tagged:
     // the hi sink row-for-row, the lo sink as the same aggregate

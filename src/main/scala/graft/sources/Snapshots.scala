@@ -272,7 +272,7 @@ object Snapshots {
         // emptiness is a ROW-count question, not a file-count one: an
         // empty df still stages one schema-carrying 0-row parquet file
         // (footer read — same O(staged files) metadata cost claim pays)
-        if (inherit.isEmpty && rowCountOf(s, s"${dataRoot(root)}/$uuid") == 0L)
+        if (inherit.isEmpty && footerInfo(s, s"${dataRoot(root)}/$uuid")._1 == 0L)
           emptyAtGenesis(uuid)
         else
           claim(s, root, expectedParent, inherit :+ uuid, Seq(uuid), extraMeta,
@@ -455,7 +455,7 @@ object Snapshots {
     // every future replay detection (review finding)
     extraMeta.foreach { case (k, x) =>
       require(k.matches("[A-Za-z0-9_-]+") &&
-        !Set("data", "rows", "parent", "lb", "batch")(k),
+        !Set("data", "rows", "stats", "parent", "lb", "batch")(k),
         s"invalid or reserved extraMeta key: $k")
       require(x.matches("[A-Za-z0-9_.: -]*"),
         s"extraMeta value for $k must stay in the JSON-safe charset")
@@ -497,18 +497,173 @@ object Snapshots {
     (uuid, subs)
   }
 
-  /** Row count of the parquet files directly under `dir`, read from
-    * the FOOTERS — O(#files) driver metadata reads, zero data I/O.
-    * What a staged entry records into its commit marker. */
-  private def rowCountOf(s: SparkSession, dir: String): Long = {
+  // ---- per-entry statistics (row counts + column min/max) ----
+
+  /** At most this many columns per entry carry min/max in the marker
+    * (the bounded-stats rule public formats apply — [public: Delta
+    * records stats for the first 32 data-skipping columns]). */
+  private val StatsColCap = 16
+  /** String min/max longer than this are not recorded (parquet's own
+    * truncated binary stats stay valid bounds, but a short marker is
+    * the point of manifest-level skipping). */
+  private val StatsStrCap = 64
+
+  /** %XX-escape the stat-token delimiters; [[unescapePathValue]] is
+    * the decoder (same escaping the partition dirs use). */
+  private def escapeStatValue(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    v.foreach { c =>
+      if (c == '%' || c == ',' || c == ':' || c == '=' || c == ' ' || c == '"')
+        sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Only strings whose byte order equals their Java string order can
+    * back a recorded range (parquet binary stats compare unsigned
+    * byte-wise; printable ASCII is the subset where that matches). */
+  private def asciiSafe(v: String): Boolean =
+    v.length <= StatsStrCap && v.forall(c => c >= 0x20 && c <= 0x7e)
+
+  /** One column chunk's contribution to an entry's recorded range. */
+  private sealed trait ChunkStat
+  /** Type not covered by the stats encoding — never recorded. */
+  private case object StatIneligible extends ChunkStat
+  /** Eligible type but unusable stats — poisons the column (a partial
+    * min/max is not a bound). */
+  private case object StatMissing extends ChunkStat
+  /** All-null chunk: contributes nothing, poisons nothing (nulls never
+    * satisfy a range predicate). */
+  private case object StatAllNull extends ChunkStat
+  private case class StatRange(kind: Char, mn: Any, mx: Any) extends ChunkStat
+
+  private def chunkStat(
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): ChunkStat = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
+    val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+    // plain signed ints, floats, and UTF8 strings; date/time/decimal/
+    // unsigned read fine but record no range (absent = never pruned)
+    val eligible = c.getPrimitiveType.getPrimitiveTypeName match {
+      case INT32 | INT64 => ann == null ||
+        (ann match {
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+          case _ => false
+        })
+      case FLOAT | DOUBLE => ann == null
+      case BINARY =>
+        ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      case _ => false
+    }
+    if (!eligible) StatIneligible
+    else if (st == null || st.isEmpty || !st.hasNonNullValue) {
+      if (st != null && st.isNumNullsSet && st.getNumNulls == c.getValueCount)
+        StatAllNull
+      else StatMissing
+    } else c.getPrimitiveType.getPrimitiveTypeName match {
+      case INT32 | INT64 =>
+        StatRange('l', st.genericGetMin.asInstanceOf[Number].longValue(),
+          st.genericGetMax.asInstanceOf[Number].longValue())
+      case FLOAT | DOUBLE =>
+        val mn = st.genericGetMin.asInstanceOf[Number].doubleValue()
+        val mx = st.genericGetMax.asInstanceOf[Number].doubleValue()
+        // a NaN in the recorded bounds makes them meaningless (old
+        // writers folded NaN into min/max) — refuse, don't mis-prune
+        if (mn.isNaN || mx.isNaN) StatMissing else StatRange('d', mn, mx)
+      case BINARY =>
+        val mn = st.genericGetMin
+          .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+        val mx = st.genericGetMax
+          .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+        if (asciiSafe(mn) && asciiSafe(mx)) StatRange('s', mn, mx)
+        else StatMissing
+      case _ => StatIneligible // unreachable — eligible filtered above
+    }
+  }
+
+  /** ONE driver pass over the parquet FOOTERS under `dir`: the total
+    * row count plus a compact min/max token for up to [[StatsColCap]]
+    * top-level columns — O(#files) metadata reads, zero data I/O.
+    * What a staged entry records into its commit marker. Token shape:
+    * `col=kind:min:max` triples comma-joined (`-` = none); kinds are
+    * `l` (integral), `d` (floating), `s` (ASCII string). A column with
+    * any unusable chunk stats records nothing (absent = unknown =
+    * never pruned), so recorded ranges are always true bounds. */
+  private def footerInfo(s: SparkSession, dir: String): (Long, String) = {
     val conf = s.sessionState.newHadoopConf()
-    Fs.dataFiles(s, dir).map { case (name, _) =>
+    var rows = 0L
+    val acc = scala.collection.mutable.LinkedHashMap[String, StatRange]()
+    val dropped = scala.collection.mutable.Set[String]()
+    Fs.dataFiles(s, dir).foreach { case (name, _) =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new Path(s"$dir/$name"), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum
+      try {
+        rows += r.getRecordCount
+        r.getFooter.getBlocks.forEach { b =>
+          b.getColumns.forEach { c =>
+            val path = c.getPath.toArray
+            if (path.length == 1 && !dropped.contains(path(0))) {
+              val colName = path(0)
+              chunkStat(c) match {
+                case sr: StatRange => acc.get(colName) match {
+                  case None =>
+                    if (acc.size < StatsColCap) acc(colName) = sr
+                  case Some(prev) if prev.kind == sr.kind =>
+                    acc(colName) = StatRange(sr.kind,
+                      if (statLt(sr.kind, sr.mn, prev.mn)) sr.mn else prev.mn,
+                      if (statLt(sr.kind, prev.mx, sr.mx)) sr.mx else prev.mx)
+                  case Some(_) => dropped += colName; acc.remove(colName): Unit
+                }
+                case StatMissing => dropped += colName; acc.remove(colName): Unit
+                case StatAllNull | StatIneligible => ()
+              }
+            }
+          }
+        }
+      } finally r.close()
+    }
+    val tok =
+      if (acc.isEmpty) "-"
+      else acc.map { case (n, sr) =>
+        s"${escapeStatValue(n)}=${sr.kind}:${escapeStatValue(sr.mn.toString)}:" +
+          escapeStatValue(sr.mx.toString)
+      }.mkString(",")
+    (rows, tok)
   }
+
+  private def statLt(kind: Char, a: Any, b: Any): Boolean = kind match {
+    case 'l' => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+    case 'd' => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+    case _ => a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0
+  }
+
+  /** entry → stats token out of an already-read marker (empty for
+    * markers written before the `stats` field existed). */
+  private def statsOfMeta(meta: String): Map[String, String] =
+    (metaField(meta, "data"), metaField(meta, "stats")) match {
+      case (Some(d), Some(t)) =>
+        val es = d.split(" "); val ts = t.split(" ")
+        if (ts.length == es.length) es.zip(ts).toMap else Map.empty
+      case _ => Map.empty
+    }
+
+  /** Decode one entry's stats token → column → (kind, min, max). */
+  private def parseStatsToken(tok: String): Map[String, (Char, String, String)] =
+    if (tok == "-") Map.empty
+    else tok.split(",").toSeq.flatMap { part =>
+      part.split("=") match {
+        case Array(n, rest) => rest.split(":", -1) match {
+          case Array(k, mn, mx) if k.length == 1 =>
+            Some(unescapePathValue(n) ->
+              (k.charAt(0), unescapePathValue(mn), unescapePathValue(mx)))
+          case _ => None
+        }
+        case _ => None
+      }
+    }.toMap
 
   /** entry → row count out of an already-read marker (empty for
     * markers written before the `rows` field existed). */
@@ -539,11 +694,21 @@ object Snapshots {
     * forward from the parent's marker (`knownRows` lets metadata-only
     * commits like restore carry the source version's counts). A
     * pre-r20 parent contributes no counts — its inherited entries
-    * record -1 (unknown) rather than a lie. */
+    * record -1 (unknown) rather than a lie.
+    *
+    * PER-ENTRY COLUMN MIN/MAX (the stats half of the same verdict
+    * item; [public: Delta per-file stats / Iceberg manifest column
+    * bounds]): the SAME footer pass records each staged entry's
+    * min/max for up to [[StatsColCap]] columns into the marker's
+    * `stats` field (aligned with `data`, `-` = none), inherited
+    * entries copy theirs forward — so [[readRange]] can prune a read
+    * to the intersecting entries from ONE marker read, before any
+    * file listing. */
   private def claim(s: SparkSession, root: String, expectedParent: Long,
       entries: Seq[String], stagedUuids: Seq[String],
       extraMeta: Map[String, String], batch: Option[Long] = None,
-      knownRows: Map[String, Long] = Map.empty): Long = {
+      knownRows: Map[String, Long] = Map.empty,
+      knownStats: Map[String, String] = Map.empty): Long = {
     val v = expectedParent + 1
     // ONE parent-marker read feeds both the ledger fold and the
     // row-count carry-forward (review: don't read the same small
@@ -566,11 +731,16 @@ object Snapshots {
     val lb = math.max(parentLb, batch.getOrElse(-1L))
     val dirs = entries.mkString(" ")
     val parentRows = parentMeta.map(rowsOfMeta).getOrElse(Map.empty[String, Long])
+    val parentStats =
+      parentMeta.map(statsOfMeta).getOrElse(Map.empty[String, String])
     val staged = stagedUuids.toSet
-    val counts = entries.map { e =>
-      if (staged.contains(e.split("/")(0))) rowCountOf(s, s"${dataRoot(root)}/$e")
-      else knownRows.getOrElse(e, parentRows.getOrElse(e, -1L))
+    val infos = entries.map { e =>
+      if (staged.contains(e.split("/")(0))) footerInfo(s, s"${dataRoot(root)}/$e")
+      else (knownRows.getOrElse(e, parentRows.getOrElse(e, -1L)),
+        knownStats.getOrElse(e, parentStats.getOrElse(e, "-")))
     }
+    val counts = infos.map(_._1)
+    val statsToks = infos.map(_._2)
     val batchField = batch.map(b => s""","batch":"$b"""").getOrElse("")
     val extras = extraMeta.map { case (k, x) => s""","$k":"$x"""" }.mkString
     // every field is written QUOTED so [[metaField]] is the single
@@ -578,6 +748,7 @@ object Snapshots {
     // numeric parent — [[parentOf]] keeps the legacy-read fallback
     val meta =
       s"""{"data":"$dirs","rows":"${counts.mkString(" ")}",""" +
+        s""""stats":"${statsToks.mkString(" ")}",""" +
         s""""parent":"$expectedParent","lb":"$lb"$batchField$extras}"""
     if (!createExclusive(s, s"${commitsDir(root)}/$v", meta)) {
       stagedUuids.foreach(u => Fs.deleteDir(s, s"${dataRoot(root)}/$u"))
@@ -692,6 +863,83 @@ object Snapshots {
     val v = latest(s, root).getOrElse(
       throw new NoSuchElementException(s"no committed snapshot under $root"))
     readAsOf(s, root, v)
+  }
+
+  /** MANIFEST-LEVEL DATA SKIPPING (the column-bounds half of per-entry
+    * statistics; [public: Delta per-file min/max stats, Iceberg
+    * manifest column bounds]): read snapshot `asOf` (latest when -1)
+    * filtered to `lo <= column <= hi`, planning the scan over ONLY the
+    * manifest entries whose RECORDED min/max intersects the range —
+    * decided from ONE marker read, before any file listing or footer
+    * I/O. At 100 TB a range query over a sorted/clustered layout plans
+    * the matching entries, not the table's worth of file metadata.
+    *
+    * Pruning is an optimization, never a correctness filter: entries
+    * with no recorded range for `column` (pre-stats markers, beyond
+    * the [[StatsColCap]] column cap, non-ASCII strings, unsupported
+    * types) are always read, and the real predicate is applied on top
+    * of the pruned scan (parquet row-group stats then skip within
+    * kept entries). Bounds are inclusive; pass values of the column's
+    * own family — integral/floating for `l`/`d` columns, String for
+    * `s` — a mismatched family just disables pruning. */
+  def readRange(s: SparkSession, root: String, column: String,
+                lo: Any, hi: Any, asOf: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = if (asOf >= 1L) asOf else latest(s, root).getOrElse(
+      throw new NoSuchElementException(s"no committed snapshot under $root"))
+    val meta = metaOf(s, root, v)
+    val entries = entriesOfMeta(meta)
+    val stats = statsOfMeta(meta)
+    val kept = entries.filter { e =>
+      stats.get(e).map(parseStatsToken).flatMap(_.get(column)) match {
+        case Some((kind, mn, mx)) => rangeOverlaps(kind, mn, mx, lo, hi)
+        case None => true // no recorded range — must read
+      }
+    }
+    // all-pruned still plans over the full manifest: the predicate
+    // yields the schema-stable empty result and row-group stats skip
+    // every block — no special-cased empty relation
+    val dirs = (if (kept.nonEmpty) kept else entries)
+      .map(u => s"${dataRoot(root)}/$u")
+    readDirs(s, dirs).filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** Does the recorded `[mn,mx]` intersect `[lo,hi]`? Unknown kinds or
+    * a predicate-value family that does not match the recorded kind
+    * answer true (prune nothing) — mirroring the read-everything
+    * default for missing stats. */
+  private def rangeOverlaps(kind: Char, mn: String, mx: String,
+                            lo: Any, hi: Any): Boolean = {
+    def num(a: Any): Option[BigDecimal] = a match {
+      case n: Byte => Some(BigDecimal(n.toInt))
+      case n: Short => Some(BigDecimal(n.toInt))
+      case n: Int => Some(BigDecimal(n))
+      case n: Long => Some(BigDecimal(n))
+      case n: Float => if (n.isNaN) None else Some(BigDecimal(n.toDouble))
+      case n: Double => if (n.isNaN) None else Some(BigDecimal(n))
+      case _ => None
+    }
+    kind match {
+      case 'l' => (num(lo), num(hi)) match {
+        case (Some(l), Some(h)) => BigDecimal(mx) >= l && BigDecimal(mn) <= h
+        case _ => true
+      }
+      case 'd' => (num(lo), num(hi)) match {
+        // double bounds can be ±Infinity — parseDouble reads those;
+        // the comparison happens in double space, the same widening
+        // Spark applies to the real predicate
+        case (Some(l), Some(h)) =>
+          java.lang.Double.parseDouble(mx) >= l.toDouble &&
+            java.lang.Double.parseDouble(mn) <= h.toDouble
+        case _ => true
+      }
+      case 's' => (lo, hi) match {
+        case (l: String, h: String) if asciiSafe(l) && asciiSafe(h) =>
+          mx.compareTo(l) >= 0 && mn.compareTo(h) <= 0
+        case _ => true
+      }
+      case _ => true
+    }
   }
 
   /** Read-modify-write with OCC retry: derive the next snapshot from
@@ -1206,10 +1454,11 @@ object Snapshots {
     val meta = metaOf(s, root, v) // one read: entries AND counts; throws if expired
     val parent = latest(s, root).getOrElse(
       throw new NoSuchElementException(s"no committed snapshot under $root"))
-    // carry v's recorded row counts — the parent may not reference
-    // these entries, and a metadata-only commit must stay zero-I/O
+    // carry v's recorded row counts AND column ranges — the parent may
+    // not reference these entries, and a metadata-only commit must
+    // stay zero-I/O
     claim(s, root, parent, entriesOfMeta(meta), Seq.empty, Map.empty,
-      knownRows = rowsOfMeta(meta))
+      knownRows = rowsOfMeta(meta), knownStats = statsOfMeta(meta))
   }
 
   /** The commit log as a DataFrame — DESCRIBE HISTORY: one row per

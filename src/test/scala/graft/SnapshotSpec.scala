@@ -1338,6 +1338,81 @@ class SnapshotSpec extends SparkSpec {
       "the partially-live uuid's LIVE partition must survive the subdir sweep")
   }
 
+  test("markers carry per-entry column min/max; readRange prunes to intersecting entries (r20)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    // k ranges are disjoint per partition (1-10 / 11-20 / 21-30), v
+    // strings likewise (a../b../c..), d doubles carry nulls — three
+    // stat kinds, one entry each
+    val base = (1 to 30).map { i =>
+      val p = (i - 1) / 10 + 1
+      (i.toLong, p, f"${('a' + p - 1).toChar}%c$i%02d",
+        if (i % 7 == 0) None else Some(i * 1.5))
+    }
+    Snapshots.commitPartitioned(spark, root,
+      base.toDF("k", "p", "v", "d"), "p", 0L)
+    def statsField(v: Long): Seq[String] = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/_commits/$v")), "UTF-8")
+      txt.split("\"stats\":\"")(1).split("\"")(0).split(" ").toSeq
+    }
+    val toks = statsField(1L)
+    assert(toks.size === 3 && toks.forall(t => t.contains("k=l:") &&
+      t.contains("v=s:") && t.contains("d=d:")),
+      s"each entry must record long, string, and double ranges: $toks")
+    // long-kind pruning: [12,15] lives only in the p=2 entry
+    val byK = Snapshots.readRange(spark, root, "k", 12L, 15L)
+    assert(byK.select("k").as[Long].collect().sorted.toSeq
+      === Seq(12L, 13L, 14L, 15L))
+    val gp2 = manifestEntries(root, 1L).find(_.endsWith("/__gp=2")).get
+    assert(byK.inputFiles.nonEmpty &&
+      byK.inputFiles.forall(_.contains(s"/data/$gp2/")),
+      s"the scan must plan ONLY the intersecting entry: ${byK.inputFiles.toSeq}")
+    // string-kind pruning (inclusive bounds, real filter on top)
+    val byV = Snapshots.readRange(spark, root, "v", "c21", "c25")
+    assert(byV.select("k").as[Long].collect().sorted.toSeq
+      === (21L to 25L))
+    val gp3 = manifestEntries(root, 1L).find(_.endsWith("/__gp=3")).get
+    assert(byV.inputFiles.forall(_.contains(s"/data/$gp3/")))
+    // double-kind pruning through null-bearing chunks
+    val byD = Snapshots.readRange(spark, root, "d", 1.0, 10.0)
+    assert(byD.select("k").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L, 5L, 6L), // k=7 is null — a range never matches null
+      "null cells must neither match the range nor poison the entry's bounds")
+    assert(byD.inputFiles.forall(_.contains(s"/data/${gp2.split("/")(0)}/__gp=1/")))
+    // a COW replace: the fresh entry records NEW bounds, inherited
+    // entries copy theirs forward by marker reference (zero re-reads)
+    Snapshots.replaceTransform(spark, root, "p") { cur =>
+      cur.filter(col("p") === 2).withColumn("k", col("k") + 100L)
+    }: Unit
+    val toks2 = statsField(2L)
+    assert(toks2.size === 3 && toks2.exists(_.contains("k=l:111:120")),
+      s"the rewritten partition must record its new k range: $toks2")
+    assert(Snapshots.readRange(spark, root, "k", 111L, 120L)
+      .count() === 10L)
+    assert(Snapshots.readRange(spark, root, "k", 12L, 15L).count() === 0L,
+      "the old range is gone from the new snapshot")
+    // time travel still prunes against v1's OWN stats
+    assert(Snapshots.readRange(spark, root, "k", 12L, 15L, asOf = 1L)
+      .count() === 4L)
+    // restore carries the ranges forward metadata-only
+    Snapshots.restore(spark, root, 1L)
+    assert(statsField(3L).toSet === statsField(1L).toSet,
+      "restore must inherit the source version's recorded ranges")
+    // a legacy marker without the stats field reads everything —
+    // pruning degrades to a plain filtered read, never a wrong answer
+    val m3 = java.nio.file.Paths.get(s"$root/_commits/3")
+    val legacy = new String(java.nio.file.Files.readAllBytes(m3), "UTF-8")
+      .replaceFirst(""""stats":"[^"]*",""", "")
+    java.nio.file.Files.write(m3, legacy.getBytes("UTF-8"))
+    val noStats = Snapshots.readRange(spark, root, "k", 12L, 15L)
+    assert(noStats.select("k").as[Long].collect().sorted.toSeq
+      === Seq(12L, 13L, 14L, 15L))
+    assert(noStats.inputFiles.exists(!_.contains(s"/data/$gp2/")),
+      "without recorded ranges every entry must be planned (conservative)")
+  }
+
   test("guards: keepLast>=1, JSON-safe extraMeta, no commits ahead of latest") {
     val root = freshRoot()
     val s = spark
