@@ -271,10 +271,14 @@ object Snapshots {
         val uuid = stagePlain(s, root, df)
         // emptiness is a ROW-count question, not a file-count one: an
         // empty df still stages one schema-carrying 0-row parquet file
-        // (footer read — same O(staged files) metadata cost claim pays)
-        if (inherit.isEmpty && footerInfo(s, s"${dataRoot(root)}/$uuid")._1 == 0L)
-          emptyAtGenesis(uuid)
-        else
+        // (footer read — handed into claim so the pass runs ONCE)
+        if (inherit.isEmpty) {
+          val (rows, stats) = footerInfo(s, s"${dataRoot(root)}/$uuid")
+          if (rows == 0L) emptyAtGenesis(uuid)
+          else claim(s, root, expectedParent, inherit :+ uuid, Seq(uuid),
+            extraMeta, batch, knownRows = Map(uuid -> rows),
+            knownStats = Map(uuid -> stats))
+        } else
           claim(s, root, expectedParent, inherit :+ uuid, Seq(uuid), extraMeta,
             batch)
       case Some(pc) =>
@@ -596,7 +600,10 @@ object Snapshots {
     var rows = 0L
     val acc = scala.collection.mutable.LinkedHashMap[String, StatRange]()
     val dropped = scala.collection.mutable.Set[String]()
-    Fs.dataFiles(s, dir).foreach { case (name, _) =>
+    // name-sorted so WHICH columns land under the cap is a pure
+    // function of the staged data, not of listing order — markers
+    // stay reproducible
+    Fs.dataFiles(s, dir).sortBy(_._1).foreach { case (name, _) =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new Path(s"$dir/$name"), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -610,7 +617,13 @@ object Snapshots {
               chunkStat(c) match {
                 case sr: StatRange => acc.get(colName) match {
                   case None =>
+                    // a capped-out column is DROPPED, not merely
+                    // skipped: were it allowed in once another drop
+                    // frees a slot, its earlier chunks' values would
+                    // be missing from the recorded bounds — a partial
+                    // range is not a bound (review finding)
                     if (acc.size < StatsColCap) acc(colName) = sr
+                    else dropped += colName
                   case Some(prev) if prev.kind == sr.kind =>
                     acc(colName) = StatRange(sr.kind,
                       if (statLt(sr.kind, sr.mn, prev.mn)) sr.mn else prev.mn,
@@ -735,7 +748,13 @@ object Snapshots {
       parentMeta.map(statsOfMeta).getOrElse(Map.empty[String, String])
     val staged = stagedUuids.toSet
     val infos = entries.map { e =>
-      if (staged.contains(e.split("/")(0))) footerInfo(s, s"${dataRoot(root)}/$e")
+      // caller-supplied info wins even for staged entries — lets a
+      // path that already footer-read a staged dir (the genesis
+      // emptiness check) hand its result in instead of re-reading
+      if (knownRows.contains(e) && knownStats.contains(e))
+        (knownRows(e), knownStats(e))
+      else if (staged.contains(e.split("/")(0)))
+        footerInfo(s, s"${dataRoot(root)}/$e")
       else (knownRows.getOrElse(e, parentRows.getOrElse(e, -1L)),
         knownStats.getOrElse(e, parentStats.getOrElse(e, "-")))
     }
@@ -885,6 +904,11 @@ object Snapshots {
   def readRange(s: SparkSession, root: String, column: String,
                 lo: Any, hi: Any, asOf: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    // only -1 means latest — a 0 (the genesis-parent value callers
+    // hold) must fail like readAsOf(0) does, not silently read the
+    // current state (review finding)
+    require(asOf == -1L || asOf >= 1L,
+      s"asOf must be a committed version (>= 1) or -1 for latest, got $asOf")
     val v = if (asOf >= 1L) asOf else latest(s, root).getOrElse(
       throw new NoSuchElementException(s"no committed snapshot under $root"))
     val meta = metaOf(s, root, v)
@@ -910,17 +934,32 @@ object Snapshots {
     * default for missing stats. */
   private def rangeOverlaps(kind: Char, mn: String, mx: String,
                             lo: Any, hi: Any): Boolean = {
+    // NaN and ±Infinity predicates disable pruning rather than crash
+    // BigDecimal's double constructor (review finding) — the real
+    // filter handles them fine
     def num(a: Any): Option[BigDecimal] = a match {
       case n: Byte => Some(BigDecimal(n.toInt))
       case n: Short => Some(BigDecimal(n.toInt))
       case n: Int => Some(BigDecimal(n))
       case n: Long => Some(BigDecimal(n))
-      case n: Float => if (n.isNaN) None else Some(BigDecimal(n.toDouble))
-      case n: Double => if (n.isNaN) None else Some(BigDecimal(n))
+      case n: Float =>
+        if (n.isNaN || n.isInfinity) None else Some(BigDecimal(n.toDouble))
+      case n: Double =>
+        if (n.isNaN || n.isInfinity) None else Some(BigDecimal(n))
+      case _ => None
+    }
+    // integral bounds only accept INTEGRAL predicate values: the real
+    // filter widens a long column to double against a double literal
+    // (precision loss above 2^53), while an exact BigDecimal test here
+    // could prune an entry whose widened rows WOULD match — a
+    // floating predicate on an 'l' column just disables pruning
+    // (review finding)
+    def intNum(a: Any): Option[BigDecimal] = a match {
+      case _: Byte | _: Short | _: Int | _: Long => num(a)
       case _ => None
     }
     kind match {
-      case 'l' => (num(lo), num(hi)) match {
+      case 'l' => (intNum(lo), intNum(hi)) match {
         case (Some(l), Some(h)) => BigDecimal(mx) >= l && BigDecimal(mn) <= h
         case _ => true
       }

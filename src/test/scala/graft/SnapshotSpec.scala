@@ -1413,6 +1413,53 @@ class SnapshotSpec extends SparkSpec {
       "without recorded ranges every entry must be planned (conservative)")
   }
 
+  test("stats hardening: capped columns drop whole, infinity/float predicates no-prune, asOf strict (r20 review)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{when => sqlWhen}
+    // 17 eligible columns over the 16-slot cap, TWO files in one
+    // staged dir (range-partitioned so file order is deterministic),
+    // and c5 NaN-poisoned ONLY in the second file: c5's drop frees a
+    // slot mid-pass — the capped-out 17th column must NOT slip in
+    // with bounds from the remaining chunks only (a partial range is
+    // not a bound)
+    val wide0 = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("c1", "c5raw")
+    val wide = (2 to 4).concat(6 to 16).foldLeft(
+      wide0.withColumn("c5",
+        sqlWhen(col("c1") === 99L, lit(Double.NaN)).otherwise(col("c5raw")))
+        .drop("c5raw")) { (d, i) => d.withColumn(s"c$i", col("c1") + i) }
+      .withColumn("k17", col("c1") * 1000L)
+      .select(("c1" +: (2 to 16).map(i => s"c$i") :+ "k17").map(col): _*)
+      .repartitionByRange(2, col("c1"))
+    Snapshots.commit(spark, root, wide, 0L)
+    val tok = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/_commits/1")), "UTF-8")
+      txt.split("\"stats\":\"")(1).split("\"")(0)
+    }
+    assert(!tok.contains("c5="), s"the NaN-poisoned column records nothing: $tok")
+    assert(!tok.contains("k17="),
+      s"a capped-out column must never record partial bounds: $tok")
+    assert(tok.contains("c1=l:1:100"), s"surviving columns keep true bounds: $tok")
+    // the unrecorded column reads everything, correctly
+    assert(Snapshots.readRange(spark, root, "k17", 50000L, 52000L)
+      .select("c1").as[Long].collect().sorted.toSeq === (50L to 52L))
+    // an open-ended infinite bound must degrade to no-prune, not crash
+    assert(Snapshots.readRange(spark, root, "c5",
+      Double.NegativeInfinity, 3.0).count() === 3L)
+    // a FLOATING predicate on an integral column disables pruning
+    // (the real filter compares double-widened — stats must not be
+    // more precise than the engine) but stays correct
+    val byFloat = Snapshots.readRange(spark, root, "c1", 10.5, 12.5)
+    assert(byFloat.select("c1").as[Long].collect().sorted.toSeq
+      === Seq(11L, 12L))
+    // asOf 0 (the genesis-parent value) is an error, not 'latest'
+    intercept[IllegalArgumentException] {
+      Snapshots.readRange(spark, root, "c1", 1L, 2L, asOf = 0L)
+    }
+  }
+
   test("guards: keepLast>=1, JSON-safe extraMeta, no commits ahead of latest") {
     val root = freshRoot()
     val s = spark
