@@ -214,7 +214,10 @@ object Snapshots {
     * of existing data, the additive file-manifest pattern every
     * log/CDC ingest needs (a 100 TB table appends a micro-batch by
     * writing just the batch and one marker, never touching standing
-    * files). */
+    * files). An EMPTY `df` against a non-empty table is a
+    * metadata-only commit (entries inherited unchanged — no junk
+    * 0-row entry); against an empty table it is rejected (seed an
+    * intentionally empty table with [[commit]]). */
   def appendCommit(s: SparkSession, root: String, df: DataFrame,
                    expectedParent: Long,
                    extraMeta: Map[String, String] = Map.empty): Long = {
@@ -249,22 +252,33 @@ object Snapshots {
       s"$root is partition-granular — a plain whole-dir append would " +
         "downgrade its manifest and break copy-on-write; use " +
         "appendPartitioned (or txnAppend's partCol) instead")
-    // an empty FIRST batch at genesis cannot commit: the partitioned
-    // form would claim an EMPTY manifest (which readers resolve to
-    // the raw data/ root — the commitPartitioned guard) and the plain
-    // form a 0-row snapshot the format deliberately keeps out of its
-    // domain (every other genesis path rejects it too). For a
-    // STREAMING append (batch defined) that is a harmless no-op, not
-    // an error — a sink's first executed micro-batch can carry zero
-    // rows, and crashing would loop forever on checkpoint replay
-    // (review finding); replaying the skipped empty batch re-skips.
-    def emptyAtGenesis(uuid: String): Long = {
+    // empty-batch dispatch, shared by both flavors (the staged dir is
+    // always deleted first):
+    //  - empty at GENESIS: nothing representable to append — the
+    //    partitioned form would claim an EMPTY manifest (which readers
+    //    resolve to the raw data/ root, the commitPartitioned guard).
+    //    A STREAMING append (batch defined) makes it a replay-safe
+    //    no-op — a sink's first executed micro-batch can carry zero
+    //    rows and crashing would loop forever on checkpoint replay
+    //    (review finding); the batch APIs reject it and point at
+    //    commit(), which DOES accept an empty (plain) seed.
+    //  - empty at NON-genesis: a METADATA-ONLY commit — the manifest
+    //    inherits the parent's entries unchanged; the version (and a
+    //    streaming batch id, for the exactly-once ledger) still
+    //    lands, WITHOUT appending a junk 0-row entry that every
+    //    future manifest would inherit forever (review finding: a
+    //    source with periodic empty micro-batches must not grow the
+    //    entry list, marker size, and per-read listing fan-out
+    //    unboundedly).
+    def emptyAppend(uuid: String): Long = {
       Fs.deleteDir(s, s"${dataRoot(root)}/$uuid")
-      if (batch.isDefined) EmptyGenesisNoop
+      if (inherit.nonEmpty)
+        claim(s, root, expectedParent, inherit, Seq.empty, extraMeta, batch)
+      else if (batch.isDefined) EmptyGenesisNoop
       else throw new IllegalArgumentException(
-        "append of an empty DataFrame into an empty table — an empty " +
-          "snapshot is not representable; seed the table with a non-empty " +
-          "commit first")
+        "append of an empty DataFrame into an empty table — an append " +
+          "has nothing to add and a partitioned manifest cannot be empty; " +
+          "seed an intentionally empty table with commit()")
     }
     partCol match {
       case None =>
@@ -272,22 +286,17 @@ object Snapshots {
         // emptiness is a ROW-count question, not a file-count one: an
         // empty df still stages one schema-carrying 0-row parquet file
         // (footer read — handed into claim so the pass runs ONCE)
-        if (inherit.isEmpty) {
-          val (rows, stats) = footerInfo(s, s"${dataRoot(root)}/$uuid")
-          if (rows == 0L) emptyAtGenesis(uuid)
-          else claim(s, root, expectedParent, inherit :+ uuid, Seq(uuid),
-            extraMeta, batch, knownRows = Map(uuid -> rows),
-            knownStats = Map(uuid -> stats))
-        } else
-          claim(s, root, expectedParent, inherit :+ uuid, Seq(uuid), extraMeta,
-            batch)
+        val (rows, stats) = footerInfo(s, s"${dataRoot(root)}/$uuid")
+        if (rows == 0L) emptyAppend(uuid)
+        else claim(s, root, expectedParent, inherit :+ uuid, Seq(uuid),
+          extraMeta, batch, knownRows = Map(uuid -> rows),
+          knownStats = Map(uuid -> stats))
       case Some(pc) =>
         require(inherit.isEmpty || granular,
           s"$root is a plain (whole-dir) table — appendPartitioned would mix " +
             "granularities; seed it with commitPartitioned first")
         val (uuid, subs) = stagePartitioned(s, root, df, pc)
-        if (subs.isEmpty && inherit.isEmpty)
-          emptyAtGenesis(uuid)
+        if (subs.isEmpty) emptyAppend(uuid)
         else
           claim(s, root, expectedParent, inherit ++ subs.map(n => s"$uuid/$n"),
             Seq(uuid), extraMeta, batch)
@@ -1432,8 +1441,11 @@ object Snapshots {
       // batch only if the batch STAYS under the cap with it — except
       // the first, which is always taken whole (a commit cannot be
       // split). This way a 2-row commit followed by a huge one yields
-      // two batches instead of one cap-busting batch.
-      if (v == from || rows + n <= maxRows) {
+      // two batches instead of one cap-busting batch. Compared as
+      // `n <= maxRows - rows` (never rows + n): with the unknown-count
+      // sentinel n = maxRows and maxRows = Long.MaxValue, the sum
+      // overflows negative and would admit everything (review finding)
+      if (v == from || n <= maxRows - rows) {
         rows += n
         prev = es.toSet
         v = nv
@@ -1452,13 +1464,18 @@ object Snapshots {
     * atomic unit — and every marker folds the ledger forward as `lb`,
     * so detection is ONE marker read and survives any expire/compact
     * history (Delta's txn appId/version idempotence, Hive ACID's
-    * write-id dedup). Returns true when the batch committed, false on
-    * replay skip. Conflicts (another writer landing between read and
-    * claim) re-check the ledger and retry. An EMPTY batch against an
-    * EMPTY table is a replay-safe no-op (nothing representable to
-    * commit; a replay re-skips identically) rather than a crash loop.
-    * Pass `partCol` to keep a partition-granular table copy-on-write
-    * capable (see [[appendPartitioned]]). */
+    * write-id dedup). Returns true when the batch was CONSUMED —
+    * committed, or the empty-genesis no-op below — and false on
+    * replay skip; a true return does NOT guarantee a version exists
+    * (an empty first batch commits nothing). Conflicts (another
+    * writer landing between read and claim) re-check the ledger and
+    * retry. An EMPTY batch against an EMPTY table is a replay-safe
+    * no-op (nothing representable to commit; a replay re-skips
+    * identically) rather than a crash loop; an empty batch against a
+    * NON-empty table is a metadata-only commit that still records the
+    * batch id in the ledger. Pass `partCol` to keep a
+    * partition-granular table copy-on-write capable (see
+    * [[appendPartitioned]]). */
   def txnAppend(s: SparkSession, root: String, df: DataFrame,
                 batchId: Long, maxAttempts: Int = 10,
                 partCol: Option[String] = None): Boolean = {

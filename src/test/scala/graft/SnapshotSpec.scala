@@ -1460,6 +1460,61 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("empty NON-genesis appends are metadata-only commits; unlimited row cap survives unknown counts (r20 review)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    Snapshots.commit(spark, root, Seq((1L, "a")).toDF("k", "v"), 0L)
+    // a 0-row batch append must NOT grow the manifest with a junk
+    // entry every future version inherits — it inherits the parent's
+    // entries unchanged (the version still lands)
+    val v2 = Snapshots.appendCommit(spark, root, empty, 1L)
+    assert(v2 === 2L &&
+      manifestEntries(root, 2L) === manifestEntries(root, 1L),
+      "an empty append is a metadata-only commit, not a junk entry")
+    // the streaming flavor additionally records the batch id, so the
+    // exactly-once ledger still advances and a replay is SKIPPED
+    assert(Snapshots.txnAppend(spark, root, empty, 7L))
+    assert(manifestEntries(root, 3L) === manifestEntries(root, 1L))
+    assert(!Snapshots.txnAppend(spark, root, empty, 7L),
+      "a replayed empty batch must skip via the ledger, not re-commit")
+    assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSeq
+      === Seq((1L, "a")))
+    // the partitioned flavor inherits unchanged too
+    val root2 = freshRoot()
+    Snapshots.commitPartitioned(spark, root2,
+      Seq((1L, 1, "a")).toDF("k", "p", "v"), "p", 0L)
+    Snapshots.appendPartitioned(spark, root2,
+      Seq.empty[(Long, Int, String)].toDF("k", "p", "v"), "p", 1L)
+    assert(manifestEntries(root2, 2L) === manifestEntries(root2, 1L))
+    // Long.MaxValue as maxRowsPerTrigger (the 'unlimited' convention)
+    // must not overflow when a marker predates per-entry row counts
+    // (unknown count = oversized sentinel): the unknown commit is
+    // delivered ALONE, never glued onto a batch that already has rows
+    val root3 = freshRoot()
+    Snapshots.commit(spark, root3, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 0L)
+    Snapshots.appendCommit(spark, root3, Seq((3L, "c")).toDF("k", "v"), 1L)
+    Snapshots.appendCommit(spark, root3, Seq((4L, "d")).toDF("k", "v"), 2L)
+    val m2 = java.nio.file.Paths.get(s"$root3/_commits/2")
+    val legacy = new String(java.nio.file.Files.readAllBytes(m2), "UTF-8")
+      .replaceFirst(""""rows":"[^"]*",""", "")
+    java.nio.file.Files.write(m2, legacy.getBytes("UTF-8"))
+    val batches = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", root3)
+      .option("maxRowsPerTrigger", Long.MaxValue.toString).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, b.count()): Unit
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toSeq.sortBy(_._1).map(_._2)
+    assert(got === Seq(2L, 1L, 1L),
+      s"the unknown-count commit must close its batch and ride alone: $got")
+  }
+
   test("guards: keepLast>=1, JSON-safe extraMeta, no commits ahead of latest") {
     val root = freshRoot()
     val s = spark
