@@ -214,10 +214,12 @@ object Snapshots {
     * of existing data, the additive file-manifest pattern every
     * log/CDC ingest needs (a 100 TB table appends a micro-batch by
     * writing just the batch and one marker, never touching standing
-    * files). An EMPTY `df` against a non-empty table is a
-    * metadata-only commit (entries inherited unchanged — no junk
-    * 0-row entry); against an empty table it is rejected (seed an
-    * intentionally empty table with [[commit]]). */
+    * files). An EMPTY `df` against a non-empty table keeps its 0-row
+    * schema-carrying entry — the way a caller pre-declares an added
+    * column through the mergeSchema evolution path (streaming
+    * [[txnAppend]] instead commits such batches metadata-only);
+    * against an empty table it is rejected (seed an intentionally
+    * empty table with [[commit]]). */
   def appendCommit(s: SparkSession, root: String, df: DataFrame,
                    expectedParent: Long,
                    extraMeta: Map[String, String] = Map.empty): Long = {
@@ -252,33 +254,35 @@ object Snapshots {
       s"$root is partition-granular — a plain whole-dir append would " +
         "downgrade its manifest and break copy-on-write; use " +
         "appendPartitioned (or txnAppend's partCol) instead")
-    // empty-batch dispatch, shared by both flavors (the staged dir is
-    // always deleted first):
-    //  - empty at GENESIS: nothing representable to append — the
-    //    partitioned form would claim an EMPTY manifest (which readers
-    //    resolve to the raw data/ root, the commitPartitioned guard).
-    //    A STREAMING append (batch defined) makes it a replay-safe
-    //    no-op — a sink's first executed micro-batch can carry zero
-    //    rows and crashing would loop forever on checkpoint replay
-    //    (review finding); the batch APIs reject it and point at
-    //    commit(), which DOES accept an empty (plain) seed.
-    //  - empty at NON-genesis: a METADATA-ONLY commit — the manifest
-    //    inherits the parent's entries unchanged; the version (and a
-    //    streaming batch id, for the exactly-once ledger) still
-    //    lands, WITHOUT appending a junk 0-row entry that every
-    //    future manifest would inherit forever (review finding: a
-    //    source with periodic empty micro-batches must not grow the
-    //    entry list, marker size, and per-read listing fan-out
+    // empty-batch dispatch (the staged dir is deleted in every taken
+    // branch). Only STREAMING appends (batch defined) get the
+    // special-casing — a stream's schema is constant across batches,
+    // so an empty micro-batch carries no information:
+    //  - streaming + GENESIS: a replay-safe no-op — a sink's first
+    //    executed micro-batch can carry zero rows and crashing would
+    //    loop forever on checkpoint replay (review finding).
+    //  - streaming + NON-genesis: a METADATA-ONLY commit — entries
+    //    inherited unchanged; the version and batch id still land (the
+    //    exactly-once ledger advances) WITHOUT appending a junk 0-row
+    //    entry that every future manifest would inherit forever
+    //    (review finding: a source with periodic empty micro-batches
+    //    must not grow the entry list and per-read listing fan-out
     //    unboundedly).
-    def emptyAppend(uuid: String): Long = {
+    // A BATCH-API (batch = None) empty append is deliberate and RARE;
+    // its 0-row schema-carrying entry is KEPT — it is how a caller
+    // pre-declares an added column through the mergeSchema evolution
+    // path (review finding: silently discarding the staged schema
+    // would make the widened-empty-append pattern return success and
+    // then lose the column). Except at genesis, where there is no
+    // manifest to evolve: the plain flavor is pointed at commit()
+    // (which accepts an empty seed), the partitioned flavor at a
+    // non-empty commitPartitioned (an empty partitioned manifest is
+    // unrepresentable — readers would resolve the raw data/ root).
+    def emptyStreamingAppend(uuid: String): Long = {
       Fs.deleteDir(s, s"${dataRoot(root)}/$uuid")
       if (inherit.nonEmpty)
         claim(s, root, expectedParent, inherit, Seq.empty, extraMeta, batch)
-      else if (batch.isDefined) EmptyGenesisNoop
-      else throw new IllegalArgumentException(
-        "append of an empty DataFrame into an empty table — an append " +
-          "has nothing to add and a partitioned manifest cannot be empty; " +
-          "seed an intentionally empty table with commit()")
+      else EmptyGenesisNoop
     }
     partCol match {
       case None =>
@@ -287,8 +291,14 @@ object Snapshots {
         // empty df still stages one schema-carrying 0-row parquet file
         // (footer read — handed into claim so the pass runs ONCE)
         val (rows, stats) = footerInfo(s, s"${dataRoot(root)}/$uuid")
-        if (rows == 0L) emptyAppend(uuid)
-        else claim(s, root, expectedParent, inherit :+ uuid, Seq(uuid),
+        if (rows == 0L && batch.isDefined) emptyStreamingAppend(uuid)
+        else if (rows == 0L && inherit.isEmpty) {
+          Fs.deleteDir(s, s"${dataRoot(root)}/$uuid")
+          throw new IllegalArgumentException(
+            "append of an empty DataFrame into an empty table — an append " +
+              "has nothing to add; seed an intentionally empty table with " +
+              "commit()")
+        } else claim(s, root, expectedParent, inherit :+ uuid, Seq(uuid),
           extraMeta, batch, knownRows = Map(uuid -> rows),
           knownStats = Map(uuid -> stats))
       case Some(pc) =>
@@ -296,8 +306,19 @@ object Snapshots {
           s"$root is a plain (whole-dir) table — appendPartitioned would mix " +
             "granularities; seed it with commitPartitioned first")
         val (uuid, subs) = stagePartitioned(s, root, df, pc)
-        if (subs.isEmpty) emptyAppend(uuid)
-        else
+        if (subs.isEmpty && batch.isDefined) emptyStreamingAppend(uuid)
+        else if (subs.isEmpty) {
+          // an empty PARTITIONED batch append stages no subdirs, so
+          // unlike the plain flavor there is no schema-carrying entry
+          // to keep — at genesis AND after, there is nothing to commit
+          Fs.deleteDir(s, s"${dataRoot(root)}/$uuid")
+          if (inherit.isEmpty) throw new IllegalArgumentException(
+            "partitioned append of an empty DataFrame into an empty table — " +
+              "an empty partitioned manifest is not representable; seed the " +
+              "table with a non-empty commitPartitioned first")
+          else claim(s, root, expectedParent, inherit, Seq.empty, extraMeta,
+            batch)
+        } else
           claim(s, root, expectedParent, inherit ++ subs.map(n => s"$uuid/$n"),
             Seq(uuid), extraMeta, batch)
     }

@@ -1460,27 +1460,32 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
-  test("empty NON-genesis appends are metadata-only commits; unlimited row cap survives unknown counts (r20 review)") {
+  test("empty appends: batch API keeps the schema entry, streaming is metadata-only; unlimited cap safe (r20 review)") {
     val root = freshRoot()
     val s = spark
     import s.implicits._
     val empty = Seq.empty[(Long, String)].toDF("k", "v")
     Snapshots.commit(spark, root, Seq((1L, "a")).toDF("k", "v"), 0L)
-    // a 0-row batch append must NOT grow the manifest with a junk
-    // entry every future version inherits — it inherits the parent's
-    // entries unchanged (the version still lands)
-    val v2 = Snapshots.appendCommit(spark, root, empty, 1L)
+    // a deliberate BATCH-API empty append keeps its 0-row entry: that
+    // is how a caller pre-declares an added column via mergeSchema
+    // (the widened-empty-append pattern must not silently lose w)
+    val v2 = Snapshots.appendCommit(spark, root,
+      Seq.empty[(Long, String, Option[Long])].toDF("k", "v", "w"), 1L)
     assert(v2 === 2L &&
-      manifestEntries(root, 2L) === manifestEntries(root, 1L),
-      "an empty append is a metadata-only commit, not a junk entry")
-    // the streaming flavor additionally records the batch id, so the
-    // exactly-once ledger still advances and a replay is SKIPPED
+      manifestEntries(root, 2L).size === manifestEntries(root, 1L).size + 1,
+      "a batch-API empty append keeps its schema-carrying entry")
+    assert(Snapshots.read(spark, root).columns.toSeq === Seq("k", "v", "w"),
+      "the widened empty append must pre-declare the new column")
+    // a STREAMING empty batch carries no information (the stream's
+    // schema is constant): metadata-only commit, entries unchanged,
+    // and the batch id still lands in the ledger so a replay SKIPS
     assert(Snapshots.txnAppend(spark, root, empty, 7L))
-    assert(manifestEntries(root, 3L) === manifestEntries(root, 1L))
+    assert(manifestEntries(root, 3L) === manifestEntries(root, 2L),
+      "an empty streaming batch must not append a junk 0-row entry")
     assert(!Snapshots.txnAppend(spark, root, empty, 7L),
       "a replayed empty batch must skip via the ledger, not re-commit")
-    assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSeq
-      === Seq((1L, "a")))
+    assert(Snapshots.read(spark, root).select("k", "v")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a")))
     // the partitioned flavor inherits unchanged too
     val root2 = freshRoot()
     Snapshots.commitPartitioned(spark, root2,
