@@ -645,7 +645,7 @@ class SnapshotSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.snapshot.atomicCreateSchemes")
   }
 
-  test("protocol model test: random replace/drop/compact/expire/restore/append/merge keep reads, time travel, and cdc consistent") {
+  test("protocol model test: random replace/drop/compact/expire/restore/append/merge/empty-batch keep reads, time travel, and cdc consistent") {
     val root = freshRoot()
     val s = spark
     import s.implicits._
@@ -663,8 +663,9 @@ class SnapshotSpec extends SparkSpec {
     model = (0 until 8).map(_ => freshKey() -> (rnd.nextInt(3), rnd.nextLong(100))).toMap
     var version = Snapshots.commitPartitioned(spark, root, df(model), "p", 0L)
     var history = Map(version -> model)
+    var nextBatch = 0L
     (1 to 24).foreach { _ =>
-      rnd.nextInt(8) match {
+      rnd.nextInt(9) match {
         case 0 | 1 => // COW rewrite of one partition: bump, drop one key, add one
           val p = rnd.nextInt(4) // may be a partition with no standing rows
           val cur = model.filter(_._2._1 == p)
@@ -715,6 +716,13 @@ class SnapshotSpec extends SparkSpec {
           version = Snapshots.mergeTransform(spark, root, "p", df(source),
             Seq("k"))
           model = model ++ source
+        case 8 => // empty streaming micro-batch (r20): a METADATA-ONLY
+          // commit — entries inherited unchanged, version + ledger
+          // advance, the model state is untouched
+          nextBatch += 1
+          assert(Snapshots.txnAppend(spark, root,
+            df(Map.empty[Long, (Int, Long)]), nextBatch, partCol = Some("p")))
+          version = Snapshots.latest(spark, root).get
       }
       history += version -> model
       assert(readBack() === model, s"latest read must equal the model at v$version")
