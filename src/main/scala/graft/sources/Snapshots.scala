@@ -308,16 +308,20 @@ object Snapshots {
         val (uuid, subs) = stagePartitioned(s, root, df, pc)
         if (subs.isEmpty && batch.isDefined) emptyStreamingAppend(uuid)
         else if (subs.isEmpty) {
-          // an empty PARTITIONED batch append stages no subdirs, so
+          // a BATCH-API empty partitioned append stages no subdirs, so
           // unlike the plain flavor there is no schema-carrying entry
-          // to keep — at genesis AND after, there is nothing to commit
+          // to keep: committing metadata-only would return success
+          // while silently discarding a widened schema (the exact trap
+          // the plain path's kept entry avoids — review finding).
+          // Reject loudly instead, at genesis AND after.
           Fs.deleteDir(s, s"${dataRoot(root)}/$uuid")
-          if (inherit.isEmpty) throw new IllegalArgumentException(
-            "partitioned append of an empty DataFrame into an empty table — " +
-              "an empty partitioned manifest is not representable; seed the " +
-              "table with a non-empty commitPartitioned first")
-          else claim(s, root, expectedParent, inherit, Seq.empty, extraMeta,
-            batch)
+          throw new IllegalArgumentException(
+            "partitioned append of an empty DataFrame — an empty batch " +
+              "stages no partition entries, so it can neither add rows nor " +
+              "evolve the schema; stage at least one row (streaming " +
+              "txnAppend treats empty micro-batches as metadata-only " +
+              "commits). An empty partitioned table is not representable — " +
+              "seed with a non-empty commitPartitioned")
         } else
           claim(s, root, expectedParent, inherit ++ subs.map(n => s"$uuid/$n"),
             Seq(uuid), extraMeta, batch)
@@ -687,7 +691,7 @@ object Snapshots {
     * markers written before the `stats` field existed). */
   private def statsOfMeta(meta: String): Map[String, String] =
     (metaField(meta, "data"), metaField(meta, "stats")) match {
-      case (Some(d), Some(t)) =>
+      case (Some(d), Some(t)) if ownField(meta, "stats") =>
         val es = d.split(" "); val ts = t.split(" ")
         if (ts.length == es.length) es.zip(ts).toMap else Map.empty
       case _ => Map.empty
@@ -708,21 +712,28 @@ object Snapshots {
       }
     }.toMap
 
+  /** True when `key` occurs as one of the marker's OWN leading fields
+    * (the format writes data/rows/stats before parent) rather than as
+    * caller extraMeta: "rows"/"stats" were reservable extraMeta keys
+    * before r20, and a legacy marker carrying one must not have its
+    * caller metadata promoted to authoritative per-entry counts
+    * (review finding) — extras are always written AFTER parent/lb. */
+  private def ownField(meta: String, key: String): Boolean = {
+    val at = meta.indexOf(s""""$key":"""")
+    at >= 0 && at < meta.indexOf(""""parent":""")
+  }
+
   /** entry → row count out of an already-read marker (empty for
     * markers written before the `rows` field existed). */
   private def rowsOfMeta(meta: String): Map[String, Long] =
     (metaField(meta, "data"), metaField(meta, "rows")) match {
-      case (Some(d), Some(r)) =>
+      case (Some(d), Some(r)) if ownField(meta, "rows") =>
         val es = d.split(" "); val ns = r.split(" ")
         if (ns.length == es.length && ns.forall(_.toLongOption.isDefined))
           es.zip(ns.map(_.toLong)).toMap
         else Map.empty
       case _ => Map.empty
     }
-
-  /** entry → row count recorded in version `v`'s marker. */
-  private def rowsOf(s: SparkSession, root: String, v: Long): Map[String, Long] =
-    rowsOfMeta(metaOf(s, root, v))
 
   /** Build the marker (manifest entries + per-entry row counts +
     * parent + folded ledger + caller meta) and claim
@@ -764,13 +775,8 @@ object Snapshots {
     // txnAppend never walks (the legacy walk below only runs for
     // markers written before the lb field existed). The batch id is
     // an INTERNAL parameter (txnAppend), never caller meta.
-    val parentLb = parentMeta.map { m =>
-      metaField(m, "lb").map(_.toLong).getOrElse(
-        versions(s, root).filter(_ <= expectedParent).reverseIterator
-          .map(x => commitMeta(s, root, x, "batch"))
-          .collectFirst { case Some(b) => b.toLong }
-          .getOrElse(-1L))
-    }.getOrElse(-1L)
+    val parentLb = parentMeta
+      .map(m => lastBatchOfMeta(s, root, expectedParent, m)).getOrElse(-1L)
     val lb = math.max(parentLb, batch.getOrElse(-1L))
     val dirs = entries.mkString(" ")
     val parentRows = parentMeta.map(rowsOfMeta).getOrElse(Map.empty[String, Long])
@@ -879,20 +885,26 @@ object Snapshots {
                  key: String): Option[String] =
     metaField(metaOf(s, root, v), key)
 
+  /** `lb` out of version `v`'s ALREADY-READ marker, with the
+    * pre-ledger-era fallback walk — the one implementation the
+    * commit-time fold ([[claim]]) and replay detection
+    * ([[lastBatchUpTo]]) share, so the two can never disagree on the
+    * same table (review finding). */
+  private def lastBatchOfMeta(s: SparkSession, root: String, v: Long,
+                              meta: String): Long =
+    metaField(meta, "lb").map(_.toLong).getOrElse(
+      versions(s, root).filter(_ <= v).reverseIterator
+        .map(x => commitMeta(s, root, x, "batch"))
+        .collectFirst { case Some(b) => b.toLong }
+        .getOrElse(-1L))
+
   /** Max streaming batch id at or before version `v` — ONE marker
     * read on any table written by this code (every marker folds `lb`
-    * forward); the walk below only ever runs for markers written
+    * forward); the fallback walk only ever runs for markers written
     * before the ledger field existed. */
   private def lastBatchUpTo(s: SparkSession, root: String, v: Long): Long =
     if (v <= 0L) -1L
-    else {
-      val meta = metaOf(s, root, v)
-      metaField(meta, "lb").map(_.toLong).getOrElse(
-        versions(s, root).filter(_ <= v).reverseIterator
-          .map(x => commitMeta(s, root, x, "batch"))
-          .collectFirst { case Some(b) => b.toLong }
-          .getOrElse(-1L))
-    }
+    else lastBatchOfMeta(s, root, v, metaOf(s, root, v))
 
   /** Read snapshot `v` (time travel). The manifest is resolved NOW
     * and its entries are immutable — the returned DataFrame yields
@@ -930,7 +942,14 @@ object Snapshots {
     * of the pruned scan (parquet row-group stats then skip within
     * kept entries). Bounds are inclusive; pass values of the column's
     * own family — integral/floating for `l`/`d` columns, String for
-    * `s` — a mismatched family just disables pruning. */
+    * `s` — a mismatched family just disables pruning.
+    *
+    * SCHEMA-STABLE like cdc (r19 advice's rule): when pruning drops
+    * entries, the output is aligned to the FULL snapshot's union
+    * schema (a column living only in pruned entries surfaces
+    * null-typed, never disappears), resolved from ONE file per entry
+    * — entries are single-write uniform, so this is an
+    * O(manifest)-sized driver probe, not a table listing. */
   def readRange(s: SparkSession, root: String, column: String,
                 lo: Any, hi: Any, asOf: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -953,9 +972,26 @@ object Snapshots {
     // all-pruned still plans over the full manifest: the predicate
     // yields the schema-stable empty result and row-group stats skip
     // every block — no special-cased empty relation
-    val dirs = (if (kept.nonEmpty) kept else entries)
+    val keptAll = kept.isEmpty || kept.size == entries.size
+    val dirs = (if (keptAll) entries else kept)
       .map(u => s"${dataRoot(root)}/$u")
-    readDirs(s, dirs).filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    val pruned = readDirs(s, dirs)
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    if (keptAll) pruned
+    else {
+      // schema stability across an evolution boundary: one sampled
+      // file per MANIFEST entry re-derives the full union schema
+      val samples = entries.flatMap { u =>
+        Fs.dataFiles(s, s"${dataRoot(root)}/$u").sortBy(_._1).headOption
+          .map { case (name, _) => s"${dataRoot(root)}/$u/$name" }
+      }
+      val full = readDirs(s, samples).schema
+      if (full.fieldNames.toSeq == pruned.columns.toSeq) pruned
+      else pruned.select(full.map { f =>
+        if (pruned.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    }
   }
 
   /** Does the recorded `[mn,mx]` intersect `[lo,hi]`? Unknown kinds or

@@ -1114,11 +1114,15 @@ class SnapshotSpec extends SparkSpec {
         Seq.empty[(Long, Int, String)].toDF("k", "p", "v"), "p", 0L)
     }
     assert(Snapshots.versions(spark, root).isEmpty)
-    // ...but an empty LATER batch is a harmless no-op append
+    // ...and an empty LATER batch-API append is rejected too (it can
+    // neither add rows nor carry schema through the partitioned
+    // staging); only STREAMING empty batches are special-cased
     Snapshots.commitPartitioned(spark, root,
       Seq((1L, 1, "a")).toDF("k", "p", "v"), "p", 0L)
-    Snapshots.appendPartitioned(spark, root,
-      Seq.empty[(Long, Int, String)].toDF("k", "p", "v"), "p", 1L)
+    intercept[IllegalArgumentException] {
+      Snapshots.appendPartitioned(spark, root,
+        Seq.empty[(Long, Int, String)].toDF("k", "p", "v"), "p", 1L)
+    }
     assert(Snapshots.read(spark, root).count() === 1L)
     // merge with a null-partition source row must pull the STANDING
     // null-partition rows into the rewrite (null-safe membership),
@@ -1494,12 +1498,13 @@ class SnapshotSpec extends SparkSpec {
       "a replayed empty batch must skip via the ledger, not re-commit")
     assert(Snapshots.read(spark, root).select("k", "v")
       .as[(Long, String)].collect().toSeq === Seq((1L, "a")))
-    // the partitioned flavor inherits unchanged too
+    // the partitioned STREAMING flavor inherits unchanged too
     val root2 = freshRoot()
     Snapshots.commitPartitioned(spark, root2,
       Seq((1L, 1, "a")).toDF("k", "p", "v"), "p", 0L)
-    Snapshots.appendPartitioned(spark, root2,
-      Seq.empty[(Long, Int, String)].toDF("k", "p", "v"), "p", 1L)
+    assert(Snapshots.txnAppend(spark, root2,
+      Seq.empty[(Long, Int, String)].toDF("k", "p", "v"), 1L,
+      partCol = Some("p")))
     assert(manifestEntries(root2, 2L) === manifestEntries(root2, 1L))
     // Long.MaxValue as maxRowsPerTrigger (the 'unlimited' convention)
     // must not overflow when a marker predates per-entry row counts
@@ -1526,6 +1531,30 @@ class SnapshotSpec extends SparkSpec {
     val got = batches.asScala.toSeq.sortBy(_._1).map(_._2)
     assert(got === Seq(2L, 1L, 1L),
       s"the unknown-count commit must close its batch and ride alone: $got")
+  }
+
+  test("readRange keeps the full snapshot schema when pruning crosses an evolution boundary (r20 review)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commitPartitioned(spark, root,
+      (1 to 10).map(i => (i.toLong, 1, s"v$i")).toDF("k", "p", "v"), "p", 0L)
+    // the appended partition carries a NEW column w
+    Snapshots.appendPartitioned(spark, root,
+      (11 to 20).map(i => (i.toLong, 2, s"v$i", i * 10L))
+        .toDF("k", "p", "v", "w"), "p", 1L)
+    // the range prunes the ONLY entry holding w — the column must
+    // surface null-typed, not disappear (cdc's schema-stability rule)
+    val low = Snapshots.readRange(spark, root, "k", 1L, 5L)
+    assert(low.columns.toSeq === Seq("k", "p", "v", "w"),
+      s"pruned reads must keep the union schema: ${low.columns.toSeq}")
+    assert(low.count() === 5L && low.filter(col("w").isNotNull).count() === 0L)
+    assert(low.inputFiles.forall(_.contains("/__gp=1/")),
+      "schema stability must not cost the entry pruning")
+    // the other side of the boundary reads w's real values
+    val highW = Snapshots.readRange(spark, root, "k", 11L, 12L)
+      .select("w").as[Long].collect().sorted.toSeq
+    assert(highW === Seq(110L, 120L))
   }
 
   test("guards: keepLast>=1, JSON-safe extraMeta, no commits ahead of latest") {
