@@ -290,7 +290,7 @@ object Snapshots {
         // emptiness is a ROW-count question, not a file-count one: an
         // empty df still stages one schema-carrying 0-row parquet file
         // (footer read — handed into claim so the pass runs ONCE)
-        val (rows, stats) = footerInfo(s, s"${dataRoot(root)}/$uuid")
+        val (rows, stats, cols) = footerInfo(s, s"${dataRoot(root)}/$uuid")
         if (rows == 0L && batch.isDefined) emptyStreamingAppend(uuid)
         else if (rows == 0L && inherit.isEmpty) {
           Fs.deleteDir(s, s"${dataRoot(root)}/$uuid")
@@ -300,7 +300,7 @@ object Snapshots {
               "commit()")
         } else claim(s, root, expectedParent, inherit :+ uuid, Seq(uuid),
           extraMeta, batch, knownRows = Map(uuid -> rows),
-          knownStats = Map(uuid -> stats))
+          knownStats = Map(uuid -> stats), knownCols = Map(uuid -> cols))
       case Some(pc) =>
         require(inherit.isEmpty || granular,
           s"$root is a plain (whole-dir) table — appendPartitioned would mix " +
@@ -493,7 +493,7 @@ object Snapshots {
     // every future replay detection (review finding)
     extraMeta.foreach { case (k, x) =>
       require(k.matches("[A-Za-z0-9_-]+") &&
-        !Set("data", "rows", "stats", "parent", "lb", "batch")(k),
+        !Set("data", "rows", "stats", "cols", "parent", "lb", "batch")(k),
         s"invalid or reserved extraMeta key: $k")
       require(x.matches("[A-Za-z0-9_.: -]*"),
         s"extraMeta value for $k must stay in the JSON-safe charset")
@@ -628,12 +628,19 @@ object Snapshots {
     * `col=kind:min:max` triples comma-joined (`-` = none); kinds are
     * `l` (integral), `d` (floating), `s` (ASCII string). A column with
     * any unusable chunk stats records nothing (absent = unknown =
-    * never pruned), so recorded ranges are always true bounds. */
-  private def footerInfo(s: SparkSession, dir: String): (Long, String) = {
+    * never pruned), so recorded ranges are always true bounds.
+    *
+    * The third element is the entry's TOP-LEVEL COLUMN NAME list
+    * (comma-joined, escaped, union over the entry's files) — what
+    * [[readRange]] uses to decide WITHOUT I/O whether pruning crossed
+    * a schema-evolution boundary (review finding: the per-read
+    * sampled-schema probe belongs in the marker). */
+  private def footerInfo(s: SparkSession, dir: String): (Long, String, String) = {
     val conf = s.sessionState.newHadoopConf()
     var rows = 0L
     val acc = scala.collection.mutable.LinkedHashMap[String, StatRange]()
     val dropped = scala.collection.mutable.Set[String]()
+    val colNames = scala.collection.mutable.LinkedHashSet[String]()
     // name-sorted so WHICH columns land under the cap is a pure
     // function of the staged data, not of listing order — markers
     // stay reproducible
@@ -646,6 +653,7 @@ object Snapshots {
         r.getFooter.getBlocks.forEach { b =>
           b.getColumns.forEach { c =>
             val path = c.getPath.toArray
+            if (path.length >= 1) colNames += path(0)
             if (path.length == 1 && !dropped.contains(path(0))) {
               val colName = path(0)
               chunkStat(c) match {
@@ -678,7 +686,10 @@ object Snapshots {
         s"${escapeStatValue(n)}=${sr.kind}:${escapeStatValue(sr.mn.toString)}:" +
           escapeStatValue(sr.mx.toString)
       }.mkString(",")
-    (rows, tok)
+    val cols =
+      if (colNames.isEmpty) "-"
+      else colNames.map(escapeStatValue).mkString(",")
+    (rows, tok, cols)
   }
 
   private def statLt(kind: Char, a: Any, b: Any): Boolean = kind match {
@@ -696,6 +707,21 @@ object Snapshots {
         if (ts.length == es.length) es.zip(ts).toMap else Map.empty
       case _ => Map.empty
     }
+
+  /** entry → top-level column-name token out of an already-read
+    * marker (empty for markers written before the `cols` field). */
+  private def colsOfMeta(meta: String): Map[String, String] =
+    (metaField(meta, "data"), metaField(meta, "cols")) match {
+      case (Some(d), Some(t)) if ownField(meta, "cols") =>
+        val es = d.split(" "); val ts = t.split(" ")
+        if (ts.length == es.length) es.zip(ts).toMap else Map.empty
+      case _ => Map.empty
+    }
+
+  /** Decode one entry's cols token → top-level column names. */
+  private def parseColsToken(tok: String): Set[String] =
+    if (tok == "-") Set.empty
+    else tok.split(",").map(unescapePathValue).toSet
 
   /** Decode one entry's stats token → column → (kind, min, max). */
   private def parseStatsToken(tok: String): Map[String, (Char, String, String)] =
@@ -762,7 +788,8 @@ object Snapshots {
       entries: Seq[String], stagedUuids: Seq[String],
       extraMeta: Map[String, String], batch: Option[Long] = None,
       knownRows: Map[String, Long] = Map.empty,
-      knownStats: Map[String, String] = Map.empty): Long = {
+      knownStats: Map[String, String] = Map.empty,
+      knownCols: Map[String, String] = Map.empty): Long = {
     val v = expectedParent + 1
     // ONE parent-marker read feeds both the ledger fold and the
     // row-count carry-forward (review: don't read the same small
@@ -782,20 +809,25 @@ object Snapshots {
     val parentRows = parentMeta.map(rowsOfMeta).getOrElse(Map.empty[String, Long])
     val parentStats =
       parentMeta.map(statsOfMeta).getOrElse(Map.empty[String, String])
+    val parentCols =
+      parentMeta.map(colsOfMeta).getOrElse(Map.empty[String, String])
     val staged = stagedUuids.toSet
     val infos = entries.map { e =>
       // caller-supplied info wins even for staged entries — lets a
       // path that already footer-read a staged dir (the genesis
       // emptiness check) hand its result in instead of re-reading
-      if (knownRows.contains(e) && knownStats.contains(e))
-        (knownRows(e), knownStats(e))
+      if (knownRows.contains(e) && knownStats.contains(e) &&
+          knownCols.contains(e))
+        (knownRows(e), knownStats(e), knownCols(e))
       else if (staged.contains(e.split("/")(0)))
         footerInfo(s, s"${dataRoot(root)}/$e")
       else (knownRows.getOrElse(e, parentRows.getOrElse(e, -1L)),
-        knownStats.getOrElse(e, parentStats.getOrElse(e, "-")))
+        knownStats.getOrElse(e, parentStats.getOrElse(e, "-")),
+        knownCols.getOrElse(e, parentCols.getOrElse(e, "-")))
     }
     val counts = infos.map(_._1)
     val statsToks = infos.map(_._2)
+    val colsToks = infos.map(_._3)
     val batchField = batch.map(b => s""","batch":"$b"""").getOrElse("")
     val extras = extraMeta.map { case (k, x) => s""","$k":"$x"""" }.mkString
     // every field is written QUOTED so [[metaField]] is the single
@@ -804,6 +836,7 @@ object Snapshots {
     val meta =
       s"""{"data":"$dirs","rows":"${counts.mkString(" ")}",""" +
         s""""stats":"${statsToks.mkString(" ")}",""" +
+        s""""cols":"${colsToks.mkString(" ")}",""" +
         s""""parent":"$expectedParent","lb":"$lb"$batchField$extras}"""
     if (!createExclusive(s, s"${commitsDir(root)}/$v", meta)) {
       stagedUuids.foreach(u => Fs.deleteDir(s, s"${dataRoot(root)}/$u"))
@@ -885,6 +918,26 @@ object Snapshots {
                  key: String): Option[String] =
     metaField(metaOf(s, root, v), key)
 
+  /** The marker's OWN `lb`/`batch` value: these trailing ledger
+    * fields are written in one contiguous run after `parent`
+    * (`"parent":..,"lb":..[,"batch":..]`, or `"parent":..,"batch":..`
+    * in pre-lb markers), so only an occurrence inside that run is the
+    * format's own — caller extraMeta keyed "lb"/"batch" (possible
+    * before the keys were reserved) sits among the LATER extras and
+    * must never be promoted into the exactly-once ledger, where a
+    * large value would drop real micro-batches as replays and a
+    * non-numeric one would crash every commit (review finding). */
+  private def ownLedger(meta: String, key: String): Option[Long] = {
+    val m = java.util.regex.Pattern.compile(
+      """"parent":"?-?\d+"?(?:,"lb":"(-?\d+)")?(?:,"batch":"(-?\d+)")?""")
+      .matcher(meta)
+    if (!m.find()) None
+    else key match {
+      case "lb" => Option(m.group(1)).map(_.toLong)
+      case _ => Option(m.group(2)).map(_.toLong)
+    }
+  }
+
   /** `lb` out of version `v`'s ALREADY-READ marker, with the
     * pre-ledger-era fallback walk — the one implementation the
     * commit-time fold ([[claim]]) and replay detection
@@ -892,10 +945,10 @@ object Snapshots {
     * same table (review finding). */
   private def lastBatchOfMeta(s: SparkSession, root: String, v: Long,
                               meta: String): Long =
-    metaField(meta, "lb").map(_.toLong).getOrElse(
+    ownLedger(meta, "lb").getOrElse(
       versions(s, root).filter(_ <= v).reverseIterator
-        .map(x => commitMeta(s, root, x, "batch"))
-        .collectFirst { case Some(b) => b.toLong }
+        .map(x => ownLedger(metaOf(s, root, x), "batch"))
+        .collectFirst { case Some(b) => b }
         .getOrElse(-1L))
 
   /** Max streaming batch id at or before version `v` — ONE marker
@@ -947,12 +1000,17 @@ object Snapshots {
     * SCHEMA-STABLE like cdc (r19 advice's rule): when pruning drops
     * entries, the output is aligned to the FULL snapshot's union
     * schema (a column living only in pruned entries surfaces
-    * null-typed, never disappears), resolved from ONE file per entry
-    * — entries are single-write uniform, so this is an
-    * O(manifest)-sized driver probe, not a table listing. */
+    * null-typed, never disappears — and RANGE-FILTERING on such a
+    * column returns the schema-stable empty result instead of a
+    * resolution error). Whether pruning crossed an evolution boundary
+    * is decided from the marker's per-entry column-name lists — zero
+    * I/O on the common never-evolved table; only an actual boundary
+    * (or a legacy marker without the `cols` field) pays a one-sampled-
+    * file-per-entry union-schema probe (O(manifest), entries are
+    * single-write uniform — never a table listing). */
   def readRange(s: SparkSession, root: String, column: String,
                 lo: Any, hi: Any, asOf: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.lit
     // only -1 means latest — a 0 (the genesis-parent value callers
     // hold) must fail like readAsOf(0) does, not silently read the
     // current state (review finding)
@@ -973,25 +1031,50 @@ object Snapshots {
     // yields the schema-stable empty result and row-group stats skip
     // every block — no special-cased empty relation
     val keptAll = kept.isEmpty || kept.size == entries.size
-    val dirs = (if (keptAll) entries else kept)
-      .map(u => s"${dataRoot(root)}/$u")
-    val pruned = readDirs(s, dirs)
-      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
-    if (keptAll) pruned
-    else {
-      // schema stability across an evolution boundary: one sampled
-      // file per MANIFEST entry re-derives the full union schema
-      val samples = entries.flatMap { u =>
-        Fs.dataFiles(s, s"${dataRoot(root)}/$u").sortBy(_._1).headOption
-          .map { case (name, _) => s"${dataRoot(root)}/$u/$name" }
+    val base = readDirs(s,
+      (if (keptAll) entries else kept).map(u => s"${dataRoot(root)}/$u"))
+    val aligned =
+      if (keptAll) base
+      else {
+        val cols = colsOfMeta(meta)
+        // zero-I/O boundary test: did pruning drop any column name?
+        // A legacy marker (no cols field) answers conservatively yes.
+        val boundary =
+          if (cols.size != entries.size) true
+          else {
+            val all = entries.flatMap(e => parseColsToken(cols(e))).toSet
+            val keptNames = kept.flatMap(e => parseColsToken(cols(e))).toSet
+            all != keptNames
+          }
+        if (!boundary) base
+        else {
+          // evolution boundary (or legacy marker): one sampled file
+          // per MANIFEST entry re-derives the full union schema
+          val samples = entries.flatMap { u =>
+            Fs.dataFiles(s, s"${dataRoot(root)}/$u").sortBy(_._1).headOption
+              .map { case (name, _) => s"${dataRoot(root)}/$u/$name" }
+          }
+          val full = readDirs(s, samples).schema
+          if (full.fieldNames.toSeq == base.columns.toSeq) base
+          else base.select(full.map { f =>
+            if (base.columns.contains(f.name)) qcol(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toSeq: _*)
+        }
       }
-      val full = readDirs(s, samples).schema
-      if (full.fieldNames.toSeq == pruned.columns.toSeq) pruned
-      else pruned.select(full.map { f =>
-        if (pruned.columns.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }.toSeq: _*)
-    }
+    // the real predicate goes on AFTER alignment (review finding): a
+    // range on a column living only in pruned entries must resolve
+    // against the null-filled seat, not crash analysis
+    aligned.filter(qcol(column) >= lit(lo) && qcol(column) <= lit(hi))
+  }
+
+  /** Column reference by EXACT top-level name — backquoted so a name
+    * containing dots is not misparsed as a nested-field path (review
+    * finding). Names containing a backtick are not addressable this
+    * way and fall through unquoted. */
+  private def qcol(name: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    if (name.contains("`")) col(name) else col(s"`$name`")
   }
 
   /** Does the recorded `[mn,mx]` intersect `[lo,hi]`? Unknown kinds or
@@ -1567,11 +1650,12 @@ object Snapshots {
     val meta = metaOf(s, root, v) // one read: entries AND counts; throws if expired
     val parent = latest(s, root).getOrElse(
       throw new NoSuchElementException(s"no committed snapshot under $root"))
-    // carry v's recorded row counts AND column ranges — the parent may
-    // not reference these entries, and a metadata-only commit must
-    // stay zero-I/O
+    // carry v's recorded row counts, column ranges, AND column names —
+    // the parent may not reference these entries, and a metadata-only
+    // commit must stay zero-I/O
     claim(s, root, parent, entriesOfMeta(meta), Seq.empty, Map.empty,
-      knownRows = rowsOfMeta(meta), knownStats = statsOfMeta(meta))
+      knownRows = rowsOfMeta(meta), knownStats = statsOfMeta(meta),
+      knownCols = colsOfMeta(meta))
   }
 
   /** The commit log as a DataFrame — DESCRIBE HISTORY: one row per
@@ -1592,8 +1676,8 @@ object Snapshots {
           Some(entryCounts.sum)
         else None,
         parentOf(meta),
-        metaField(meta, "lb").map(_.toLong).getOrElse(-1L),
-        metaField(meta, "batch").map(_.toLong))
+        ownLedger(meta, "lb").getOrElse(-1L),
+        ownLedger(meta, "batch"))
     }.toDF("version", "num_entries", "num_rows", "parent", "last_batch", "batch")
   }
 

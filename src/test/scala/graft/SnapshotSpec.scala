@@ -1555,6 +1555,47 @@ class SnapshotSpec extends SparkSpec {
     val highW = Snapshots.readRange(spark, root, "k", 11L, 12L)
       .select("w").as[Long].collect().sorted.toSeq
     assert(highW === Seq(110L, 120L))
+    // RANGE-FILTERING on the evolved column itself, with its only
+    // entry pruned, must resolve against the null-filled seat and
+    // return the schema-stable EMPTY result — not crash analysis
+    // (review finding: alignment must precede the filter)
+    val wOut = Snapshots.readRange(spark, root, "w", 1000L, 2000L)
+    assert(wOut.columns.toSeq === Seq("k", "p", "v", "w") &&
+      wOut.count() === 0L,
+      "a range on a column living only in pruned entries is empty, not an error")
+    // markers record per-entry COLUMN NAMES (zero-I/O boundary test)
+    val m2txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_commits/2")), "UTF-8")
+    assert(m2txt.contains(""""cols":""") && m2txt.contains("w"),
+      s"markers must carry the per-entry column-name lists: $m2txt")
+    // a LEGACY marker without the cols field degrades to the sampled
+    // probe — same answers, just not zero-I/O
+    val m2 = java.nio.file.Paths.get(s"$root/_commits/2")
+    java.nio.file.Files.write(m2,
+      m2txt.replaceFirst(""""cols":"[^"]*",""", "").getBytes("UTF-8"))
+    val lowLegacy = Snapshots.readRange(spark, root, "k", 1L, 5L)
+    assert(lowLegacy.columns.toSeq === Seq("k", "p", "v", "w") &&
+      lowLegacy.count() === 5L)
+  }
+
+  test("legacy caller extraMeta named batch cannot poison the ledger walk (r20 review)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(spark, root, Seq((1L, "a")).toDF("k", "v"), 0L)
+    // simulate a pre-reservation marker: no own lb, caller extras
+    // carrying a "batch" key among them — the fallback walk must not
+    // promote it into the exactly-once ledger
+    val m1 = java.nio.file.Paths.get(s"$root/_commits/1")
+    val legacy = new String(java.nio.file.Files.readAllBytes(m1), "UTF-8")
+      .replaceFirst(""","lb":"-1"""", ""","note":"x","batch":"999"""")
+    java.nio.file.Files.write(m1, legacy.getBytes("UTF-8"))
+    assert(Snapshots.txnAppend(spark, root, Seq((2L, "b")).toDF("k", "v"), 5L),
+      "a real batch id below the bogus extras value must still commit")
+    assert(Snapshots.read(spark, root).orderBy("k").as[(Long, String)]
+      .collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    // and a replay of the REAL batch id still skips
+    assert(!Snapshots.txnAppend(spark, root, Seq((9L, "x")).toDF("k", "v"), 5L))
   }
 
   test("guards: keepLast>=1, JSON-safe extraMeta, no commits ahead of latest") {
