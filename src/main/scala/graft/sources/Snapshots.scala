@@ -698,30 +698,30 @@ object Snapshots {
     case _ => a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0
   }
 
+  /** entry → token of one of the marker's ALIGNED fields (the
+    * space-joined arrays written in step with `data`) — the one
+    * zip-and-validate implementation `rows`/`stats`/`cols` share
+    * (review finding: three near-identical parsers drift apart). */
+  private def alignedField(meta: String, key: String): Map[String, String] =
+    (metaField(meta, "data"), metaField(meta, key)) match {
+      case (Some(d), Some(t)) if ownField(meta, key) =>
+        val es = d.split(" "); val ts = t.split(" ")
+        if (ts.length == es.length) es.zip(ts).toMap else Map.empty
+      case _ => Map.empty
+    }
+
   /** entry → stats token out of an already-read marker (empty for
     * markers written before the `stats` field existed). */
   private def statsOfMeta(meta: String): Map[String, String] =
-    (metaField(meta, "data"), metaField(meta, "stats")) match {
-      case (Some(d), Some(t)) if ownField(meta, "stats") =>
-        val es = d.split(" "); val ts = t.split(" ")
-        if (ts.length == es.length) es.zip(ts).toMap else Map.empty
-      case _ => Map.empty
-    }
+    alignedField(meta, "stats")
 
   /** entry → top-level column-name token out of an already-read
-    * marker (empty for markers written before the `cols` field). */
+    * marker (empty for markers written before the `cols` field).
+    * `?` = inherited from a pre-cols parent (schema UNKNOWN — never
+    * to be confused with `-`, a file-less entry with no columns,
+    * review finding). */
   private def colsOfMeta(meta: String): Map[String, String] =
-    (metaField(meta, "data"), metaField(meta, "cols")) match {
-      case (Some(d), Some(t)) if ownField(meta, "cols") =>
-        val es = d.split(" "); val ts = t.split(" ")
-        if (ts.length == es.length) es.zip(ts).toMap else Map.empty
-      case _ => Map.empty
-    }
-
-  /** Decode one entry's cols token → top-level column names. */
-  private def parseColsToken(tok: String): Set[String] =
-    if (tok == "-") Set.empty
-    else tok.split(",").map(unescapePathValue).toSet
+    alignedField(meta, "cols")
 
   /** Decode one entry's stats token → column → (kind, min, max). */
   private def parseStatsToken(tok: String): Map[String, (Char, String, String)] =
@@ -751,15 +751,12 @@ object Snapshots {
 
   /** entry → row count out of an already-read marker (empty for
     * markers written before the `rows` field existed). */
-  private def rowsOfMeta(meta: String): Map[String, Long] =
-    (metaField(meta, "data"), metaField(meta, "rows")) match {
-      case (Some(d), Some(r)) if ownField(meta, "rows") =>
-        val es = d.split(" "); val ns = r.split(" ")
-        if (ns.length == es.length && ns.forall(_.toLongOption.isDefined))
-          es.zip(ns.map(_.toLong)).toMap
-        else Map.empty
-      case _ => Map.empty
-    }
+  private def rowsOfMeta(meta: String): Map[String, Long] = {
+    val toks = alignedField(meta, "rows")
+    if (toks.values.forall(_.toLongOption.isDefined))
+      toks.map { case (e, n) => e -> n.toLong }
+    else Map.empty
+  }
 
   /** Build the marker (manifest entries + per-entry row counts +
     * parent + folded ledger + caller meta) and claim
@@ -823,7 +820,11 @@ object Snapshots {
         footerInfo(s, s"${dataRoot(root)}/$e")
       else (knownRows.getOrElse(e, parentRows.getOrElse(e, -1L)),
         knownStats.getOrElse(e, parentStats.getOrElse(e, "-")),
-        knownCols.getOrElse(e, parentCols.getOrElse(e, "-")))
+        // "?" = UNKNOWN (pre-cols parent), distinct from "-" (a
+        // file-less entry with no columns): readRange must treat an
+        // unknown-schema entry as a forced probe, never as
+        // provably-column-free (review finding)
+        knownCols.getOrElse(e, parentCols.getOrElse(e, "?")))
     }
     val counts = infos.map(_._1)
     val statsToks = infos.map(_._2)
@@ -927,10 +928,16 @@ object Snapshots {
     * must never be promoted into the exactly-once ledger, where a
     * large value would drop real micro-batches as replays and a
     * non-numeric one would crash every commit (review finding). */
+  private val OwnLedgerRun = java.util.regex.Pattern.compile(
+    """"parent":"?-?\d+"?(?:,"lb":"(-?\d+)")?(?:,"batch":"(-?\d+)")?""")
+
   private def ownLedger(meta: String, key: String): Option[Long] = {
-    val m = java.util.regex.Pattern.compile(
-      """"parent":"?-?\d+"?(?:,"lb":"(-?\d+)")?(?:,"batch":"(-?\d+)")?""")
-      .matcher(meta)
+    // residual ambiguity, accepted: a PRE-RESERVATION marker whose
+    // caller extraMeta serialized "lb"/"batch" as the FIRST extra is
+    // byte-identical to an own-field run and is still promoted —
+    // physically indistinguishable in the bytes; the key reservation
+    // (r19/r20) closes the hole for every marker written since
+    val m = OwnLedgerRun.matcher(meta)
     if (!m.find()) None
     else key match {
       case "lb" => Option(m.group(1)).map(_.toLong)
@@ -1037,15 +1044,17 @@ object Snapshots {
       if (keptAll) base
       else {
         val cols = colsOfMeta(meta)
-        // zero-I/O boundary test: did pruning drop any column name?
-        // A legacy marker (no cols field) answers conservatively yes.
+        // zero-I/O boundary test: pruning provably cannot change the
+        // output schema ONLY when every entry records the IDENTICAL
+        // ordered column list (order matters — mergeSchema's union
+        // order depends on which entries survive, and positional
+        // consumers must not see reordered columns; review finding).
+        // A legacy marker (no cols field) or an entry inherited from
+        // a pre-cols parent ("?") answers conservatively yes.
         val boundary =
-          if (cols.size != entries.size) true
-          else {
-            val all = entries.flatMap(e => parseColsToken(cols(e))).toSet
-            val keptNames = kept.flatMap(e => parseColsToken(cols(e))).toSet
-            all != keptNames
-          }
+          cols.size != entries.size ||
+            cols.values.exists(_ == "?") ||
+            entries.map(cols).distinct.size > 1
         if (!boundary) base
         else {
           // evolution boundary (or legacy marker): one sampled file
@@ -1068,14 +1077,13 @@ object Snapshots {
     aligned.filter(qcol(column) >= lit(lo) && qcol(column) <= lit(hi))
   }
 
-  /** Column reference by EXACT top-level name — backquoted so a name
-    * containing dots is not misparsed as a nested-field path (review
-    * finding). Names containing a backtick are not addressable this
-    * way and fall through unquoted. */
-  private def qcol(name: String): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.col
-    if (name.contains("`")) col(name) else col(s"`$name`")
-  }
+  /** Column reference by EXACT top-level name — backquoted (with
+    * backticks doubled, Spark's escape) so a name containing dots or
+    * backticks is never misparsed as a nested-field path (review
+    * finding). */
+  private def qcol(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(
+      "`" + name.replace("`", "``") + "`")
 
   /** Does the recorded `[mn,mx]` intersect `[lo,hi]`? Unknown kinds or
     * a predicate-value family that does not match the recorded kind

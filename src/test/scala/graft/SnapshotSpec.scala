@@ -1563,11 +1563,16 @@ class SnapshotSpec extends SparkSpec {
     assert(wOut.columns.toSeq === Seq("k", "p", "v", "w") &&
       wOut.count() === 0L,
       "a range on a column living only in pruned entries is empty, not an error")
-    // markers record per-entry COLUMN NAMES (zero-I/O boundary test)
+    // markers record per-entry COLUMN NAMES (zero-I/O boundary test):
+    // assert against the cols FIELD's value, not the whole marker
+    // (every marker contains the letter w via "rows" — review finding)
     val m2txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$root/_commits/2")), "UTF-8")
-    assert(m2txt.contains(""""cols":""") && m2txt.contains("w"),
-      s"markers must carry the per-entry column-name lists: $m2txt")
+    val colsField = m2txt.split("\"cols\":\"")(1).split("\"")(0)
+    assert(colsField.split(" ").exists(_.split(",").contains("w")),
+      s"the appended entry's cols token must name w: $colsField")
+    assert(colsField.split(" ").forall(_.split(",").contains("k")),
+      s"every entry's cols token must name k: $colsField")
     // a LEGACY marker without the cols field degrades to the sampled
     // probe — same answers, just not zero-I/O
     val m2 = java.nio.file.Paths.get(s"$root/_commits/2")
@@ -1576,6 +1581,38 @@ class SnapshotSpec extends SparkSpec {
     val lowLegacy = Snapshots.readRange(spark, root, "k", 1L, 5L)
     assert(lowLegacy.columns.toSeq === Seq("k", "p", "v", "w") &&
       lowLegacy.count() === 5L)
+  }
+
+  test("an entry inherited from a pre-cols marker forces the schema probe (r20 review)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    // seed carries w; simulate a PRE-cols writer by stripping the
+    // field from its marker — the table's history now spans the
+    // cols-field introduction
+    Snapshots.commitPartitioned(spark, root,
+      (1 to 10).map(i => (i.toLong, 1, s"v$i", i * 10L))
+        .toDF("k", "p", "v", "w"), "p", 0L)
+    val m1 = java.nio.file.Paths.get(s"$root/_commits/1")
+    val noCols = new String(java.nio.file.Files.readAllBytes(m1), "UTF-8")
+      .replaceFirst(""""cols":"[^"]*",""", "")
+    java.nio.file.Files.write(m1, noCols.getBytes("UTF-8"))
+    // the NEW writer appends a narrower entry: its marker records the
+    // staged entry's cols but must mark the inherited one UNKNOWN
+    Snapshots.appendPartitioned(spark, root,
+      (11 to 20).map(i => (i.toLong, 2, s"v$i")).toDF("k", "p", "v"), "p", 1L)
+    val m2txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_commits/2")), "UTF-8")
+    assert(m2txt.split("\"cols\":\"")(1).split("\"")(0).split(" ")
+      .contains("?"),
+      "an entry inherited from a pre-cols parent must record '?', not a " +
+        s"claim of column-freeness: $m2txt")
+    // pruning away the (unknown-schema) w-bearing entry must still
+    // surface w null-typed — '?' forces the sampled probe
+    val hi = Snapshots.readRange(spark, root, "k", 11L, 15L)
+    assert(hi.columns.toSeq === Seq("k", "p", "v", "w") && hi.count() === 5L,
+      s"unknown-schema entries must force alignment: ${hi.columns.toSeq}")
+    assert(hi.filter(col("w").isNotNull).count() === 0L)
   }
 
   test("legacy caller extraMeta named batch cannot poison the ledger walk (r20 review)") {
