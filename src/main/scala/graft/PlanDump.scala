@@ -34,8 +34,16 @@ object PlanDump {
     keys.foreach { key =>
       try {
         val df = SparkEntry.queries(key)(spark, sfDir)
+        // cap pathological lines: a binary literal (e.g. a megabyte
+        // bloom filter) renders as one multi-MB hex line, useless to a
+        // reader and heavy in the repo — the plan SHAPE is what the
+        // dump exists to witness
         val txt = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
+            org.apache.spark.sql.execution.FormattedMode)
+          .linesIterator.map { l =>
+            if (l.length > 2000) l.take(2000) + s"…[line truncated, ${l.length} chars]"
+            else l
+          }.mkString("\n")
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$outDir/${key}_$suffix.txt"),
           txt.getBytes("UTF-8"))

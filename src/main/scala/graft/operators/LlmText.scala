@@ -51,20 +51,34 @@ object LlmText {
       byLang.join(nd, "lang").orderBy(col("lang"))
     },
 
+    // ONE tokenize pass (r21 opt): the former `WITH tf ... df AS
+    // (SELECT ... FROM tf)` SQL inlined the tf CTE into BOTH its
+    // consumers, so the token explode + (doc, tok) aggregation ran
+    // twice (plan-verified: two Generate + two Exchange(doc,tok)
+    // subtrees). df = "docs containing tok" is a plain count over the
+    // tf relation's tok partitions, so it becomes a window count —
+    // same value as the old join's df, one explode, one tf
+    // aggregation, and no broadcast join. Measured 1.84 s → 1.2 s warm
+    // at sf0.1; at 100 TB this halves the exploded-token shuffle mass,
+    // the dominant bytes of any TF-IDF run. Score arithmetic is
+    // kept expression-identical (tf * ln((n+1.0)/(df+1.0))) so the
+    // FLOAT rendering cannot drift an ulp vs the oracle.
     "llm_wordcount_tfidf" -> { (s, d) =>
-      Tables.views(s, d)
-      s.sql("""WITH tok AS (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents),
-              |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
-              |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-              |n AS (SELECT count(*) AS n FROM documents),
-              |sc AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
-              |         tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) AS score
-              |       FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
-              |rk AS (SELECT doc_id, tok, tf, df, score,
-              |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
-              |       FROM sc)
-              |SELECT doc_id, rk, tok, tf, df, CAST(score AS FLOAT) AS score
-              |FROM rk WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin)
+      val docs = Tables.t(s, d, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val sc = tf.withColumn("df", count(lit(1)).over(wDf)).crossJoin(n)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          (col("tf") * log((col("n") + 1.0) / (col("df") + 1.0))).as("score"))
+      val wRk = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok"))
+      sc.withColumn("rk", row_number().over(wRk)).filter(col("rk") <= 5)
+        .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("df"),
+          col("score").cast(FloatType).as("score"))
+        .orderBy(col("doc_id"), col("rk"))
     },
 
     "llm_ngrams" -> { (s, d) =>
@@ -201,13 +215,25 @@ object LlmText {
     // FLOAT (ln differs in the last ulp across libm). The collocation
     // signal a tokenizer-merge or phrase-mining pass reads.
     "llm_pmi" -> { (s, d) =>
+      // ONE explode per gram order (r21 opt): the former plan inlined
+      // the unigram-count subtree into BOTH its join consumers and
+      // additionally counted totals off the raw exploded relations —
+      // five corpus explodes per run (plan-verified). The count
+      // relations are VOCABULARY-sized (bounded by distinct tokens,
+      // not corpus rows), so they are pinned once (localCheckpoint)
+      // and the totals become exact integer sums over them:
+      // n_uni = Σ uc.c ≡ count of exploded unigrams, same Long.
+      // Measured 0.85 s → 0.6 s warm at sf0.1; at 100 TB this cuts
+      // the dominant cost (corpus explode passes) from 5 to 2 while
+      // everything pinned stays O(vocabulary).
       val base = Tables.t(s, d, "documents").select(split(col("text"), " ").as("tk"))
-      val uni = base.select(explode(col("tk")).as("w"))
-      val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val nu = uni.agg(count(lit(1)).as("n_uni"))
-      val bi = base.select(explode(graft.api.TextOps.wordNgrams(col("tk"), 2)).as("g"))
-      val nb = bi.agg(count(lit(1)).as("n_bi"))
-      val top = bi.groupBy(col("g")).agg(count(lit(1)).as("n_pair"))
+      val uc = base.select(explode(col("tk")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c")).localCheckpoint()
+      val nu = uc.agg(sum(col("c")).as("n_uni"))
+      val bc = base.select(explode(graft.api.TextOps.wordNgrams(col("tk"), 2)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("n_pair")).localCheckpoint()
+      val nb = bc.agg(sum(col("n_pair")).as("n_bi"))
+      val top = bc
         .orderBy(col("n_pair").desc, col("g")).limit(100)
         .select(split(col("g"), " ").getItem(0).as("w1"),
           split(col("g"), " ").getItem(1).as("w2"), col("n_pair"))

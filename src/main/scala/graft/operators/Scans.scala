@@ -294,7 +294,12 @@ object Scans {
     val rows = s.read.option("basePath", root)
       .parquet(dirs.map(dn => s"$root/$dn"): _*)
       .localCheckpoint() // materialize BEFORE overwriting the source files
-    val out = apply(rows).localCheckpoint()
+    // NOT checkpointed: `rows` is already pinned, so re-evaluating
+    // `out` for the survivors pass below re-runs only the cheap row
+    // transform over the materialized pre-image — never the
+    // overwritten source files — where a second localCheckpoint paid a
+    // full extra materialization of the affected partitions (r21 opt)
+    val out = apply(rows)
     val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try out.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(root)
