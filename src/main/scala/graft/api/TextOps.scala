@@ -610,6 +610,79 @@ object TextOps {
       .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("rep"))
   }
 
+  /** [[setNearDupClusters]] restricted to a SUBSET of the corpus,
+    * REUSING the corpus-level collapse caches instead of rebuilding
+    * the whole LSH pipeline over the subset (r21 opt, guide §1.2: fix
+    * the algorithm). The curation capstone dedups its quality/
+    * repetition/exact-dedup SURVIVORS — a filtered corpus whose fresh
+    * collapse re-ran tokenize + signatures + band join + confirm every
+    * invocation (~2 s of its 3 s at sf0.1), even though every one of
+    * those stages is a pure function of the token SETS, which the
+    * corpus-level collapse already holds cached (and shares with the
+    * dedup keys).
+    *
+    * Equivalence to `setNearDupClusters(corpus ∩ surviving)` — the
+    * form ApiSpec asserts row-identical and the oracle re-proves:
+    *  - the subset's distinct sets are exactly the corpus sets with
+    *    ≥1 surviving member (membership ∩ surviving, re-repped by min
+    *    surviving id);
+    *  - a candidate pair of surviving sets shares a band key iff it
+    *    did in the corpus run (signatures depend only on the sets),
+    *    and the exact-Jaccard confirm is set-deterministic — so the
+    *    corpus-level confirmed pairs RESTRICTED to surviving sets are
+    *    precisely the subset run's confirmed pairs (pair ORDER can
+    *    flip under re-repping, which CC is insensitive to — this
+    *    reuse is therefore only sound for the cluster output form,
+    *    never the ordered pair-list form);
+    *  - CC's min-label over re-repped nodes = min surviving member of
+    *    the component, the fresh run's label by the same argument.
+    *
+    * At 100 TB this is the difference between re-running LSH over the
+    * surviving 70-90% of the corpus per pipeline stage and reusing
+    * the stage output a real pipeline would have materialized anyway.
+    * `surviving` carries the ids (column `idCol`), ⊆ the corpus'. */
+  def setNearDupClustersOfSubset(
+      corpus: DataFrame, idCol: String, setCol: Column,
+      surviving: DataFrame, tau: Double,
+      numHashes: Int = 32, bands: Int = 8, maxIters: Int = 20,
+      maxDriverEdges: Long = 1000000L): DataFrame = {
+    Graft.registerAll(corpus.sparkSession)
+    val c = collapse(corpus, idCol, setCol)
+    val sIds = surviving.select(col(idCol).as("doc_id"))
+    // surviving members of each corpus set, re-repped by min
+    // surviving id (what a fresh collapse over the subset computes)
+    val sMem = c.membership.join(sIds, "doc_id")
+    val sGroups = sMem.groupBy(col("rep")).agg(min(col("doc_id")).as("srep"))
+    // corpus-level confirmed pairs (cached, shared with the dedup
+    // keys) restricted to surviving sets and re-repped; least/greatest
+    // restores the a<b convention the CC solvers expect — two distinct
+    // sets never share a surviving rep (each doc has exactly one set)
+    val sPairs = confirmedRepPairs(c, tau, numHashes, bands)
+      .join(sGroups.select(col("rep").as("a"), col("srep").as("sa")), "a")
+      .join(sGroups.select(col("rep").as("b"), col("srep").as("sb")), "b")
+      .select(least(col("sa"), col("sb")).as("a"),
+        greatest(col("sa"), col("sb")).as("b"))
+    val labels = driverComponents(sPairs, maxDriverEdges)
+      .getOrElse(loopComponents(sPairs, maxIters))
+    val assigned = sMem
+      .join(sGroups, Seq("rep"))
+      .join(labels.withColumnRenamed("node", "srep"), Seq("srep"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("srep")).as("lab"))
+    // docs dropped by collapse (null/empty sets) come back as
+    // singletons, exactly as in setNearDupClusters
+    sIds.join(assigned, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("rep"))
+  }
+
+  /** [[setNearDupClustersOfSubset]] over whitespace token sets. */
+  def minhashNearDupClustersOfSubset(
+      corpus: DataFrame, idCol: String, textCol: String,
+      surviving: DataFrame, tau: Double,
+      numHashes: Int = 32, bands: Int = 8, maxIters: Int = 20,
+      maxDriverEdges: Long = 1000000L): DataFrame =
+    setNearDupClustersOfSubset(corpus, idCol, tokenSet(col(textCol)),
+      surviving, tau, numHashes, bands, maxIters, maxDriverEdges)
+
   /** Distributed CC fixpoint (the past-the-gate scale path): min-label
     * propagation + pointer jumping over the rep graph. */
   private[graft] def loopComponents(repPairs: DataFrame, maxIters: Int): DataFrame = {

@@ -205,6 +205,36 @@ class ApiSpec extends SparkSpec {
     assert(sameLabel === pairs)
   }
 
+  test("subset clusters via corpus-cache reuse ≡ fresh clusters over the subset") {
+    // the r21 pipeline optimization: near-dup clusters of a FILTERED
+    // corpus reuse the corpus-level collapse + confirmed pair graph
+    // instead of re-running the whole LSH pipeline. Row-identity with
+    // the fresh form must hold on every subset shape — including ones
+    // where the subset's re-repped set ids ORDER differently than the
+    // corpus reps (doc 10 filtered out below makes set {alpha beta
+    // gamma delta}'s rep jump 10 → 11 while {**} stays).
+    val d = Tables.t(spark, sf, "documents")
+    for (keep <- Seq(col("doc_id") % 3 =!= 0, col("doc_id") % 20 =!= 1)) {
+      val surviving = d.filter(keep).select(col("doc_id"))
+      val fresh = TextOps.minhashNearDupClusters(
+          d.filter(keep), "doc_id", "text", tau = 0.95)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val reused = TextOps.minhashNearDupClustersOfSubset(
+          d, "doc_id", "text", surviving, tau = 0.95)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reused === fresh, "cache-reuse subset clusters must be " +
+        s"row-identical to the fresh run (filter $keep)")
+      assert(fresh.nonEmpty)
+    }
+    // the hand-built corpus: dropping the component's min id must
+    // re-rep the surviving component (label 11, not the dead 10)
+    val sub = docs.filter(col("my_id") =!= 10L).select(col("my_id"))
+    val reused = TextOps.minhashNearDupClustersOfSubset(
+        docs, "my_id", "my_text", sub, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reused === Map(11L -> 11L, 12L -> 12L, 13L -> 13L, 14L -> 11L))
+  }
+
   test("driver union-find and distributed CC loop produce identical labels") {
     // real graph: the sf testbed documents corpus (many multi-node
     // components). maxDriverEdges=0 forces the distributed loop;
