@@ -34,6 +34,19 @@ object Warmup {
     // custom codegen'd kernels
     w.selectExpr("vec_dot(varr, varr) d",
       "sorted_jaccard_min(sarr, sarr, 0.5D) j").count()
+    // exact-dedup hash shape: sha2 over lower(trim(..)) + groupBy(hash)
+    // min/count + a global sort — llm_dedup_exact_text paid ~1.2 s of
+    // first-use cost for exactly this chain (measured r22: 1.6 s first
+    // exec vs 0.35 s steady in one JVM, with codegen 58 ms and GC 51 ms
+    // — the rest is C2 JIT of the digest/UTF8String path, which needs
+    // CALL VOLUME, not just the compiled shape; 20k synthetic rows get
+    // the hot loop past the compile threshold in ~0.3 s)
+    spark.range(20000)
+      .selectExpr("sha2(cast(lower(trim(concat('  doc ', id, ' text body  '))) as binary), 256) h", "id")
+      .groupBy($"h").agg(
+        org.apache.spark.sql.functions.min($"id"),
+        org.apache.spark.sql.functions.count($"id"))
+      .orderBy($"h").count()
     // sketch aggregates run on the ObjectHashAggregate path, whose
     // first use costs ~1.5 s of class-load/codegen (measured:
     // agg_approx_distinct 1.8 s cold vs 0.13 s warm) — compile it
@@ -118,5 +131,48 @@ object Warmup {
     graft.api.VectorOps.cosineTopK(vecs, vecs, "vec_id", "embedding", 1).count()
     graft.api.VectorOps.ivfTopK(vecs, vecs, "vec_id", "embedding",
       k = 1, numCells = 2, nprobe = 1, sampleSize = 4).count()
+    // the threshold-pair / embedding-cluster shapes compile DIFFERENT
+    // plans from topK (block-grid self-join + CC solve; IVF cell-pair
+    // join) — their first measured run otherwise pays the Janino/JIT
+    // (r22 BenchOne: llm_dedup_embedding 1.17 s cold vs 0.76 s warm)
+    graft.api.VectorOps.cosineNearDupClusters(vecs, "vec_id", "embedding", 0.5).count()
+    graft.api.VectorOps.ivfThresholdPairs(
+      graft.api.VectorOps.buildIvfIndex(vecs, "vec_id", "embedding",
+        numCells = 2, sampleSize = 4), tau = 0.0, nprobe = 1).count()
+    // materialized-view machinery on a 16-row synthetic fact in a
+    // scratch dir: the FIRST parquet write of the session (datasource
+    // write + commit protocol class-load/JIT), the MvRewrite rule, the
+    // partition-dir listing, and the incremental partial-merge shapes
+    // all cost first-use compile that was otherwise charged to
+    // agg_mv_incremental (r22 BenchOne: 4.42 s cold vs 0.25 s warm;
+    // 2.7 s charged in-suite where only the staging data work belongs).
+    // Synthetic rows only — the real keys' staging, scans, and
+    // aggregation all stay inside the measurements; the scratch
+    // registry entry is keyed by this temp path, which no measured key
+    // ever scans, and the opt-in conf is restored.
+    val mvScratch = java.nio.file.Files.createTempDirectory("graft_warm_mv").toFile
+    val prevMvConf = spark.conf.getOption(graft.plans.MvRewrite.EnabledKey)
+    try {
+      val factPath = s"${mvScratch.getAbsolutePath}/fact"
+      val fact = spark.range(16).selectExpr("cast(id % 3 as string) k",
+        "cast(id as decimal(18,2)) m", "cast(id % 2 as int) p")
+      fact.filter($"p" === 0).write.mode("overwrite").partitionBy("p").parquet(factPath)
+      val mv = graft.plans.MvRewrite.materializePartitioned(spark, "graft_warm_mv",
+        factPath, "p", dims = Seq("k"), measures = Seq("m"),
+        s"${mvScratch.getAbsolutePath}/mv")
+      fact.filter($"p" === 1).write.mode("append").partitionBy("p").parquet(factPath)
+      graft.plans.MvRewrite.rebuildIncremental(spark, mv)
+      graft.plans.MvRewrite.install(spark)
+      spark.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+      spark.read.parquet(factPath).groupBy($"k")
+        .agg(expr("sum(m)"), expr("count(1)"), expr("min(m)"),
+          expr("max(m)"), expr("avg(m)")).count()
+    } finally {
+      prevMvConf match {
+        case Some(v) => spark.conf.set(graft.plans.MvRewrite.EnabledKey, v)
+        case None => spark.conf.unset(graft.plans.MvRewrite.EnabledKey)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(mvScratch)
+    }
   }
 }

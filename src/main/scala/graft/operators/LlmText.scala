@@ -151,13 +151,20 @@ object LlmText {
     // Decontamination: a 5% "eval" split (doc_id % 20 = 0) probed
     // against the remaining "train" split for cross-corpus near-dups
     // at tau=0.95 — the leakage check every training pipeline runs
-    // before shipping a corpus. Banded cross-join between the two
-    // collapses; oracle = brute-force cross Jaccard.
+    // before shipping a corpus. Both sides are id-splits of the SAME
+    // documents corpus, so the key serves from the corpus-level
+    // collapse + confirmed-pair caches (r22 opt, the cross-corpus twin
+    // of the pipeline's subset reuse — equivalence argued and
+    // spec-asserted at TextOps.crossNearDupPairsOfSplits) instead of
+    // building two per-split collapses and re-running band join +
+    // confirm per invocation. Oracle = brute-force cross Jaccard,
+    // unchanged.
     "llm_decontam" -> { (s, d) =>
       val docs = Tables.t(s, d, "documents")
-      graft.api.TextOps.crossTextNearDupPairs(
-        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
-        docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+      graft.api.TextOps.crossTextNearDupPairsOfSplits(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 20 === 0).select(col("doc_id")),
+        docs.filter(col("doc_id") % 20 =!= 0).select(col("doc_id")),
         tau = 0.95)
         .select(col("left_id").as("eval_id"), col("right_id").as("train_id"), col("j"))
         .orderBy(col("eval_id"), col("train_id"))
@@ -227,12 +234,17 @@ object LlmText {
       // the dominant cost (corpus explode passes) from 5 to 2 while
       // everything pinned stays O(vocabulary).
       val base = Tables.t(s, d, "documents").select(split(col("text"), " ").as("tk"))
+      // coalesce(sum, 0): sum() is NULL (and nullable) on an empty
+      // corpus where the pre-r21 count(*) was 0 — output rows are
+      // unaffected today (top-100 is empty when the corpus is), but
+      // the coalesce restores the exact count semantics and
+      // non-nullable schema (ADVICE r21 #4)
       val uc = base.select(explode(col("tk")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c")).localCheckpoint()
-      val nu = uc.agg(sum(col("c")).as("n_uni"))
+      val nu = uc.agg(coalesce(sum(col("c")), lit(0L)).as("n_uni"))
       val bc = base.select(explode(graft.api.TextOps.wordNgrams(col("tk"), 2)).as("g"))
         .groupBy(col("g")).agg(count(lit(1)).as("n_pair")).localCheckpoint()
-      val nb = bc.agg(sum(col("n_pair")).as("n_bi"))
+      val nb = bc.agg(coalesce(sum(col("n_pair")), lit(0L)).as("n_bi"))
       val top = bc
         .orderBy(col("n_pair").desc, col("g")).limit(100)
         .select(split(col("g"), " ").getItem(0).as("w1"),

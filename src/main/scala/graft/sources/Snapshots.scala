@@ -718,11 +718,15 @@ object Snapshots {
       } else {
         val confB = s.sparkContext.broadcast(
           new SerHadoopConf(s.sessionState.newHadoopConf()))
-        s.sparkContext
+        try s.sparkContext
           .parallelize(files.zipWithIndex.map { case (n, i) => (i, s"$dir/$n") },
             math.min(files.length, s.sparkContext.defaultParallelism))
           .map { case (i, p) => (i, fileFooterInfo(confB.value.conf, p)) }
           .collect().sortBy(_._1).map(_._2).toSeq
+        // release the per-commit conf broadcast eagerly (ADVICE r21):
+        // a long-lived session doing many large commits would
+        // otherwise accumulate broadcasts until ContextCleaner GC
+        finally confB.destroy()
       }
     // driver replay of the per-file summaries, in file-name order —
     // the same fold the old sequential loop ran chunk by chunk

@@ -48,6 +48,28 @@ class ApiSpec extends SparkSpec {
     assert(pairs === Set((10L, 11L), (10L, 14L), (11L, 14L)))
   }
 
+  test("simhash = shared confirmed pairs restricted by hamming (r22 reuse)") {
+    // the r22 rewrite serves simhash from the SAME cached confirm the
+    // minhash/cluster flavors use, filtered by hamming afterwards —
+    // equivalence: both hamming and the exact confirm are pure per-pair
+    // functions of the token sets, so filter-after-confirm ≡
+    // prefilter-then-confirm. Pin both ends of the bound:
+    // maxHamming = 0 keeps exactly the identical-set pairs (equal sets
+    // ⇒ equal simhash ⇒ hamming 0), j carried through as 1.0 …
+    val tight = TextOps.simhashNearDupPairs(docs, "my_id", "my_text",
+      tau = 0.95, maxHamming = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(tight === Set((10L, 11L, 1.0), (10L, 14L, 1.0), (11L, 14L, 1.0)))
+    // … and a generous bound matches the minhash flavor ROW-FOR-ROW,
+    // j values included (the cached confirm serves both flavors)
+    val sim = TextOps.simhashNearDupPairs(docs, "my_id", "my_text",
+      tau = 0.95, maxHamming = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mh = TextOps.minhashNearDupPairs(docs, "my_id", "my_text", tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sim === mh)
+  }
+
   test("dedup kernels run inside whole-stage codegen, not interpreted fallback") {
     // the kernels exist to keep the narrow signature/confirm stages in
     // generated code; a CodegenFallback regression (e.g. dropping
@@ -290,6 +312,58 @@ class ApiSpec extends SparkSpec {
     // eval1 x train100 exact (j=1), eval1 x train102 (J=9/10), eval3 x
     // train101 (J=9/10); no (100,102)-style within-train pair
     assert(pairs === Set((1L, 100L), (1L, 102L), (3L, 101L)))
+  }
+
+  test("crossNearDupPairsOfSplits is row-identical to the two-collapse cross form") {
+    import spark.implicits._
+    // one corpus, id-split — the decontamination shape the r22 reuse
+    // serves from the corpus-level caches. Adversarial cases baked in:
+    //  - ids 1/11: identical set SPANNING both splits (the within-rep
+    //    j=1.0 leg the self-join never stores);
+    //  - ids 2/12: near-dup across splits where the corpus rep of one
+    //    set is the OTHER split's member (rep-orientation flip);
+    //  - ids 3/5: near-dup pair entirely inside the LEFT split — must
+    //    NOT appear (no within-side pairs);
+    //  - ids 13/14: disjoint-vocabulary right rows, stay unpaired;
+    //  - ids 4/11: a second eval member of the spanning set (fan-out
+    //    multiplicity through the shared membership).
+    val corpus = Seq(
+      (1L,  "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L,  "one two three four five six seven eight nine ten"),
+      (3L,  "red orange yellow green blue indigo violet pink brown black"),
+      (4L,  "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5L,  "red orange yellow green blue indigo violet pink brown"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (12L, "one two three four five six seven eight nine"),
+      (13L, "crimson amber chartreuse teal navy plum mauve taupe sepia"),
+      (14L, "totally disjoint vocabulary rows keep to themselves always")
+    ).toDF("id", "txt")
+    val leftIds = corpus.filter(col("id") < 10L).select(col("id"))
+    val rightIds = corpus.filter(col("id") >= 10L).select(col("id"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fresh = rows(TextOps.crossTextNearDupPairs(
+      corpus.filter(col("id") < 10L), "id", "txt",
+      corpus.filter(col("id") >= 10L), "id", "txt", tau = 0.85))
+    val reused = rows(TextOps.crossTextNearDupPairsOfSplits(
+      corpus, "id", "txt", leftIds, rightIds, tau = 0.85))
+    assert(reused === fresh)
+    // vacuity guards: the spanning set, the orientation-flipped
+    // near-dup, and the no-within-side rule are all actually exercised
+    assert(fresh.contains((1L, 11L, 1.0)) && fresh.contains((4L, 11L, 1.0)))
+    assert(fresh.exists { case (a, b, j) => a == 2L && b == 12L && j < 1.0 })
+    // the 3/5 near-dup lives entirely in the left split: no output row
+    // may involve either id (within-side pairs are never emitted)
+    assert(!fresh.exists { case (a, b, _) =>
+      a == 3L || a == 5L || b == 3L || b == 5L })
+    // and the reversed split assignment (right ids smaller) flips the
+    // rep orientation the other way — still identical
+    val fresh2 = rows(TextOps.crossTextNearDupPairs(
+      corpus.filter(col("id") >= 10L), "id", "txt",
+      corpus.filter(col("id") < 10L), "id", "txt", tau = 0.85))
+    val reused2 = rows(TextOps.crossTextNearDupPairsOfSplits(
+      corpus, "id", "txt", rightIds, leftIds, tau = 0.85))
+    assert(reused2 === fresh2)
   }
 
   test("setNearDupClusters over shingles: reordered text clusters under token sets, not bigram sets") {
