@@ -2,11 +2,10 @@ package graft.api
 
 import graft.functions.{Graft, NgramSet}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.BinaryType
 import org.apache.spark.util.sketch.{BloomFilter => SketchBloom}
 
 /** Public text-pipeline API over arbitrary DataFrames — the
@@ -493,12 +492,20 @@ object TextOps {
       0, 0).toAggregateExpression())
     val bytes = trainGrams.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
     // empty train corpus → BloomFilterAggregate yields null → nothing
-    // can be contaminated (and MightContain over a null bloom is null)
+    // can be contaminated (and MightContain over a null bloom is null).
+    // The bloom rides a BROADCAST, not a plan literal (r22, guide
+    // §3.2): a literal is re-serialized into every stage's task binary
+    // (2.3 MB task binaries at sf0.1; at 100 TB the bloom is sized to
+    // the train-gram count — a literal that size per task binary is a
+    // scheduler hazard), while the broadcast ships once per executor
+    // and the plan carries only the handle. Decision-identical bits —
+    // see BloomMightContainBc; the exact confirm join keeps the output
+    // independent of filter decisions regardless.
     val mightHit =
       if (bytes == null) lit(false)
-      else ColumnBridge.column(BloomFilterMightContain(
-        Literal.create(bytes, BinaryType),
-        ColumnBridge.expression(xxhash64(gram))))
+      else ColumnBridge.column(graft.functions.BloomMightContainBc(
+        ColumnBridge.expression(xxhash64(gram)),
+        evalDf.sparkSession.sparkContext.broadcast(bytes)))
     val evalGrams = evalDf
       .select(col(evalId).as("eval_id"), ngramSet(col(evalText), n).as("gs"))
       .select(col("eval_id"), size(col("gs")).cast("long").as("n_grams"),
@@ -825,6 +832,25 @@ object TextOps {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
+
+  /** The per-row repetition-ratio COLUMNS of [[repetitionStats]] with
+    * `nullAsRepetitive = true` — for funnels that compute the signal
+    * in the SAME projection as their other per-row flags instead of
+    * joining the stats frame back on the id (r22 opt: the pipeline's
+    * signal chain scanned and tokenized the corpus TWICE and paid two
+    * doc_id exchanges for what is a pure per-row function of the
+    * text). Value-identical to the frame form — same [[maxRunCount]] /
+    * [[wordNgrams]] expressions, same cast-then-divide arithmetic,
+    * same null-text → 1.0 policy; asserted row-identical in ApiSpec. */
+  def repetitionRatioCols(textCol: Column): (Column, Column) = {
+    val tk = split(textCol, " ")
+    val nToks = size(tk)
+    (when(textCol.isNull, lit(1.0))
+       .otherwise(maxRunCount(tk).cast("double") / nToks),
+     when(textCol.isNull, lit(1.0))
+       .otherwise(maxRunCount(wordNgrams(tk, 2)).cast("double")
+         / greatest(nToks - 1, lit(1))))
+  }
 
   /** Gopher-style repetition metrics per document: the share of
     * tokens claimed by the most frequent unigram and bigram. High

@@ -285,32 +285,42 @@ object LlmText {
         .select(col("doc_id"), col("text"), col("source"),
           when(col("text").isNull, lit(0))
             .otherwise(size(split(col("text"), " "))).as("n_toks"))
-      // nullAsRepetitive makes the stats TOTAL over doc ids (null text
-      // scores ratio 1.0 and fails every gate), so the funnel keeps
-      // its 1:1 INNER join — no per-ratio null guards (VERDICT r16 #5)
+      // repetition ratios INLINE in the f2 predicate (r22 opt): the
+      // former repetitionStats(raw) JOIN back on doc_id scanned +
+      // tokenized the corpus twice and paid two doc_id exchanges for
+      // what is a pure per-row function of the text —
+      // repetitionRatioCols is the same expressions (null text → 1.0,
+      // failing every gate, so the funnel totals are unchanged;
+      // value-identity ApiSpec-asserted). The ratios feed f2 DIRECTLY
+      // and are never bound as passthrough columns: a kept column +
+      // a referencing predicate would let projection collapse evaluate
+      // the expensive run-count fold twice per row (measured: the
+      // bound-column form re-ran the fold per reference and per join
+      // branch — 3.2 s vs 2.0 s warm — where this form runs it once
+      // inside the checkpoint job).
+      val (rTok, rBigram) = graft.api.TextOps.repetitionRatioCols(col("text"))
+      // localCheckpoint directly on the SIGNAL relation: the per-row
+      // chain (tokenize + repetition fold + sha2) is the pipeline's
+      // expensive narrow stage and sig is consumed by three branches
+      // (exKeep's groupBy, the withEx join left side, and through
+      // withEx the clusters run + final aggregation) — Spark does not
+      // CSE across join branches, and the pre-r22 join form only
+      // avoided re-folding via ReuseExchange on its stats join. The
+      // pin runs the fold ONCE; everything downstream joins pinned
+      // rows. (One row per doc — tiny at any corpus the driver CC
+      // gate admits; the distributed-CC path past the gate would
+      // checkpoint per stage the same way.)
       val sig = raw
-        .join(graft.api.TextOps.repetitionStats(raw, "doc_id", "text",
-            nullAsRepetitive = true)
-          .select(col("doc_id"), col("top_tok_ratio"), col("top_bigram_ratio")),
-          Seq("doc_id"))
         .withColumn("h", sha2(lower(trim(col("text"))).cast("binary"), 256))
         .withColumn("f1", col("n_toks") >= 20)
-        .withColumn("f2", col("f1")
-          && col("top_tok_ratio") < 0.12 && col("top_bigram_ratio") < 0.06)
+        .withColumn("f2", col("f1") && rTok < 0.12 && rBigram < 0.06)
+        .localCheckpoint()
       // exact-dedup keepers among the f2 survivors (min id per hash)
       val exKeep = sig.filter(col("f2")).groupBy(col("h"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"), lit(true).as("exk"))
-      // localCheckpoint: the signal chain (tokenize + repetition fold
-      // + hash + joins) is evaluated ONCE and both downstream
-      // consumers — the eager clusters run and the final aggregation
-      // — read the materialized rows instead of re-deriving the chain
-      // (one row per doc: tiny at any corpus the driver CC gate
-      // admits; the distributed-CC path past the gate would checkpoint
-      // per stage the same way)
       val withEx = sig.join(exKeep, Seq("doc_id"), "left_outer")
         .withColumn("f3", col("f2") && coalesce(col("exk"), lit(false)))
-        .localCheckpoint()
       // near-dup cluster reps among the f3 survivors — via the
       // subset-reuse form (r21 opt): the corpus-level collapse +
       // confirmed pair graph are cached (and shared with the dedup

@@ -366,6 +366,28 @@ class ApiSpec extends SparkSpec {
     assert(reused2 === fresh2)
   }
 
+  test("repetitionRatioCols is value-identical to repetitionStats(nullAsRepetitive)") {
+    import spark.implicits._
+    // edge rows: null text (→ 1.0/1.0), empty string (split → [""]:
+    // one token, ratio 1.0), single token (bigram denominator clamps
+    // to 1), a repetitive doc, and a normal doc
+    val d = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, ""),
+      (3L, "solo"),
+      (4L, "spam spam spam spam ham"),
+      (5L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val (rTok, rBigram) = TextOps.repetitionRatioCols(col("text"))
+    val inline = d.select(col("doc_id"), rTok.as("t"), rBigram.as("b"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val frame = TextOps.repetitionStats(d, "doc_id", "text", nullAsRepetitive = true)
+      .select(col("doc_id"), col("top_tok_ratio"), col("top_bigram_ratio"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(inline === frame)
+    assert(inline.contains((1L, 1.0, 1.0))) // null policy actually exercised
+  }
+
   test("setNearDupClusters over shingles: reordered text clusters under token sets, not bigram sets") {
     import spark.implicits._
     // 20/21 share the token SET but reverse the word order, so every
