@@ -30,6 +30,7 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "vec") { vecSmoke(spark, sfDir, factor); spark.stop(); return }
     if (mode == "stream") { streamSmoke(spark, sfDir, factor); spark.stop(); return }
+    if (mode == "stats") { statsSmoke(spark, sfDir, factor); spark.stop(); return }
     val docs = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
     val base = docs.count()
     val big = (0 until factor).map { i =>
@@ -50,6 +51,59 @@ object ScaleSmoke {
       f"sec=$sec%.2f | base docs=$base pairs=$basePairs sec=$baseSec%.2f | " +
       f"pair_ratio=${pairs.toDouble / basePairs}%.2f time_ratio=${sec / baseSec}%.2f")
     spark.stop()
+  }
+
+  /** Commit-time stats-harvest smoke (VERDICT r21 #7): commit the SAME
+    * `factor`-file staging through BOTH footer-harvest paths — the
+    * serial driver loop (threshold forced above the file count) and
+    * the r21 executor-side sweep (threshold at its default 16) — and
+    * report commit wall time per path, plus the two manifests' marker
+    * payloads compared field-for-field (rows/stats/cols must be
+    * byte-identical; SnapshotSpec asserts the same at 24 files, this
+    * measures the latency claim at realistic backfill file counts).
+    * Usage: runMain graft.ScaleSmoke stats [files] [sfDir]. */
+  private def statsSmoke(spark: SparkSession, sfDir: String, files: Int): Unit = {
+    import graft.sources.Snapshots
+    val scratch = s"${sys.props("java.io.tmpdir")}/graft_scale_stats"
+    val rootLoop = s"$scratch/loop"; val rootSweep = s"$scratch/sweep"
+    Fs.deleteDir(spark, rootLoop); Fs.deleteDir(spark, rootSweep)
+    val df = Tables.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate"))
+      .repartition(files).cache()
+    val n = df.count() // materialize outside the timings
+    val confKey = "spark.graft.statsHarvestDistributeMinFiles"
+    val prev = spark.conf.getOption(confKey)
+    def timedCommit(root: String, threshold: Int): Double = {
+      spark.conf.set(confKey, threshold.toString)
+      val t0 = System.nanoTime()
+      Snapshots.commit(spark, root, df, expectedParent = 0L)
+      (System.nanoTime() - t0) / 1e9
+    }
+    try {
+      val secLoop = timedCommit(rootLoop, files + 1) // forced driver loop
+      val secSweep = timedCommit(rootSweep, 16)      // executor sweep engages
+      // marker payload identity: same rows/stats/cols recorded per file
+      def markers(root: String): Seq[String] = {
+        val dir = new java.io.File(s"$root/_commits")
+        dir.listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName)
+          .map { f =>
+            val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            // strip volatile fields (uuid dir names, timestamps): keep
+            // the harvested stats/rows/cols payloads only
+            txt.split(",").filter(p =>
+              p.contains("\"rows\"") || p.contains("\"stats\"") || p.contains("\"cols\""))
+              .mkString(",")
+          }.toSeq
+      }
+      val same = markers(rootLoop) == markers(rootSweep)
+      println(f"SCALESMOKE_STATS files=$files rows=$n " +
+        f"driver_loop_sec=$secLoop%.2f executor_sweep_sec=$secSweep%.2f " +
+        f"markers_identical=$same")
+    } finally prev match {
+      case Some(p) => spark.conf.set(confKey, p)
+      case None => spark.conf.unset(confKey)
+    }
   }
 
   /** ANN scale smoke: replicate the embeddings corpus with a small

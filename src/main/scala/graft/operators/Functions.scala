@@ -339,26 +339,38 @@ object Functions {
     // data-derived deterministically (the most frequent
     // trigram-prefix bigram, ties broken lexicographically) so the
     // key is self-contained at every SF; the oracle replays the
-    // identical selection. Plan shape at 100 TB: one linear trigram
-    // explode, context selection as a partial-agg + TakeOrdered(1),
-    // then a BROADCAST of the 1-row context onto the trigram stream
-    // and a second partial agg + TakeOrdered(k) — no wide shuffle
-    // beyond the two aggregations.
+    // identical selection. Plan shape at 100 TB (r22: ONE corpus
+    // explode, not two): the raw trigram stream aggregates once to
+    // exact (w1, w2, w3) counts — partial-aggregable, so the shuffle
+    // carries distinct trigrams, not corpus rows — and BOTH consumers
+    // derive from that relation: the context as a re-aggregation
+    // (Σ over w3 of the trigram counts IS the bigram-prefix count —
+    // exact integers) + TakeOrdered(1), the answer as a broadcast of
+    // the 1-row context onto the counts. The pre-r22 form inlined the
+    // explode into both branches (Spark does not CSE across join
+    // branches), paying a second full corpus pass for the join side.
+    // The counts relation is pinned once (localCheckpoint — the same
+    // trade as llm_pmi's unigram/bigram count pins, r21: a COUNT
+    // relation is corpus-sublinear where the explode it replaces is
+    // corpus-linear); pinning, not AQE stage reuse, because the two
+    // consumers' exchange subtrees stop canonicalizing equal the
+    // moment the join pushes its key null-filters into one branch.
     "fn_context_ngrams" -> { (s, d) =>
-      val tri = Tables.t(s, d, "documents")
+      val tcnt = Tables.t(s, d, "documents")
         .select(split(col("text"), " ").as("tk"))
         .filter(size(col("tk")) >= 3)
         .select(explode(expr(
           "transform(sequence(0, size(tk) - 3), " +
             "i -> struct(tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3))")).as("g"))
         .select(col("g.w1"), col("g.w2"), col("g.w3"))
-      val ctx = tri.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("w1"), col("w2")).limit(1)
-        .select(col("w1"), col("w2"))
-      tri.join(broadcast(ctx), Seq("w1", "w2"))
         .groupBy(col("w1"), col("w2"), col("w3"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val ctx = tcnt.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("n")).as("n"))
+        .orderBy(col("n").desc, col("w1"), col("w2")).limit(1)
+        .select(col("w1"), col("w2"))
+      tcnt.join(broadcast(ctx), Seq("w1", "w2"))
         .select(concat_ws(" ", col("w1"), col("w2")).as("context"),
           col("w3").as("following"), col("n"))
         .orderBy(col("n").desc, col("following")).limit(5)

@@ -280,4 +280,30 @@ class LlmSpec extends SparkSpec {
     val ns = rows.map(_.getLong(2))
     assert(ns.sorted.reverse.toSeq === ns.toSeq, "descending count order")
   }
+
+  test("fn_context_ngrams single-pass counts equal the two-pass form (r22)") {
+    import org.apache.spark.sql.functions._
+    // the r22 restructure aggregates the trigram stream ONCE and derives
+    // the context from Σ-over-w3 of the counts; this replays the pre-r22
+    // two-pass form (raw trigrams consumed by both branches) and asserts
+    // row-identity, ordering included
+    val tri = Tables.t(spark, sf, "documents")
+      .select(split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 3), " +
+          "i -> struct(tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3))")).as("g"))
+      .select(col("g.w1"), col("g.w2"), col("g.w3"))
+    val ctx = tri.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2")).limit(1)
+      .select(col("w1"), col("w2"))
+    val twoPass = tri.join(broadcast(ctx), Seq("w1", "w2"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("n"))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("context"),
+        col("w3").as("following"), col("n"))
+      .orderBy(col("n").desc, col("following")).limit(5)
+    val now = operators.Functions.queries("fn_context_ngrams")(spark, sf)
+    assert(now.collect().map(_.toString).toSeq ===
+      twoPass.collect().map(_.toString).toSeq)
+  }
 }
